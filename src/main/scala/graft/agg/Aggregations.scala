@@ -1,0 +1,67 @@
+package graft.agg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyed aggregation operators (SURVEY.md §2.4 A1–A6, §2.5 W1/W2).
+  *
+  * Determinism & oracle notes:
+  *  - DOUBLE measures are cast to DECIMAL(18,2) before summing so the sum
+  *    is exact and associative — partial (map-side) aggregation order can
+  *    then never change the result, and the DuckDB oracle matches bit-wise.
+  *    The final value is cast back to DOUBLE for a stable output schema.
+  *  - Window *buckets* are emitted as epoch-second BIGINTs rather than
+  *    Spark's `window` struct so the oracle SQL is engine-neutral.
+  */
+object Aggregations {
+
+  /** Exact, associative sum of a DOUBLE measure (2 fractional digits). */
+  def exactSum(measure: Column): Column =
+    sum(measure.cast("decimal(18,2)")).cast("double")
+
+  /** A4 running keyed sum (`WordCount.java:82` `keyBy(0).sum(1)`) —
+    * the per-record emission sequence, reformulated as a cumulative SQL
+    * window (SURVEY.md §2.4): one output row per input row carrying the
+    * aggregate *as of* that row. Order is made total by (key, ordCol). */
+  def runningSum(df: DataFrame, key: String, ord: String, measure: String): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ord))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(
+      col(key), col(ord),
+      sum(col(measure).cast("decimal(18,2)")).over(w).cast("double").as("running_sum"))
+  }
+
+  /** A4 final state: plain keyed sum (what the running sum converges to). */
+  def keyedSum(df: DataFrame, key: String, measure: String): DataFrame =
+    df.groupBy(col(key)).agg(exactSum(col(measure)).as("sum_value"))
+
+  /** Tumbling-window bucket of an epoch-seconds column, as epoch seconds
+    * aligned to the epoch origin — identical to Spark's `window()` start
+    * for epoch-aligned sizes, but engine-neutral for the oracle. Pure
+    * integer arithmetic (`x - x mod size`): no double rounding ever. */
+  def windowBucket(tsSec: Column, sizeSec: Long): Column =
+    (tsSec - pmod(tsSec, lit(sizeSec))).cast("bigint")
+
+  /** A5/W1: windowed keyed sum — per 5 s tumbling window per key
+    * (`SocketWindowWordCount.scala:64-66`), re-expressed over event time.
+    * `tsSec` is an epoch-seconds BIGINT column. */
+  def windowSum(df: DataFrame, tsSec: String, key: String, measure: String,
+                sizeSec: Long): DataFrame =
+    df.groupBy(
+        windowBucket(col(tsSec), sizeSec).as("wstart_sec"),
+        col(key))
+      .agg(exactSum(col(measure)).as("sum_value"))
+
+  /** A6 `maxBy` arg-max (`TopSpeedWindowing.scala:115`): the WHOLE record
+    * holding the per-key max of `measure`. Ties broken by `tieBreak`
+    * descending so the result is deterministic (Flink's maxBy keeps the
+    * first-seen max; a stable tiebreak is the batch-checkable analogue). */
+  def maxBy(df: DataFrame, key: String, measure: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(measure).desc, col(tieBreak).desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Relational headline queries over the TPC-H-ish tables — the 100 TB
+  * scale-exercise surface (SURVEY.md §7.2 M7 "bench filler"; FIXTURES.md §B).
+  *
+  * Scale design notes (local[32] today, 1000 executors tomorrow):
+  *  - Dimensions (`region` 5 rows, `nation` 25, `supplier` SF×100,
+  *    `customer` SF×150k) are explicitly `broadcast()` below where they
+  *    stay broadcastable at SF100k (region/nation always; supplier up to
+  *    ~10 M rows is borderline so it is left to AQE).
+  *  - Fact-fact joins (orders⋈lineitem) shuffle on the join key; both
+  *    sides are pre-filtered/pruned so the exchange carries only needed
+  *    columns, and AQE coalesces post-shuffle partitions.
+  *  - All DOUBLE sums go through DECIMAL so partial-aggregate order can
+  *    never perturb results (exact + associative), keeping the DuckDB
+  *    oracle hash-stable.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** `price * (1 - discount)` in EXACT decimal arithmetic. The source
+    * doubles carry 2-decimal values, so the decimal(18,2) cast is
+    * unambiguous; from there every multiply is exact and associative —
+    * the only way a distributed sum stays hash-identical to a single-node
+    * oracle regardless of partial-aggregation order. */
+  private def discPrice =
+    dec(col("l_extendedprice")) * (lit(1.0).cast("decimal(3,2)") - dec(col("l_discount")))
+
+  private def charge = discPrice * (lit(1.0).cast("decimal(3,2)") + dec(col("l_tax")))
+
+  /** TPC-H Q1 pricing summary: single scan, map-side partial agg, one
+    * shuffle on a 6-ish-row key space. */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(discPrice).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shipping priority (no LIMIT — top-k with ties is not
+    * hash-checkable): BUILDING customers' order revenue. `customer` is
+    * small relative to the facts → broadcast hint; orders⋈lineitem is the
+    * real shuffle and carries only 2–3 columns each side. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q5-ish local-supplier revenue per nation: the dimension chain
+    * region→nation is broadcast end-to-end; supplier joins on nationkey
+    * after the facts are reduced. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+    val dimNation = broadcast(
+      nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(dimNation, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.state
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** W3–W5: GlobalWindow + TimeEvictor(10 s) + DeltaTrigger(50 m) arg-max —
+  * the one genuinely custom stateful operator in the reference
+  * (`TopSpeedWindowing.scala:105-121`; SURVEY.md §2.5).
+  *
+  * Semantics (per car): buffer events; when an event arrives whose
+  * `distance` is ≥ `triggerMeters` beyond the last-fired event's distance,
+  * first evict buffered events older than `evictionSec` before the newest,
+  * then emit the buffered record with max speed, and remember the firing
+  * element. Flink applies the evictor before the window function on fire.
+  *
+  * Streaming form: `flatMapGroupsWithState` (update mode) — state is
+  * (buffer, lastFiredDistance). Batch/oracle form: max speed per
+  * `(carId, floor(distance / triggerMeters))` bucket — identical output on
+  * deterministic ascending input (SURVEY.md §7.2 M4).
+  */
+object TopSpeed {
+
+  case class CarEvent(carId: Int, speed: Int, distance: Double, time: Long)
+  case class CarState(buffer: List[CarEvent], lastFired: Double)
+
+  /** Streaming/typed implementation, usable on both bounded and unbounded
+    * `Dataset[CarEvent]`. Events within a group are processed in `time`
+    * order (micro-batch granularity: the loop fires as many times as the
+    * data demands — SURVEY.md §7.4(3)). */
+  def topSpeedStateFn(evictionMs: Long, triggerMeters: Double)(
+      carId: Int, events: Iterator[CarEvent], state: GroupState[CarState]): Iterator[CarEvent] = {
+    val prev = state.getOption.getOrElse(CarState(Nil, 0.0))
+    var buffer = prev.buffer
+    var lastFired = prev.lastFired
+    val out = scala.collection.mutable.ArrayBuffer.empty[CarEvent]
+    events.toSeq.sortBy(e => (e.time, e.distance)).foreach { e =>
+      buffer = e :: buffer
+      if (e.distance - lastFired >= triggerMeters) {
+        val horizon = buffer.map(_.time).max - evictionMs
+        buffer = buffer.filter(_.time >= horizon) // TimeEvictor, pre-fire
+        out += buffer.maxBy(b => (b.speed, b.time)) // arg-max, stable tie
+        lastFired = e.distance                     // DeltaTrigger reset
+      }
+    }
+    state.update(CarState(buffer, lastFired))
+    out.iterator
+  }
+
+  /** Apply the stateful op to a typed dataset (works in batch too; in
+    * streaming wrap with withWatermark upstream and OutputMode.Update). */
+  def run(ds: Dataset[CarEvent], evictionMs: Long = 10000L,
+          triggerMeters: Double = 50.0): Dataset[CarEvent] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.carId)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        topSpeedStateFn(evictionMs, triggerMeters))
+  }
+
+  /** Deterministic CarEvent derivation from the events table (FIXTURES.md
+    * §B): carId = user_id % cars, speed = value, distance = running sum of
+    * speed/3.6 per car ordered by (ts_us, event_id), time = epoch ms.
+    * Ordering uses MICROsecond granularity + event_id tiebreak: DuckDB
+    * truncates the parquet NANOS timestamps to micros on read, so a
+    * nanosecond sort key would order ties differently across engines.
+    * The running double sum is evaluated sequentially in frame order, so
+    * it is bit-identical to the same SQL in DuckDB. */
+  def carEvents(events: DataFrame, cars: Int): DataFrame = {
+    val w = Window.partitionBy(col("carId")).orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(
+        (col("user_id") % cars).cast("int").as("carId"),
+        col("value").as("speed"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      .withColumn("distance", sum(col("speed") / 3.6).over(w))
+      .select(col("carId"), col("speed").as("speed"), col("distance"),
+        expr("ts_us div 1000").as("time"), col("event_id"))
+  }
+
+  /** Batch/oracle reformulation: per (carId, floor(distance/trigger))
+    * bucket, the max speed and the event attaining it (tie → max id).
+    * Output names are lowercase (`car_id`) so the DuckDB oracle's
+    * case-folded identifiers line up. */
+  def topSpeedBuckets(events: DataFrame, cars: Int, triggerMeters: Double): DataFrame = {
+    val ce = carEvents(events, cars)
+    val w = Window.partitionBy(col("carId"), col("bucket"))
+      .orderBy(col("speed").desc, col("event_id").desc)
+    ce.withColumn("bucket", floor(col("distance") / triggerMeters))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("carId").as("car_id"), col("bucket"),
+        col("speed").as("top_speed"), col("event_id"))
+  }
+}

@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Reads outDir/<name>/ parquet dumps written by graft.Verify and
+outDir/oracle_sql.json, runs each oracle SQL in DuckDB against the same
+sf parquet tables, and compares (rows, schema-by-sorted-column-name,
+multiset hash of values). Not shipped to Spark; dev tooling only.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def canon(v):
+    if v is None: return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
+
+def df_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+    h = hashlib.md5()
+    for l in lines: h.update(l.encode()); h.update(b"\n")
+    return h.hexdigest(), len(rows)
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        pdir = f"{out_dir}/{name}"
+        files = glob.glob(f"{pdir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); fails += 1; continue
+        try:
+            spark_res = con.execute(f"SELECT * FROM '{pdir}/*.parquet'")
+            scols = [d[0] for d in spark_res.description]
+            srows = spark_res.fetchall()
+            duck_res = con.execute(sql)
+            dcols = [d[0] for d in duck_res.description]
+            drows = duck_res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); fails += 1; continue
+        if sorted(scols) != sorted(dcols):
+            print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
+            fails += 1; continue
+        sh, sn = df_hash(scols, srows)
+        dh, dn = df_hash(dcols, drows)
+        if sh != dh:
+            print(f"FAIL {name}: hash mismatch rows {sn} vs {dn}")
+            # show first differing rows for debug
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            ss = sorted("|".join(canon(r[i]) for i in order_s) for r in srows)
+            dd = sorted("|".join(canon(r[i]) for i in order_d) for r in drows)
+            for a, b in zip(ss, dd):
+                if a != b:
+                    print(f"  spark: {a}\n  duck : {b}"); break
+            fails += 1
+        else:
+            print(f"OK   {name}: {sn} rows")
+    print(f"\n{'ALL GREEN' if fails == 0 else str(fails) + ' FAILURES'}")
+    return 1 if fails else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"))
