@@ -5,11 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.agg.Aggregations
 import graft.core.Tables
+import graft.dedup.Dedup
 import graft.gen.SampleData
 import graft.join.WindowJoin
+import graft.multimodal.Multimodal
 import graft.ops.{AsyncMap, RowOps, Tokenize}
 import graft.rel.Relational
+import graft.sim.Similarity
 import graft.state.TopSpeed
+import graft.text.TextAnalysis
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -77,7 +81,69 @@ object SparkEntry {
     "q_tpch_q1" -> Relational.q1 _,
     "q_tpch_q3" -> Relational.q3 _,
     "q_tpch_q5" -> Relational.q5 _,
+    // ---- M7: text analysis -------------------------------------------------
+    "q_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d))),
+    "q_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCount(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d))),
+    // ---- M7: deduplication -------------------------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d))),
+    "q_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), n = 2, k = 6)),
+    "q_minhash_lsh_pairs" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2)),
+    "q_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 2, maxDf = 20L, threshold = 0.5)),
+    // ---- M7: similarity search ---------------------------------------------
+    "q_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5)),
+    "q_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, planes = 4)),
+    // ---- M7: multimodal columns --------------------------------------------
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.metaOnly(Tables.documents(s, d))),
+    "q_multimodal_decode" -> ((s, d) =>
+      Multimodal.decodeFeatures(s, Tables.documents(s, d)).toDF()),
   )
+
+  /** DuckDB token-list fragment shared by the text/dedup oracles. */
+  private val DuckToks =
+    "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  private val DuckBigrams =
+    "list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])"
+
+  /** SimHash oracle: 16 hex-nibble majority votes (generated SQL). */
+  private def simhashOracle: String = {
+    val votes = (0 until 16).map(i =>
+      s"sum(CASE WHEN substring(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS v_$i")
+      .mkString(",\n              ")
+    val bits = (0 until 16).map(i =>
+      s"(CASE WHEN v_$i*2 > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest($DuckToks) AS t FROM documents),
+       |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+       |v AS (SELECT doc_id, count(*) AS n,
+       |              $votes
+       |       FROM h GROUP BY doc_id)
+       |SELECT doc_id, cast($bits AS bigint) AS simhash FROM v""".stripMargin
+  }
+
+  /** LSH bucket oracle fragment for vector column `v` (generated SQL):
+    * same LCG hyperplane signs as Similarity.planeSign. */
+  private def duckLshBucket(v: String, planes: Int): String =
+    (0 until planes).map { i =>
+      val proj = s"list_reduce(list_transform(generate_series(1, 64), j -> " +
+        s"$v[j] * (CASE WHEN ((1103515245*(${i}*64 + (j-1)) + 12345) % 2147483648) % 2 = 0 " +
+        s"THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)"
+      s"(CASE WHEN $proj >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -196,5 +262,108 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents)
+         |SELECT doc_id,
+         |       cast(len(list_filter(tk, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS double) / len(tk) AS en_ratio,
+         |       CASE WHEN cast(len(list_filter(tk, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS double) / len(tk) >= 0.02
+         |            THEN 'en' ELSE 'und' END AS lang_pred
+         |FROM t""".stripMargin,
+    "q_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents)
+         |SELECT doc_id,
+         |       cast(len(tk) AS bigint) AS n_tokens,
+         |       cast(len(list_distinct(tk)) AS bigint) AS n_distinct,
+         |       cast(len(list_distinct(tk)) AS double) / len(tk) AS distinct_ratio,
+         |       cast(list_sum(list_transform(tk, w -> len(w))) AS double) / len(tk) AS mean_token_len,
+         |       (len(tk) >= 10 AND cast(len(list_distinct(tk)) AS double) / len(tk) >= 0.2) AS keep
+         |FROM t""".stripMargin,
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |       cast(len($DuckToks) AS bigint) AS ws_tokens,
+         |       cast(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bigint) AS bpeish_tokens
+         |FROM documents""".stripMargin,
+    "q_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents)
+         |SELECT doc_id,
+         |       list_min(list_transform($DuckBigrams, s -> md5(s))) AS fingerprint
+         |FROM t""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_minhash_sig" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t)
+         |SELECT doc_id,
+         |       min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1,
+         |       min(md5('2:' || shingle)) AS mh_2, min(md5('3:' || shingle)) AS mh_3,
+         |       min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5
+         |FROM sh GROUP BY doc_id""".stripMargin,
+    "q_minhash_lsh_pairs" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
+         |sig AS (SELECT doc_id,
+         |               min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1,
+         |               min(md5('2:' || shingle)) AS mh_2, min(md5('3:' || shingle)) AS mh_3,
+         |               min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5
+         |        FROM sh GROUP BY doc_id),
+         |bands AS (SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, doc_id FROM sig
+         |          UNION ALL SELECT 1, mh_2 || '|' || mh_3, doc_id FROM sig
+         |          UNION ALL SELECT 2, mh_4 || '|' || mh_5, doc_id FROM sig)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+    "q_simhash" -> simhashOracle,
+    "q_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
+         |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) f
+         |         WHERE df <= 20),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, cast(i AS double) / (sa.sz + sb.sz - i) AS jaccard
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE cast(i AS double) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+        |             list_reduce(list_transform(list_zip(qv, e.v), p -> p[1]*p[2]), (x,y) -> x+y)
+        |             / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+        |                * sqrt(list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y))) AS cos_sim
+        |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
+        |WHERE rn <= 5""".stripMargin,
+    "q_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |           FROM embeddings),
+         |wb AS (SELECT vec_id, v, cast(${duckLshBucket("v", 4)} AS bigint) AS bucket FROM e),
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM wb WHERE vec_id < 10),
+         |s AS (SELECT query_id, wb.vec_id AS neighbor_id,
+         |             list_reduce(list_transform(list_zip(qv, wb.v), p -> p[1]*p[2]), (x,y) -> x+y)
+         |             / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+         |                * sqrt(list_reduce(list_transform(wb.v, x -> x*x), (x,y) -> x+y))) AS cos_sim
+         |      FROM wb JOIN q ON wb.bucket = q.bucket AND wb.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
+         |WHERE rn <= 5""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, cast(octet_length(encode(text)) AS bigint) AS n_bytes,
+        |       source AS origin, lang AS lang_hint
+        |FROM documents""".stripMargin,
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |       cast(octet_length(encode(text)) AS int) AS n_bytes,
+        |       cast(list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substring(text, i, 1)))) AS bigint) AS checksum,
+        |       (CASE WHEN length(text) > 0 THEN cast(ascii(substring(text, 1, 1)) AS double)/255.0 ELSE 0.0 END) AS feat0,
+        |       (CASE WHEN length(text) > 1 THEN cast(ascii(substring(text, 2, 1)) AS double)/255.0 ELSE 0.0 END) AS feat1
+        |FROM documents""".stripMargin,
   )
 }

@@ -1,0 +1,84 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language ID, quality scoring, token counting, document fingerprinting.
+  *
+  * All operators are single-pass, per-row Catalyst expressions (no UDFs,
+  * no shuffle except the final agg where noted) — at 100 TB they run
+  * map-side at scan speed with column pruning down to (doc_id, text).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of a text column (documents are pre-normalized
+    * lowercase `[a-z ]` — see FIXTURES.md §B). */
+  private def toks(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  /** Stopword list for the n-gram/stopword language heuristic. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Language ID via stopword-hit ratio: fraction of tokens that are
+    * English stopwords; >= 2% → 'en', else 'und'. A real pipeline swaps
+    * the wordlist per language; the operator shape (token-set membership
+    * ratio + threshold) is the load-bearing part. */
+  def langId(df: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val sw = array(EnStopwords.map(lit): _*)
+    val hits = size(filter(t, w => array_contains(sw, w)))
+    val total = size(t)
+    df.select(
+      col("doc_id"),
+      (hits.cast("double") / total).as("en_ratio"),
+      when(hits.cast("double") / total >= 0.02, "en").otherwise("und").as("lang_pred"))
+  }
+
+  /** Quality scoring: token count, distinct-token ratio (repetitiveness),
+    * mean token length, and a composite keep/drop flag — the standard
+    * cheap pre-filters before expensive dedup/training. */
+  def qualityScore(df: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val n = size(t)
+    val nd = size(array_distinct(t))
+    val meanLen = aggregate(t, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / n
+    df.select(
+      col("doc_id"),
+      n.cast("bigint").as("n_tokens"),
+      nd.cast("bigint").as("n_distinct"),
+      (nd.cast("double") / n).as("distinct_ratio"),
+      meanLen.as("mean_token_len"),
+      (n >= 10 && nd.cast("double") / n >= 0.2).as("keep"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (`[a-z]+` word pieces / `[0-9]+` digit runs / any other non-space
+    * symbol — the shape a byte-pair pre-tokenizer uses). The pattern is
+    * lookaround-free so it runs identically under Java regex and RE2. */
+  def tokenCount(df: DataFrame): DataFrame = {
+    val ws = size(toks(col("text")))
+    val bpeish = size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    df.select(col("doc_id"), ws.cast("bigint").as("ws_tokens"),
+      bpeish.cast("bigint").as("bpeish_tokens"))
+  }
+
+  /** Document fingerprint: min-of-hashes over word bigram shingles
+    * (winnowing-style selection with k=1). Equal fingerprints ⇒ highly
+    * similar shingle sets; used as a cheap near-dup pre-cluster key.
+    * The hash is md5-hex (engine-neutral, lexicographic min). */
+  def fingerprint(df: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    // Guarded like Dedup.shingles: Spark sequence(1,0) is descending, and
+    // element_at(t, 0) throws under ANSI — 1-token docs get a null print.
+    val bigrams = when(size(t) >= 2,
+      transform(
+        sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(
+      col("doc_id"),
+      array_min(transform(bigrams, s => md5(s))).as("fingerprint"))
+  }
+}
