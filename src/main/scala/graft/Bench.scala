@@ -1,24 +1,64 @@
 package graft
+
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
+
+import graft.core.GraftSession
+
+/** Per-round benchmark: times every `SparkEntry.queries` entry on
+  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line; the same JSON is also
+  * written to `BENCH_LOCAL.json` (and `SPARK_GRAFT_BENCH_OUT` if set) so
+  * the driver's parse can never be defeated by sbt's `[info]` prefix.
+  *
+  * Measurement rules:
+  *  - Full materialization: `queryExecution.toRdd.count()` executes the
+  *    final physical plan with every output column alive — Catalyst
+  *    cannot prune a map-only query down to a parquet-metadata count.
+  *  - JVM warm-up: one untimed pass of all queries at sf0.001 before the
+  *    timed run (codegen + JIT + parquet footer caches).
+  *  - Failures are NOT swallowed into timings: a failed query records
+  *    -1 and its error lands in the JSON `errors` map and on stderr.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val warmDir = "/root/testdata/sf0.001"
+    val spark = GraftSession.build("graft-bench")
+
+    def runOnce(dir: String, name: String,
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Long] =
+      try Right(fn(spark, dir).queryExecution.toRdd.count())
+      catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+    // Warm-up (untimed, small SF): JIT, codegen cache, shuffle machinery.
+    SparkEntry.queries.foreach { case (name, fn) => runOnce(warmDir, name, fn) }
+
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = runOnce(sfDir, name, fn)
+      val secs = (System.nanoTime() - t0) / 1e9
+      r match {
+        case Right(_) => name -> secs
+        case Left(err) =>
+          System.err.println(s"[bench] $name FAILED: $err")
+          errors += name -> err
+          name -> -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.filter(_._2 >= 0)
+    val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"").takeWhile(_ >= ' ')}\""
+    }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

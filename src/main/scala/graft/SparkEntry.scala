@@ -120,19 +120,30 @@ object SparkEntry {
   private val DuckBigrams =
     "list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])"
 
-  /** SimHash oracle: 16 hex-nibble majority votes (generated SQL). */
+  /** SimHash oracle: 64-bit (16 hex nibbles, 4 bit-majority votes each),
+    * mirroring Dedup.simhash exactly (generated SQL). */
   private def simhashOracle: String = {
-    val votes = (0 until 16).map(i =>
-      s"sum(CASE WHEN substring(h, ${i + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS v_$i")
+    val nibVals = (0 until 16).map(i =>
+      s"(strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) AS nv_$i")
       .mkString(",\n              ")
-    val bits = (0 until 16).map(i =>
-      s"(CASE WHEN v_$i*2 > n THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val votes = (0 until 64).map { b =>
+      val i = b / 4; val d = 1 << (3 - b % 4)
+      s"sum((nv_$i // $d) % 2) AS v_$b"
+    }.mkString(",\n              ")
+    val nibChars = (0 until 16).map { i =>
+      val v = (0 until 4).map(j =>
+        s"(CASE WHEN v_${i * 4 + j}*2 > n THEN ${1 << (3 - j)} ELSE 0 END)").mkString(" + ")
+      s"substring('0123456789abcdef', 1 + $v, 1)"
+    }.mkString(" ||\n       ")
     s"""WITH tok AS (SELECT doc_id, unnest($DuckToks) AS t FROM documents),
        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
+       |nv AS (SELECT doc_id,
+       |              $nibVals
+       |       FROM h),
        |v AS (SELECT doc_id, count(*) AS n,
        |              $votes
-       |       FROM h GROUP BY doc_id)
-       |SELECT doc_id, cast($bits AS bigint) AS simhash FROM v""".stripMargin
+       |       FROM nv GROUP BY doc_id)
+       |SELECT doc_id, $nibChars AS simhash FROM v""".stripMargin
   }
 
   /** LSH bucket oracle fragment for vector column `v` (generated SQL):
@@ -309,10 +320,13 @@ object SparkEntry {
          |        FROM sh GROUP BY doc_id),
          |bands AS (SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, doc_id FROM sig
          |          UNION ALL SELECT 1, mh_2 || '|' || mh_3, doc_id FROM sig
-         |          UNION ALL SELECT 2, mh_4 || '|' || mh_5, doc_id FROM sig)
+         |          UNION ALL SELECT 2, mh_4 || '|' || mh_5, doc_id FROM sig),
+         |ok AS (SELECT band, band_key FROM bands
+         |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+         |JOIN ok ON a.band = ok.band AND a.band_key = ok.band_key""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),

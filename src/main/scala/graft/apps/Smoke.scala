@@ -7,14 +7,7 @@ import org.apache.spark.sql.SparkSession
   * sf0.001 and prints the row count + a sample. */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.core.GraftSession.build("graft-smoke")
     val df = graft.SparkEntry.entry(spark)
     val n = df.count()
     println(s"[smoke] entry rows=$n")

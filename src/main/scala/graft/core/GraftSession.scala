@@ -1,0 +1,36 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** One place to build the engine's SparkSession so every entry point
+  * (Bench, Verify, Smoke, demo mains, tests) runs with identical session
+  * state — no table loader mutates conf as a side effect.
+  *
+  * Config rationale:
+  *  - `nanosAsLong`: the events table's parquet TIMESTAMP(NANOS) column
+  *    cannot be represented as Spark TimestampType (micros); reading it
+  *    as an exact BIGINT keeps all time arithmetic in integer space.
+  *  - UTC session timezone: timestamp literals in queries must mean the
+  *    same instant as in the DuckDB oracle.
+  *  - shuffle partitions = cores: local[n] has no reason to create 200
+  *    partitions; on a real cluster this is sized to executors×cores.
+  */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def build(appName: String): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

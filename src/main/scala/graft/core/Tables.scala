@@ -18,19 +18,18 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
   /** The events table's `ts` is a parquet TIMESTAMP(NANOS) column, which
-    * Spark cannot represent as TimestampType (micros). We read it with
-    * `spark.sql.legacy.parquet.nanosAsLong` as an exact BIGINT and expose:
+    * Spark cannot represent as TimestampType (micros). Sessions built via
+    * `GraftSession` set `spark.sql.legacy.parquet.nanosAsLong` so it reads
+    * as an exact BIGINT; we expose:
     *   - `ts_ns`  — epoch nanoseconds (exact, total ordering)
     *   - `ts_sec` — epoch seconds (floor), for window buckets
     * The DuckDB oracle mirrors these as `epoch_ns(ts)` / `epoch_ns(ts) //
     * 1e9`. All arithmetic stays in integer space — no double rounding at
-    * any scale. */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    * any scale. (The conf lives at session build — no load-time mutation.) */
+  def events(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "events")
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts_sec", org.apache.spark.sql.functions.expr("ts_ns div 1000000000"))
-  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

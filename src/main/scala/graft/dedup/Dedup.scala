@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
   * SimHash, and n-gram Jaccard — each shuffle-partitioned with no
@@ -11,33 +12,63 @@ import org.apache.spark.sql.functions._
   * oracle), and a *lexicographic min over k seeded hash strings* is a valid
   * MinHash permutation family. No Murmur dependence, no UDFs.
   *
+  * Performance notes (these expressions run interpreted — higher-order
+  * functions don't participate in whole-stage codegen):
+  *  - Tokens are materialized as a real column in their own projection
+  *    (`withTokens`) BEFORE any shingle construction. `element_at` back
+  *    into a *computed* array expression re-evaluates the whole
+  *    `filter(split(...))` tree per lambda element; against a materialized
+  *    column it's a bound-reference array index. Catalyst's CollapseProject
+  *    keeps the two projections separate because the token expression is
+  *    non-cheap and referenced more than once.
+  *  - Candidate pairs are generated INSIDE the reducer (collect_list over
+  *    the bucket key, then array combinations) — one shuffle, no self-join,
+  *    no re-execution of the signature pipeline per join side.
+  *
   * Scale notes (100 TB):
   *  - exact dedup: one hash-partition shuffle on the content hash; the
   *    map side pre-aggregates so only (hash → min_id, count) moves.
   *  - MinHash: explode(shingles) runs map-side; the signature agg is one
-  *    shuffle on doc_id (combiner applies — k running mins); the LSH
-  *    band self-join shuffles on the band key, whose cardinality grows
-  *    with corpus size, keeping partitions balanced. A frequency cap on
-  *    shingles (see `ngramJaccardPairs`) bounds worst-case skew.
+  *    shuffle on doc_id (combiner applies — k running mins); LSH buckets
+  *    by band key, whose cardinality grows with corpus size.
+  *  - Skew guards: `maxBucket` caps an LSH band bucket (a mega-cluster of
+  *    near-identical docs would otherwise go quadratic in one reducer);
+  *    `maxDf` drops stop-shingles from the inverted index the same way.
   */
 object Dedup {
 
   private def toks(text: Column): Column =
     filter(split(text, " "), t => length(t) > 0)
 
-  /** Word n-gram shingles of a text column. Guarded for docs shorter
-    * than n tokens: Spark's `sequence(1, 0)` is DESCENDING `[1, 0]` (not
-    * empty like SQL generate_series) and `element_at(t, 0)` throws under
-    * ANSI mode — so short docs short-circuit to an empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val t = toks(text)
-    if (n == 1) array_distinct(t)
-    else when(size(t) >= n,
+  /** Materialize (doc_id, tk: array<string>) — the single tokenization
+    * pass everything downstream indexes into. */
+  private def withTokens(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), toks(col("text")).as("tk"))
+
+  /** Word n-gram shingles over a MATERIALIZED token array column.
+    * Guarded for docs shorter than n tokens: Spark's `sequence(1, 0)` is
+    * DESCENDING `[1, 0]` (not empty like SQL generate_series) and
+    * `element_at(tk, 0)` throws under ANSI mode — so short docs
+    * short-circuit to an empty array. */
+  def shinglesOf(tk: Column, n: Int): Column =
+    if (n == 1) array_distinct(tk)
+    else when(size(tk) >= n,
       array_distinct(transform(
-        sequence(lit(1), size(t) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + j)): _*))))
+        sequence(lit(1), size(tk) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** (doc_id, shingle) — one row per DISTINCT shingle per doc. */
+  def docShingles(df: DataFrame, n: Int): DataFrame =
+    withTokens(df).select(col("doc_id"),
+      explode(shinglesOf(col("tk"), n)).as("shingle"))
+
+  /** All ordered pairs (a < b) from a SORTED id array, built in the
+    * reducer: element i pairs with every later element. */
+  private def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 2, size(ids)),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
 
   /** Exact dedup: group by content hash, keep the smallest doc_id as the
     * canonical representative (deterministic, unlike dropDuplicates). */
@@ -48,70 +79,92 @@ object Dedup {
   /** MinHash signature: k seeded min-hashes over word-`n`-gram shingles.
     * Output: doc_id, mh_0..mh_{k-1} (md5-hex strings). */
   def minhashSignatures(df: DataFrame, n: Int, k: Int): DataFrame = {
-    val sh = explode(shingles(col("text"), n)).as("shingle")
-    val exploded = df.select(col("doc_id"), sh)
     val mins = (0 until k).map(s =>
       min(md5(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"mh_$s"))
-    exploded.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    docShingles(df, n).groupBy("doc_id").agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + LSH candidate pairs: signatures banded `rowsPerBand` mins
     * per band; docs sharing any band key become a candidate pair.
+    * Single pass: all band keys are emitted with one `posexplode`, pairs
+    * are generated per bucket in the reducer (one shuffle on the band
+    * key), and buckets larger than `maxBucket` are dropped — the skew
+    * guard against a near-dup mega-cluster going quadratic in one task.
     * Returns distinct (doc_a < doc_b) pairs. */
-  def minhashLshPairs(df: DataFrame, n: Int, k: Int, rowsPerBand: Int): DataFrame = {
-    val sig = minhashSignatures(df, n, k)
+  def minhashLshPairs(df: DataFrame, n: Int, k: Int, rowsPerBand: Int,
+                      maxBucket: Int = 1000): DataFrame = {
     val nBands = k / rowsPerBand
-    val bands = (0 until nBands).map { b =>
-      val key = concat_ws("|",
+    val bandKeys = array((0 until nBands).map { b =>
+      concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
-      sig.select(lit(b).as("band"), key.as("band_key"), col("doc_id"))
-    }.reduce(_ unionAll _)
-    val l = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val r = bands.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
+    }: _*)
+    val bands = minhashSignatures(df, n, k)
+      .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+    bands.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
   }
 
-  /** SimHash (16-bit): per document, bit i is the majority vote of bit i
-    * of md5(token) across all token occurrences (hex nibble i, high bit).
-    * Hamming-close simhashes ⇒ similar token distributions. Pure integer
-    * votes — engine-exact. */
-  def simhash(df: DataFrame): DataFrame = {
-    val t = explode(toks(col("text"))).as("tok")
-    val exploded = df.select(col("doc_id"), t)
+  /** SimHash (default 64-bit, as a hex string): per document, bit b is
+    * the majority vote of bit b of md5(token) across all token
+    * occurrences. Hamming-close simhashes ⇒ similar token distributions.
+    * Pure integer votes — engine-exact; hex-string output sidesteps
+    * signed-64-bit edge cases in any downstream engine. */
+  def simhash(df: DataFrame, bits: Int = 64): DataFrame = {
+    require(bits % 4 == 0 && bits <= 128, s"bits must be a multiple of 4 <= 128, got $bits")
+    val nNib = bits / 4
+    val hexChars = array(('0' to '9').map(c => lit(c.toString)) ++
+      ('a' to 'f').map(c => lit(c.toString)): _*)
+    val exploded = withTokens(df)
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
       .withColumn("h", md5(col("tok")))
+    // nibble i value 0..15 (conv hex→dec), then per-bit votes (MSB-first)
+    val withNibs = exploded.select(col("doc_id") +:
+      (0 until nNib).map(i =>
+        conv(col("h").substr(i + 1, 1), 16, 10).cast("int").as(s"nv_$i")): _*)
     val voteCols = count(lit(1)).as("n") +:
-      (0 until 16).map(i =>
-        sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
-          .otherwise(0L)).as(s"v_$i"))
-    val votes = exploded.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val bits: Seq[Column] = (0 until 16).map(i =>
-      when(col(s"v_$i") * 2 > col("n"), lit(1L << i)).otherwise(lit(0L)))
-    votes.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+      (0 until bits).map { b =>
+        val i = b / 4; val j = b % 4 // bit j of nibble i, MSB first
+        sum((col(s"nv_$i").divide(lit(1 << (3 - j))).cast("int") % 2).cast("long")).as(s"v_$b")
+      }
+    val votes = withNibs.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val nibChar = (i: Int) => {
+      val v = (0 until 4).map { j =>
+        when(col(s"v_${i * 4 + j}") * 2 > col("n"), lit(1 << (3 - j))).otherwise(lit(0))
+      }.reduce[Column](_ + _)
+      element_at(hexChars, v + 1)
+    }
+    votes.select(col("doc_id"),
+      concat((0 until nNib).map(nibChar): _*).as("simhash"))
   }
 
-  /** n-gram Jaccard near-dup pairs: inverted-index self-join on shingles
-    * with a document-frequency cap (drops shingles appearing in more than
-    * `maxDf` docs — the classic skew guard: a stop-shingle would otherwise
-    * produce a quadratic blowup in one reducer), then
-    * |A∩B| / (|A|+|B|-|A∩B|) >= `threshold`. */
+  /** n-gram Jaccard near-dup pairs via a capped inverted index: group
+    * doc-ids per shingle (one shuffle), drop shingles in more than
+    * `maxDf` docs (stop-shingle skew guard — also bounds the per-shingle
+    * pair fan-out at maxDf²), generate co-occurrence pairs in the
+    * reducer, then |A∩B| / (|A|+|B|-|A∩B|) >= `threshold` over the
+    * CAPPED shingle universe (sizes count only surviving shingles, so
+    * numerator and denominator are consistent). */
   def ngramJaccardPairs(df: DataFrame, n: Int, maxDf: Long, threshold: Double): DataFrame = {
-    val sh = df.select(col("doc_id"),
-      explode(shingles(col("text"), n)).as("shingle"))
-    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("shingle")
-    val shRare = sh.join(rare, "shingle")
-    // Jaccard over the CAPPED shingle universe (consistent numerator and
-    // denominator): set sizes count only shingles that survived the cap.
-    val sizes = shRare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = shRare.select(col("shingle"), col("doc_id").as("doc_a"))
-      .join(shRare.select(col("shingle"), col("doc_id").as("doc_b")), "shingle")
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val index = docShingles(df, n)
+      .groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxDf)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = index.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val inter = index
+      .filter(size(col("ids")) >= 2)
+      .select(explode(sortedPairs(col("ids"))).as("p"))
+      .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
+      .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -67,9 +67,10 @@ object Relational {
       .agg(sum(discPrice).cast("double").as("revenue"))
   }
 
-  /** TPC-H Q5-ish local-supplier revenue per nation: the dimension chain
-    * region→nation is broadcast end-to-end; supplier joins on nationkey
-    * after the facts are reduced. */
+  /** TPC-H Q5-ish local-supplier revenue per nation: only the genuinely
+    * tiny dimension chain region→nation (5 / 25 rows at every SF) is
+    * explicitly broadcast; customer/supplier join selection is left to
+    * AQE because they grow with SF. */
   def q5(spark: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(spark, dir)
@@ -84,9 +85,12 @@ object Relational {
       .select("o_orderkey", "o_custkey")
     val li = Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    // customer (SF×150k) and supplier (SF×10k) are NOT broadcast: at large
+    // SF either would OOM driver+executors. AQE picks broadcast at small SF
+    // on its own; at 100 TB these become shuffle joins on their keys.
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(dimNation, col("s_nationkey") === col("n_nationkey"))

@@ -29,10 +29,12 @@ object TextAnalysis {
     val sw = array(EnStopwords.map(lit): _*)
     val hits = size(filter(t, w => array_contains(sw, w)))
     val total = size(t)
+    // Empty-doc guard: 0 tokens → ratio 0.0 / 'und', never NaN.
+    val ratio = when(total > 0, hits.cast("double") / total).otherwise(lit(0.0))
     df.select(
       col("doc_id"),
-      (hits.cast("double") / total).as("en_ratio"),
-      when(hits.cast("double") / total >= 0.02, "en").otherwise("und").as("lang_pred"))
+      ratio.as("en_ratio"),
+      when(ratio >= 0.02, "en").otherwise("und").as("lang_pred"))
   }
 
   /** Quality scoring: token count, distinct-token ratio (repetitiveness),
@@ -42,15 +44,18 @@ object TextAnalysis {
     val t = toks(col("text"))
     val n = size(t)
     val nd = size(array_distinct(t))
-    val meanLen = aggregate(t, lit(0L), (acc, w) => acc + length(w))
-      .cast("double") / n
+    // Empty-doc guards: 0 tokens → 0.0 ratios and keep=false, never NaN.
+    val dRatio = when(n > 0, nd.cast("double") / n).otherwise(lit(0.0))
+    val meanLen = when(n > 0,
+      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
+      .otherwise(lit(0.0))
     df.select(
       col("doc_id"),
       n.cast("bigint").as("n_tokens"),
       nd.cast("bigint").as("n_distinct"),
-      (nd.cast("double") / n).as("distinct_ratio"),
+      dRatio.as("distinct_ratio"),
       meanLen.as("mean_token_len"),
-      (n >= 10 && nd.cast("double") / n >= 0.2).as("keep"))
+      (n >= 10 && dRatio >= 0.2).as("keep"))
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
@@ -69,16 +74,20 @@ object TextAnalysis {
     * similar shingle sets; used as a cheap near-dup pre-cluster key.
     * The hash is md5-hex (engine-neutral, lexicographic min). */
   def fingerprint(df: DataFrame): DataFrame = {
-    val t = toks(col("text"))
-    // Guarded like Dedup.shingles: Spark sequence(1,0) is descending, and
-    // element_at(t, 0) throws under ANSI — 1-token docs get a null print.
-    val bigrams = when(size(t) >= 2,
+    // Tokens materialized in their own projection first: element_at back
+    // into a computed array re-evaluates the whole filter(split(...)) per
+    // lambda element (HOFs run interpreted, no CSE).
+    val tk = col("tk")
+    // Guarded like Dedup.shinglesOf: Spark sequence(1,0) is descending,
+    // and element_at(tk, 0) throws under ANSI — 1-token docs get null.
+    val bigrams = when(size(tk) >= 2,
       transform(
-        sequence(lit(1), size(t) - 1),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
       .otherwise(array().cast("array<string>"))
-    df.select(
-      col("doc_id"),
-      array_min(transform(bigrams, s => md5(s))).as("fingerprint"))
+    df.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        array_min(transform(bigrams, s => md5(s))).as("fingerprint"))
   }
 }
