@@ -9,7 +9,7 @@ import graft.dedup.Dedup
 import graft.gen.SampleData
 import graft.join.WindowJoin
 import graft.multimodal.Multimodal
-import graft.ops.{AsyncMap, RowOps, Tokenize}
+import graft.ops.{AsyncMap, RowOps, Tokenize, TweetJson}
 import graft.rel.Relational
 import graft.sim.Similarity
 import graft.state.TopSpeed
@@ -50,6 +50,13 @@ object SparkEntry {
       RowOps.jsonExtract(Tables.events(s, d))),
     "q_generator_domain" -> ((s, _) =>
       SampleData.gradesSalaries(s, 1000L)),
+    // ---- R4/S7/F9: nested tweet-JSON (reference fixture replay) ----------
+    "q_json_nested" -> ((s, _) =>
+      TweetJson.docMeta(TweetJson.fixtureDf(s), "json")),
+    "q_hashtags" -> ((s, _) =>
+      TweetJson.hashtags(TweetJson.fixtureDf(s), "json")),
+    "q_tweet_wordcount" -> ((s, _) =>
+      TweetJson.englishWordCount(TweetJson.fixtureDf(s), "json")),
     "q_scan_text" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
@@ -71,6 +78,17 @@ object SparkEntry {
     // ---- M4: TopSpeed stateful op (batch/oracle reformulation) ------------
     "q_topspeed_bucket" -> ((s, d) =>
       TopSpeed.topSpeedBuckets(Tables.events(s, d), 10, 50.0)),
+    // flatMapGroupsWithState path itself (W3-W5): delta-trigger semantics
+    // are sequential per key — not SQL-expressible, so no oracle entry
+    // (driver records rows-only); full semantics covered by TopSpeedSpec
+    // + StreamingSpec against hand-computed expectations.
+    "q_topspeed_state" -> ((s, d) => {
+      import s.implicits._
+      val ce = TopSpeed.carEvents(Tables.events(s, d), 10)
+        .selectExpr("carId", "cast(speed as int) as speed", "distance", "time")
+        .as[TopSpeed.CarEvent]
+      TopSpeed.run(ce).toDF()
+    }),
     // ---- M5: ordered async map -------------------------------------------
     "q_async_identity" -> ((s, d) => {
       import s.implicits._
@@ -156,9 +174,39 @@ object SparkEntry {
       s"(CASE WHEN $proj >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
 
+  /** DuckDB VALUES list of the embedded tweet fixture docs (the fixture
+    * is constant, so the oracle embeds the same strings — they contain no
+    * single quotes, only JSON double quotes). */
+  private def duckTweetDocs: String =
+    TweetJson.FixtureTexts.map(t => s"('$t')").mkString("VALUES ", ", ", "")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    "q_json_nested" ->
+      s"""WITH docs(j) AS ($duckTweetDocs)
+         |SELECT cast(json_extract(j, '$$.id') AS bigint) AS id,
+         |       json_extract_string(j, '$$.user.lang') AS lang,
+         |       cast(json_array_length(json_extract(j, '$$.user.entities.hashtags')) AS int) AS n_hashtags,
+         |       json_extract_string(j, '$$.user.entities.hashtags[0].text') AS first_tag
+         |FROM docs""".stripMargin,
+    "q_hashtags" ->
+      s"""WITH docs(j) AS ($duckTweetDocs),
+         |x AS (SELECT j, unnest(generate_series(0,
+         |        cast(json_array_length(json_extract(j, '$$.user.entities.hashtags')) AS int) - 1)) AS i
+         |      FROM docs)
+         |SELECT cast(json_extract(j, '$$.id') AS bigint) AS id,
+         |       json_extract_string(j, '$$.user.entities.hashtags[' || i || '].text') AS tag,
+         |       cast(json_extract(j, '$$.user.entities.hashtags[' || i || '].indices[0]') AS int) AS idx0
+         |FROM x""".stripMargin,
+    "q_tweet_wordcount" ->
+      s"""WITH docs(j) AS ($duckTweetDocs),
+         |en AS (SELECT json_extract_string(j, '$$.text') AS text FROM docs
+         |       WHERE json_extract_string(j, '$$.user.lang') = 'en'
+         |         AND json_extract(j, '$$.text') IS NOT NULL)
+         |SELECT word, count(*) AS cnt
+         |FROM (SELECT lower(unnest(regexp_split_to_array(text, '\\s+'))) AS word FROM en) t
+         |WHERE length(word) > 0 GROUP BY word""".stripMargin,
     "q_wordcount" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS word

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.agg.Aggregations.exactSum
+import graft.ops.Tokenize
+
+/** Structured Streaming twins of the batch operators (SURVEY.md §1.1:
+  * "bounded runs = spark.read batch; unbounded runs = readStream with the
+  * SAME transformation function applied to both").
+  *
+  * Every function here takes a DataFrame that may be batch OR streaming —
+  * the transformations are identical; only source (`readStream`) and sink
+  * (`writeStream` + output mode) differ at the call site:
+  *
+  *  - running word count (A4, `WordCount.java:82`): `outputMode("update")`
+  *    emits the updated per-key count each micro-batch — the micro-batch
+  *    analogue of Flink's per-record running emission.
+  *  - windowed sum (A5/W1/W6, `SocketWindowWordCount.scala:64-66`):
+  *    `withWatermark` + `window()`; append mode emits each window once
+  *    the watermark passes its end (ascending timestamps ⇒ delay 0, the
+  *    reference's `assignAscendingTimestamps` watermarking).
+  *  - stream-stream windowed join (J1, `WindowJoin.scala:85-95`): both
+  *    sides watermarked, equi-join on key + window bucket — Spark's
+  *    symmetric-hash join state is pruned when the watermark passes the
+  *    bucket, exactly the Flink window-buffer lifetime.
+  *
+  * State at scale: streaming aggregation/join state is hash-partitioned
+  * by key across executors (StateStore per shuffle partition) — the same
+  * partitioning story as the batch shuffles, so a 1000-executor cluster
+  * shards state 1000 ways with no driver involvement.
+  */
+object StreamingTwins {
+
+  /** A4 running word count — works on batch and streaming text alike.
+    * Streaming callers use `outputMode("update")` (running emission) or
+    * `complete` (full table refresh). */
+  def runningWordCount(lines: DataFrame, textCol: String): DataFrame =
+    Tokenize.wordCount(lines, textCol)
+
+  /** A5/W1/W6 event-time tumbling windowed sum with watermark. `tsCol`
+    * must be a TimestampType column. Output: wstart, key, sum_value. */
+  def windowedSum(df: DataFrame, tsCol: String, keyCol: String,
+                  measureCol: String, windowSize: String,
+                  watermarkDelay: String = "0 seconds"): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowSize).as("w"), col(keyCol))
+      .agg(exactSum(col(measureCol)).as("sum_value"))
+      .select(col("w.start").as("wstart"), col(keyCol), col("sum_value"))
+
+  /** J1 windowed stream-stream inner equi-join with dual watermarks:
+    * cross product of key matches within the same tumbling window
+    * (m×n multiplicity on duplicate keys, like Flink's window join).
+    * Column layout mirrors the batch `WindowJoin.eventSliceJoin`. */
+  def windowedJoin(grades: DataFrame, salaries: DataFrame,
+                   tsCol: String, keyCol: String, windowSize: String,
+                   watermarkDelay: String = "0 seconds"): DataFrame = {
+    val g = grades.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol), window(col(tsCol), windowSize).as("gw"),
+        col("grade"), col("g_id"))
+    val s = salaries.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("s_key"), window(col(tsCol), windowSize).as("sw"),
+        col("salary"), col("s_id"))
+    g.join(s, col(keyCol) === col("s_key") && col("gw") === col("sw"), "inner")
+      .select(col(keyCol), col("gw.start").as("wstart"),
+        col("g_id"), col("s_id"), col("grade"), col("salary"))
+  }
+}

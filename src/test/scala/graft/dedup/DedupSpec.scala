@@ -1,0 +1,72 @@
+package graft.dedup
+
+import graft.SparkSuite
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("shingles: docs shorter than n produce no shingles, not an ANSI error") {
+    val sh = Dedup.docShingles(docs("", "one", "one two", "a b c"), 2)
+      .as[(Long, String)].collect().toSeq.sorted
+    assert(sh === Seq((2L, "one two"), (3L, "a b"), (3L, "b c")))
+  }
+
+  test("shingles are distinct per doc") {
+    val sh = Dedup.docShingles(docs("x y x y x y"), 2).count()
+    assert(sh === 2L) // {"x y", "y x"} only
+  }
+
+  test("exact dedup keeps the smallest doc_id per content hash") {
+    val r = Dedup.exact(docs("same", "same", "other"))
+      .as[(String, Long, Long)].collect().map(t => (t._2, t._3)).toSeq.sorted
+    assert(r === Seq((0L, 2L), (2L, 1L)))
+  }
+
+  test("minhash signatures: identical shingle sets give identical signatures") {
+    val sig = Dedup.minhashSignatures(docs("a b c d", "a b c d", "q r s t"), 2, 6)
+      .collect().map(r => (r.getLong(0), r.toSeq.drop(1))).sortBy(_._1)
+    assert(sig(0)._2 === sig(1)._2)
+    assert(sig(0)._2 !== sig(2)._2)
+  }
+
+  test("LSH pairs finds identical docs; distinct pairs only") {
+    val pairs = Dedup.minhashLshPairs(docs("a b c d", "a b c d", "q r s t"), 2, 6, 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((0L, 1L)))
+  }
+
+  test("LSH maxBucket cap drops mega-buckets (skew guard)") {
+    val five = docs("a b c", "a b c", "a b c", "a b c", "a b c")
+    assert(Dedup.minhashLshPairs(five, 2, 6, 2).count() === 10L) // C(5,2)
+    assert(Dedup.minhashLshPairs(five, 2, 6, 2, maxBucket = 4).count() === 0L)
+  }
+
+  test("simhash: 64-bit hex output, equal for identical docs") {
+    val r = Dedup.simhash(docs("alpha beta gamma", "alpha beta gamma", "x"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(r.forall(_._2.matches("[0-9a-f]{16}")))
+    assert(r(0)._2 === r(1)._2)
+    assert(r(0)._2 !== r(2)._2)
+  }
+
+  test("ngram jaccard: hand-computed overlap, threshold respected") {
+    // doc0: shingles {a b, b c, c d}; doc1: {a b, b c, c x}
+    // jaccard = 2 / (3 + 3 - 2) = 0.5
+    val d = docs("a b c d", "a b c x")
+    val r = Dedup.ngramJaccardPairs(d, 2, maxDf = 20L, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r === Seq((0L, 1L, 0.5)))
+    assert(Dedup.ngramJaccardPairs(d, 2, maxDf = 20L, threshold = 0.51).count() === 0L)
+  }
+
+  test("ngram jaccard: maxDf drops stop-shingles from numerator AND denominator") {
+    // "t u" appears in 3 docs → dropped at maxDf=2; docs 0,1 still share "u v"
+    val d = docs("t u v", "t u v", "t u x")
+    val r = Dedup.ngramJaccardPairs(d, 2, maxDf = 2L, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(r === Seq((0L, 1L, 1.0))) // capped universe: both docs = {"u v"}
+  }
+}

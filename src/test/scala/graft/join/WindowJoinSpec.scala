@@ -1,0 +1,39 @@
+package graft.join
+
+import graft.SparkSuite
+
+/** J1 windowed join multiplicity (`WindowJoinITCase.scala:65` analogue):
+  * Flink's window join emits the full m×n cross product of key matches
+  * within one window, and nothing across windows. */
+class WindowJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  // (event_id, user_id, event_type, value, ts_sec)
+  private def ev(rows: (Long, Long, String, Double, Long)*) =
+    rows.toDF("event_id", "user_id", "event_type", "value", "ts_sec")
+
+  test("duplicate keys in one window produce m×n pairs") {
+    val df = ev(
+      (1L, 1L, "signup", 1.0, 100L), (2L, 1L, "signup", 2.0, 200L),
+      (3L, 1L, "purchase", 10.0, 300L), (4L, 1L, "purchase", 20.0, 400L),
+      (5L, 1L, "purchase", 30.0, 500L))
+    val out = WindowJoin.eventSliceJoin(df, "signup", "purchase", 3600L)
+    assert(out.count() === 6L) // 2 signups × 3 purchases
+    val grades = out.select("grade").as[Double].collect().toSeq
+    assert(grades.count(_ == 1.0) === 3 && grades.count(_ == 2.0) === 3)
+  }
+
+  test("no pairs across window boundaries") {
+    val df = ev(
+      (1L, 2L, "signup", 1.0, 100L),        // window [0, 3600)
+      (2L, 2L, "purchase", 10.0, 4000L))     // window [3600, 7200)
+    assert(WindowJoin.eventSliceJoin(df, "signup", "purchase", 3600L).count() === 0L)
+  }
+
+  test("join is keyed: same window, different users never pair") {
+    val df = ev(
+      (1L, 1L, "signup", 1.0, 100L),
+      (2L, 2L, "purchase", 10.0, 200L))
+    assert(WindowJoin.eventSliceJoin(df, "signup", "purchase", 3600L).count() === 0L)
+  }
+}

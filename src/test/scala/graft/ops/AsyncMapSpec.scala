@@ -1,0 +1,60 @@
+package graft.ops
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.concurrent.{ExecutionContext, Future}
+
+import graft.SparkSuite
+
+/** R9 `orderedWait` — the two properties the multiset oracle cannot see
+  * (VERDICT r01 "What's wrong" #1): output order == input order per
+  * partition, and at most `capacity` requests in flight. */
+object AsyncProbe {
+  // Shared across executor threads (local mode = one JVM).
+  val inFlight = new AtomicInteger(0)
+  val maxInFlight = new AtomicInteger(0)
+  def reset(): Unit = { inFlight.set(0); maxInFlight.set(0) }
+  def tracked(x: Long): Future[Long] = {
+    val now = inFlight.incrementAndGet()
+    maxInFlight.updateAndGet(m => math.max(m, now))
+    Future {
+      // Variable latency: later elements often finish FIRST, so an
+      // implementation that emitted on completion order would fail.
+      Thread.sleep(x % 5)
+      inFlight.decrementAndGet()
+      x * 2
+    }(ExecutionContext.global)
+  }
+}
+
+class AsyncMapSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("R9 output order equals input order within each partition") {
+    val n = 2000
+    val ds = spark.range(n).as[Long].repartition(4)
+    val inputOrder = ds.mapPartitions(it => Iterator.single(it.toSeq)).collect()
+    val outputOrder = AsyncMap.orderedWait(ds)(AsyncProbe.tracked)
+      .mapPartitions(it => Iterator.single(it.toSeq)).collect()
+    val inSorted = inputOrder.map(_.map(_ * 2)).sortBy(_.headOption.getOrElse(-1L)).toSeq
+    val outSorted = outputOrder.sortBy(_.headOption.getOrElse(-1L)).toSeq
+    assert(outSorted === inSorted) // per-partition sequences, in order
+  }
+
+  test("R9 at most `capacity` requests in flight; pipelining actually happens") {
+    AsyncProbe.reset()
+    val out = AsyncMap.orderedWait(spark.range(500).as[Long].coalesce(1),
+      capacity = 10)(AsyncProbe.tracked).collect()
+    assert(out.toSeq === (0L until 500L).map(_ * 2))
+    assert(AsyncProbe.maxInFlight.get() <= 10,
+      s"capacity bound violated: ${AsyncProbe.maxInFlight.get()}")
+    assert(AsyncProbe.maxInFlight.get() >= 2,
+      "no pipelining observed — orderedWait degenerated to sequential awaits")
+  }
+
+  test("R9 identity function is an order-preserving pass-through") {
+    val out = AsyncMap.orderedWait(spark.range(100).as[Long].coalesce(1))(
+      AsyncMap.identityAsync[Long]).collect().toSeq
+    assert(out === (0L until 100L))
+  }
+}

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.SparkSuite
+import graft.ops.TweetJson
+import graft.state.TopSpeed
+import graft.state.TopSpeed.CarEvent
+
+/** End-to-end Structured Streaming twins (VERDICT r01 "Next round" #1):
+  * every test drives a real `readStream`-equivalent source (MemoryStream)
+  * through the SAME transformation function the batch oracle checks, and
+  * asserts the streaming emissions equal the batch result. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mem[A: Encoder]: MemoryStream[A] = MemoryStream[A](spark)
+
+  private def withQuery[T](q: StreamingQuery)(body: => T): T =
+    try body finally q.stop()
+
+  test("A4 running word count in update mode reproduces the golden per-record sequence") {
+    val ms = mem[String]
+    val wc = StreamingTwins.runningWordCount(
+      TweetJson.englishWords(ms.toDF(), "value")
+        .withColumnRenamed("word", "text"), "text")
+    val q = wc.writeStream.format("memory").queryName("golden_wc")
+      .outputMode("update").start()
+    withQuery(q) {
+      // One tweet per micro-batch = the reference's running emission
+      // cadence at batch granularity (`TwitterExampleData.java:28`).
+      TweetJson.FixtureTexts.foreach { t => ms.addData(t); q.processAllAvailable() }
+      val got = spark.table("golden_wc").as[(String, Long)].collect().toSeq.sorted
+      assert(got === TweetJson.GoldenRunningCounts.sorted)
+    }
+  }
+
+  test("A5/W1/W6 watermarked tumbling window agg: streaming emissions == batch result") {
+    val data = Seq((0L, "a", 1.0), (1L, "a", 2.0), (6L, "b", 3.0))
+    def shape(df: DataFrame): DataFrame =
+      df.select(timestamp_seconds(col("_1")).as("ts"),
+        col("_2").as("k"), col("_3").as("v"))
+
+    val batch = StreamingTwins.windowedSum(shape(data.toDF()), "ts", "k", "v", "5 seconds")
+      .select(unix_timestamp(col("wstart")).as("w"), col("k"), col("sum_value"))
+      .as[(Long, String, Double)].collect().toSet
+
+    val ms = mem[(Long, String, Double)]
+    val agg = StreamingTwins.windowedSum(shape(ms.toDF()), "ts", "k", "v", "5 seconds")
+    val q = agg.writeStream.format("memory").queryName("wsum")
+      .outputMode("append").start()
+    withQuery(q) {
+      ms.addData(data: _*); q.processAllAvailable()
+      // Advance the watermark past both windows; append mode then emits
+      // them as FINAL (exactly-once) results.
+      ms.addData((100L, "z", 0.0)); q.processAllAvailable()
+      ms.addData((200L, "z", 0.0)); q.processAllAvailable()
+      val got = spark.table("wsum")
+        .select(unix_timestamp(col("wstart")).as("w"), col("k"), col("sum_value"))
+        .as[(Long, String, Double)].collect().toSet
+        .filter(_._1 < 100L) // drop the sentinel's own flushed window
+      assert(got === batch)
+      assert(got === Set((0L, "a", 3.0), (5L, "b", 3.0))) // hand-computed
+    }
+  }
+
+  test("J1 stream-stream windowed join with dual watermarks == batch join, m×n") {
+    val gRows = Seq((0L, "tom", 3, 1L), (1L, "tom", 5, 2L), (0L, "bob", 1, 3L))
+    val sRows = Seq((1L, "tom", 100, 11L), (3L, "tom", 200, 12L), (1L, "alice", 50, 13L))
+    def gShape(df: DataFrame) = df.select(timestamp_seconds(col("_1")).as("ts"),
+      col("_2").as("name"), col("_3").as("grade"), col("_4").as("g_id"))
+    def sShape(df: DataFrame) = df.select(timestamp_seconds(col("_1")).as("ts"),
+      col("_2").as("name"), col("_3").as("salary"), col("_4").as("s_id"))
+
+    val batch = StreamingTwins.windowedJoin(
+      gShape(gRows.toDF()), sShape(sRows.toDF()), "ts", "name", "2 seconds")
+      .select(col("name"), col("g_id"), col("s_id")).as[(String, Long, Long)]
+      .collect().toSet
+    assert(batch === Set(("tom", 1L, 11L), ("tom", 2L, 11L))) // 2 grades × 1 salary in [0,2)
+
+    val gm = mem[(Long, String, Int, Long)]
+    val sm = mem[(Long, String, Int, Long)]
+    val joined = StreamingTwins.windowedJoin(
+      gShape(gm.toDF()), sShape(sm.toDF()), "ts", "name", "2 seconds")
+    val q = joined.writeStream.format("memory").queryName("sjoin")
+      .outputMode("append").start()
+    withQuery(q) {
+      gm.addData(gRows: _*); sm.addData(sRows: _*); q.processAllAvailable()
+      val got = spark.table("sjoin")
+        .select(col("name"), col("g_id"), col("s_id")).as[(String, Long, Long)]
+        .collect().toSet
+      assert(got === batch)
+    }
+  }
+
+  test("W3-W5 TopSpeed stateful op: incremental MemoryStream run == batch run") {
+    val all = Seq(
+      CarEvent(0, 30, 10.0, 0L), CarEvent(0, 50, 30.0, 1000L),
+      CarEvent(0, 40, 55.0, 2000L), CarEvent(0, 60, 80.0, 3000L),
+      CarEvent(0, 20, 110.0, 4000L),
+      CarEvent(1, 10, 10.0, 0L), CarEvent(1, 20, 75.0, 1000L))
+    val batch = TopSpeed.run(all.toDS()).collect().toSeq.sortBy(e => (e.carId, e.time))
+
+    val ms = mem[CarEvent]
+    val q = TopSpeed.run(ms.toDS()).writeStream.format("memory")
+      .queryName("tspeed").outputMode("update").start()
+    withQuery(q) {
+      // Split mid-stream: state (buffer + lastFired) must carry across
+      // micro-batches for the second firing to be correct.
+      ms.addData(all.take(3): _*); q.processAllAvailable()
+      ms.addData(all.drop(3): _*); q.processAllAvailable()
+      val got = spark.table("tspeed").as[CarEvent].collect().toSeq
+        .sortBy(e => (e.carId, e.time))
+      assert(got === batch)
+      assert(got === Seq(
+        CarEvent(0, 50, 30.0, 1000L), CarEvent(0, 60, 80.0, 3000L),
+        CarEvent(1, 20, 75.0, 1000L)))
+    }
+  }
+}

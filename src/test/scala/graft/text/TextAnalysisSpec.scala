@@ -1,0 +1,47 @@
+package graft.text
+
+import graft.SparkSuite
+
+class TextAnalysisSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("langId: empty doc yields ratio 0.0 and 'und', never NaN") {
+    val rows = TextAnalysis.langId(docs("", "   ", "the cat sat on the mat"))
+      .as[(Long, Double, String)].collect().sortBy(_._1).toSeq
+    assert(rows(0) === ((0L, 0.0, "und")))
+    assert(rows(1) === ((1L, 0.0, "und")))
+    assert(rows(2)._2 > 0.02 && rows(2)._3 === "en") // 2×"the" in 6 tokens
+  }
+
+  test("qualityScore: empty doc yields zero ratios and keep=false") {
+    val r = TextAnalysis.qualityScore(docs(""))
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect().head
+    assert(r === ((0L, 0L, 0L, 0.0, 0.0, false)))
+  }
+
+  test("qualityScore: repetitive doc is dropped, diverse doc kept") {
+    val rep = Seq.fill(20)("spam").mkString(" ")
+    val div = (1 to 20).map(i => s"w$i").mkString(" ")
+    val rows = TextAnalysis.qualityScore(docs(rep, div))
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows(0)._6 === false && rows(0)._4 === 0.05) // 1 distinct / 20
+    assert(rows(1)._6 === true && rows(1)._4 === 1.0)
+  }
+
+  test("tokenCount: ws vs BPE-ish segmentation") {
+    val r = TextAnalysis.tokenCount(docs("ab12 cd-ef"))
+      .as[(Long, Long, Long)].collect().head
+    // ws: [ab12, cd-ef]; bpe-ish: [ab, 12, cd, -, ef]
+    assert(r === ((0L, 2L, 5L)))
+  }
+
+  test("fingerprint: <2 tokens yields null, equal shingle sets share a fingerprint") {
+    val rows = TextAnalysis.fingerprint(docs("solo", "a b c", "a b c"))
+      .as[(Long, Option[String])].collect().sortBy(_._1)
+    assert(rows(0)._2.isEmpty)
+    assert(rows(1)._2.nonEmpty && rows(1)._2 === rows(2)._2)
+  }
+}
