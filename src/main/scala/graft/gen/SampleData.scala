@@ -21,13 +21,19 @@ object SampleData {
   private def lcg(x: org.apache.spark.sql.Column, salt: Long) =
     pmod(lit(1103515245L) * (x + lit(salt)) + lit(12345L), lit(2147483648L))
 
-  /** n rows of (seq, name, grade, salary) with the reference's domains. */
-  def gradesSalaries(spark: SparkSession, n: Long): DataFrame = {
+  /** The generator mapping over any BIGINT sequence column — shared by the
+    * batch generator below and the streaming rate-source twin (the rate
+    * source's `value` plays the `seq` role). Extra columns pass through. */
+  def withGradeSalary(df: DataFrame, seqCol: String): DataFrame = {
     val names = array(Names.map(lit): _*)
-    spark.range(n).select(
-      col("id").as("seq"),
-      element_at(names, (lcg(col("id"), 1) % 6 + 1).cast("int")).as("name"),
-      (lcg(col("id"), 2) % 5 + 1).cast("int").as("grade"),
-      (lcg(col("id"), 3) % 10000 + 1).cast("int").as("salary"))
+    val x = col(seqCol)
+    df.withColumn("name", element_at(names, (lcg(x, 1) % 6 + 1).cast("int")))
+      .withColumn("grade", (lcg(x, 2) % 5 + 1).cast("int"))
+      .withColumn("salary", (lcg(x, 3) % 10000 + 1).cast("int"))
   }
+
+  /** n rows of (seq, name, grade, salary) with the reference's domains. */
+  def gradesSalaries(spark: SparkSession, n: Long): DataFrame =
+    withGradeSalary(spark.range(n).select(col("id").as("seq")), "seq")
+      .select("seq", "name", "grade", "salary")
 }

@@ -1,0 +1,25 @@
+package graft.sinks
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.SparkSuite
+import graft.sources.Sources
+
+class SinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("K3/K4 writeAsText: tuple-style lines, OVERWRITE semantics, single file") {
+    val dir = Files.createTempDirectory("graft-text").toString + "/out"
+    Sinks.writeText(Seq(("a", 1L)).toDF("w", "c"), dir)
+    assert(Sources.readText(spark, dir).as[String].collect().toSeq === Seq("(a,1)"))
+
+    Sinks.writeText(Seq(("b", 2L), ("c", 3L)).toDF("w", "c"), dir)
+    val after = Sources.readText(spark, dir).as[String].collect().toSeq.sorted
+    assert(after === Seq("(b,2)", "(c,3)")) // first write fully replaced
+
+    val parts = new File(dir).listFiles().count(f =>
+      f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    assert(parts === 1) // K4: sink parallelism 1
+  }
+}

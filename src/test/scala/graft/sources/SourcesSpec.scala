@@ -1,0 +1,58 @@
+package graft.sources
+
+import java.io.PrintWriter
+import java.net.ServerSocket
+
+import graft.SparkSuite
+import graft.gen.SampleData
+
+class SourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def awaitRows(table: String, atLeast: Long, timeoutMs: Long = 30000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (spark.table(table).count() < atLeast &&
+      System.currentTimeMillis() < deadline) Thread.sleep(200)
+  }
+
+  test("S4 socket source delivers lines from a live TCP server") {
+    val server = new ServerSocket(0)
+    val writer = new Thread(() => {
+      val sock = server.accept()
+      val out = new PrintWriter(sock.getOutputStream, true)
+      out.println("hello world")
+      out.println("spark streams")
+      Thread.sleep(20000) // hold the connection open until the test ends
+      out.close(); sock.close()
+    })
+    writer.setDaemon(true)
+    writer.start()
+    val q = Sources.socketLines(spark, "localhost", server.getLocalPort)
+      .writeStream.format("memory").queryName("sock").outputMode("append").start()
+    try {
+      awaitRows("sock", 2)
+      val got = spark.table("sock").as[String].collect().toSet
+      assert(got === Set("hello world", "spark streams"))
+    } finally { q.stop(); server.close() }
+  }
+
+  test("S8/S9 rate-micro-batch through the generator mapping == batch generator") {
+    val gen = SampleData.withGradeSalary(Sources.rateMicroBatch(spark, 10), "value")
+      .select($"value".as("seq"), $"name", $"grade", $"salary")
+    val q = gen.writeStream.format("memory").queryName("gen")
+      .outputMode("append").start()
+    try {
+      awaitRows("gen", 20)
+      val streamed = spark.table("gen")
+        .as[(Long, String, Int, Int)].collect().toSeq.sortBy(_._1).take(20)
+      // Domains (`WindowJoinSampleData.scala:35-37`)
+      assert(streamed.forall(r => SampleData.Names.contains(r._2)))
+      assert(streamed.forall(r => r._3 >= 1 && r._3 <= 5))
+      assert(streamed.forall(r => r._4 >= 1 && r._4 <= 10000))
+      // The streaming twin is the SAME deterministic generator as batch
+      val batch = SampleData.gradesSalaries(spark, 20)
+        .as[(Long, String, Int, Int)].collect().toSeq.sortBy(_._1)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+}
