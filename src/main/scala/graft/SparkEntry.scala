@@ -124,6 +124,12 @@ object SparkEntry {
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5)),
     "q_lsh_topk" -> ((s, d) =>
       Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, planes = 4)),
+    "q_ivf_topk" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, nlist = 16)),
+    // threshold 0.4 is this synthetic corpus's near-dup operating point
+    // (max pairwise cosine ~0.51); production near-dup uses 0.9+.
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4, threshold = 0.4)),
     // ---- M7: multimodal columns --------------------------------------------
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metaOnly(Tables.documents(s, d))),
@@ -163,6 +169,13 @@ object SparkEntry {
        |       FROM nv GROUP BY doc_id)
        |SELECT doc_id, $nibChars AS simhash FROM v""".stripMargin
   }
+
+  /** DuckDB cosine of two double-list columns — the same strict
+    * left-to-right fold as Similarity.cosine (bit-identical doubles). */
+  private def duckCos(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1]*p[2]), (x,y) -> x+y)" +
+      s" / (sqrt(list_reduce(list_transform($a, x -> x*x), (x,y) -> x+y))" +
+      s" * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"
 
   /** LSH bucket oracle fragment for vector column `v` (generated SQL):
     * same LCG hyperplane signs as Similarity.planeSign. */
@@ -416,6 +429,39 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (
          |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
          |WHERE rn <= 5""".stripMargin,
+    "q_ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |a0 AS (SELECT e.vec_id, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS csim
+         |       FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cid AS list
+         |      FROM (SELECT *, row_number() OVER (
+         |              PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM a0) t
+         |      WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, list FROM a WHERE vec_id < 10),
+         |s AS (SELECT query_id, a.vec_id AS neighbor_id, ${duckCos("qv", "a.v")} AS cos_sim
+         |      FROM a JOIN q USING (list) WHERE a.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
+         |WHERE rn <= 5""".stripMargin,
+    "q_embed_neardup" -> {
+      // dot as an index fold (same left-assoc bracketing as Spark's flat
+      // 64-term tree); norms materialized once per vector, like the plan.
+      val dotIdx = "list_reduce(list_transform(generate_series(1, 64), " +
+        "i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |           FROM embeddings),
+         |wb AS (SELECT vec_id, v, cast(${duckLshBucket("v", 4)} AS bigint) AS bucket,
+         |              sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS nrm
+         |       FROM e)
+         |SELECT vec_a, vec_b, cos_sim
+         |FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |             $dotIdx / (a.nrm * b.nrm) AS cos_sim
+         |      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+         |WHERE cos_sim >= 0.4""".stripMargin
+    },
     "q_multimodal_meta" ->
       """SELECT doc_id, cast(octet_length(encode(text)) AS bigint) AS n_bytes,
         |       source AS origin, lang AS lang_hint

@@ -72,6 +72,99 @@ object Similarity {
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
 
+  /** Embedding-cosine near-duplicate pairs: bucket the corpus by
+    * hyperplane signs, then score all pairs WITHIN each bucket with a
+    * native per-group loop (`flatMapGroups`), keeping pairs with
+    * cosine >= threshold.
+    *
+    * Why not a self-join + Column cosine: evaluated per CANDIDATE PAIR
+    * (O(n²/2^planes) rows), Catalyst array expressions are the wrong
+    * tool — the filter gets pushed into the join condition as one giant
+    * expression (too big to JIT) and higher-order functions run
+    * interpreted; measured 20+ s at sf0.1 vs 0.2 s for this typed loop
+    * over primitive arrays. The per-vector work (cast, bucket) stays
+    * in Catalyst where it belongs.
+    *
+    * Scale shape: one shuffle on the bucket id; parallelism and
+    * per-bucket pair fan-out are both governed by `planes` (2^planes
+    * buckets) — the same guard philosophy as Dedup.minhashLshPairs.
+    * Near-identical vectors agree on every hyperplane sign, so recall
+    * loss at high thresholds is minimal. Output ids ordered
+    * (vec_a < vec_b); arithmetic is left-folded to match the oracle. */
+  def embeddingNearDupPairs(embeddings: DataFrame, planes: Int,
+                            threshold: Double): DataFrame = {
+    import embeddings.sparkSession.implicits._
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .select(col("bucket"), col("vec_id"), col("v"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val items = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+        val n = items.length
+        val norms = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          val a = items(i)._2; var s = 0.0; var j = 0
+          while (j < a.length) { s += a(j) * a(j); j += 1 }
+          norms(i) = math.sqrt(s); i += 1
+        }
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        i = 0
+        while (i < n) {
+          var k = i + 1
+          while (k < n) {
+            val a = items(i)._2; val c = items(k)._2
+            var s = 0.0; var j = 0
+            while (j < a.length) { s += a(j) * c(j); j += 1 }
+            val cos = s / (norms(i) * norms(k))
+            if (cos >= threshold) buf += ((items(i)._1, items(k)._1, cos))
+            k += 1
+          }
+          i += 1
+        }
+        buf.iterator
+      }.toDF("vec_a", "vec_b", "cos_sim")
+  }
+
+  /** IVF-style ANN (the scale path beside LSH): every vector is assigned
+    * to its nearest of `nlist` centroid vectors (training-free seeding:
+    * the first `nlist` corpus vectors serve as centroids — deterministic,
+    * no iterative k-means, the standard cheap-init variant); queries
+    * probe only their own list (nprobe=1). Centroids broadcast; the
+    * assignment is one shuffle on vec_id; the probe join shuffles on the
+    * list id whose cardinality (nlist) is a scale knob exactly like
+    * `planes`. */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int): DataFrame = {
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = v.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("cid"))
+    val assigned = v.join(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cid"),
+        cosine(col("v"), col("cv")).as("csim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid").as("list"))
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("list"))
+    val scored = assigned
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("list"))
+      .join(broadcast(queries), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q"), col("v")).as("cos_sim"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(wk))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** LSH-bucketed ANN: queries only compare against corpus vectors in the
     * same hyperplane-sign bucket. Same output shape as brute force; lower
     * recall, 2^planes less work per query. */

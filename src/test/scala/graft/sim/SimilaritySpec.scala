@@ -1,0 +1,42 @@
+package graft.sim
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] =
+    Array.tabulate(64)(i => (math.sin(seed * 64 + i) * 10).toFloat)
+
+  test("embedding near-dup: identical vectors pair at cosine 1.0, distinct ones don't") {
+    val emb = Seq((0L, vec(1)), (1L, vec(1)), (2L, vec(2)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(emb, planes = 4, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) === Seq((0L, 1L)))
+    assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
+  }
+
+  test("IVF with nlist=1 degenerates to brute force (single probe list)") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, nQueries = 5, k = 3, nlist = 1)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(ivf === brute)
+    assert(ivf.nonEmpty)
+  }
+
+  test("IVF with more lists probes fewer candidates but keeps exact cosines") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val ivf = Similarity.ivfTopK(emb, nQueries = 5, k = 3, nlist = 8)
+      .as[(Long, Long, Double, Int)].collect().toSeq
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // Every IVF hit that brute force also ranked must carry the SAME score
+    ivf.foreach { case (q, n, c, _) =>
+      brute.get((q, n)).foreach(bc => assert(bc === c)) }
+    assert(ivf.nonEmpty)
+  }
+}
