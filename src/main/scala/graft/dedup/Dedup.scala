@@ -112,33 +112,21 @@ object Dedup {
     * the majority vote of bit b of md5(token) across all token
     * occurrences. Hamming-close simhashes ⇒ similar token distributions.
     * Pure integer votes — engine-exact; hex-string output sidesteps
-    * signed-64-bit edge cases in any downstream engine. */
+    * signed-64-bit edge cases in any downstream engine.
+    *
+    * Computed by the custom Catalyst expression `graft.functions.SimHash`
+    * (codegen'd native vote loop, one call per document): zero shuffle,
+    * scan speed — the Column-tree formulation (explode + 64 vote
+    * aggregates) cost 2.6 s at sf0.1 for the same answer. Docs with no
+    * tokens are excluded, matching the exploded formulation the oracle
+    * uses. */
   def simhash(df: DataFrame, bits: Int = 64): DataFrame = {
-    require(bits % 4 == 0 && bits <= 128, s"bits must be a multiple of 4 <= 128, got $bits")
-    val nNib = bits / 4
-    val hexChars = array(('0' to '9').map(c => lit(c.toString)) ++
-      ('a' to 'f').map(c => lit(c.toString)): _*)
-    val exploded = withTokens(df)
-      .select(col("doc_id"), explode(col("tk")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    // nibble i value 0..15 (conv hex→dec), then per-bit votes (MSB-first)
-    val withNibs = exploded.select(col("doc_id") +:
-      (0 until nNib).map(i =>
-        conv(col("h").substr(i + 1, 1), 16, 10).cast("int").as(s"nv_$i")): _*)
-    val voteCols = count(lit(1)).as("n") +:
-      (0 until bits).map { b =>
-        val i = b / 4; val j = b % 4 // bit j of nibble i, MSB first
-        sum((col(s"nv_$i").divide(lit(1 << (3 - j))).cast("int") % 2).cast("long")).as(s"v_$b")
-      }
-    val votes = withNibs.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val nibChar = (i: Int) => {
-      val v = (0 until 4).map { j =>
-        when(col(s"v_${i * 4 + j}") * 2 > col("n"), lit(1 << (3 - j))).otherwise(lit(0))
-      }.reduce[Column](_ + _)
-      element_at(hexChars, v + 1)
-    }
-    votes.select(col("doc_id"),
-      concat((0 until nNib).map(nibChar): _*).as("simhash"))
+    require(bits == 64, "the registered simhash64 function is 64-bit; " +
+      "other widths go through graft.functions.SimHash directly")
+    withTokens(df)
+      .filter(size(col("tk")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.simhash64(col("tk")).as("simhash"))
   }
 
   /** n-gram Jaccard near-dup pairs via a capped inverted index: group
