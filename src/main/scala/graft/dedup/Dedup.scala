@@ -77,11 +77,25 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash signature: k seeded min-hashes over word-`n`-gram shingles.
-    * Output: doc_id, mh_0..mh_{k-1} (md5-hex strings). */
+    * Output: doc_id, mh_0..mh_{k-1} (md5-hex strings).
+    *
+    * Computed by the custom expression `graft.functions.MinHashSig` in
+    * one native pass per document — zero shuffle (the explode +
+    * groupBy(doc_id) + k×min(md5) formulation shuffled every shingle
+    * row). Docs with no shingles (< n tokens) are excluded, matching
+    * the exploded formulation the oracle uses. */
   def minhashSignatures(df: DataFrame, n: Int, k: Int): DataFrame = {
-    val mins = (0 until k).map(s =>
-      min(md5(concat(lit(s.toString), lit(":"), col("shingle")))).as(s"mh_$s"))
-    docShingles(df, n).groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // The no-shingle filter tests size(tk) >= n (equivalent: >= n tokens
+    // ⟺ >= 1 shingle), NOT size(sh) > 0 — a predicate on `sh` would be
+    // pushed below the projection and re-evaluate the whole interpreted
+    // shingle transform per row (measured 4.4 s vs 0.6 s at sf0.1).
+    val sig = withTokens(df)
+      .filter(size(col("tk")) >= n)
+      .select(col("doc_id"), shinglesOf(col("tk"), n).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhashSig(col("sh"), k).as("mh"))
+    sig.select(col("doc_id") +:
+      (0 until k).map(i => element_at(col("mh"), i + 1).as(s"mh_$i")): _*)
   }
 
   /** MinHash + LSH candidate pairs: signatures banded `rowsPerBand` mins

@@ -90,20 +90,127 @@ case class SimHash(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** Native kernel for MinHash signatures: k seeded min-md5s over a
+  * shingle array, returned as lowercase hex strings. Identical to
+  * `min(md5(concat(seed, ':', shingle)))` per seed: hex is order-
+  * preserving, so the lexicographic min of hex strings equals the
+  * unsigned byte-order min of digests. */
+object MinHashImpl {
+  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  private val Hex = "0123456789abcdef".getBytes
+
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val d = md5.get()
+    val mins = new Array[Array[Byte]](k)
+    val seeds = Array.tabulate(k)(s => (s.toString + ":").getBytes("UTF-8"))
+    var i = 0
+    val m = shingles.numElements()
+    while (i < m) {
+      val sh = shingles.getUTF8String(i)
+      if (sh != null) {
+        val shBytes = sh.getBytes
+        var s = 0
+        while (s < k) {
+          d.reset()
+          d.update(seeds(s))
+          d.update(shBytes)
+          val h = d.digest()
+          if (mins(s) == null || unsignedLess(h, mins(s))) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[UTF8String](k)
+    var s = 0
+    while (s < k) {
+      val h = mins(s)
+      if (h == null) out(s) = null
+      else {
+        val hex = new Array[Byte](32)
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = Hex((h(j) >> 4) & 0xf)
+          hex(2 * j + 1) = Hex(h(j) & 0xf)
+          j += 1
+        }
+        out(s) = UTF8String.fromBytes(hex)
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+}
+
+/** Custom Catalyst expression: k seeded min-hashes of a shingle array in
+  * one native pass — replaces explode + groupBy(doc_id) + k min(md5(...))
+  * aggregates (a full shuffle of every shingle row) with a zero-shuffle
+  * scalar computed at scan speed. */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0 && k <= 128, s"k must be in [1,128], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<string> input, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashImpl.compute(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.MinHashImpl.compute($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 /** Session extensions (`spark.sql.extensions=graft.functions.GraftExtensions`,
   * set by GraftSession): registers the engine's custom expressions so they
   * are callable from SQL and via `call_function` — the public, documented
   * extension mechanism. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash].getName, "simhash64"),
       (args: Seq[Expression]) => SimHash(args.head, 64)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSig(args.head, intLit(args(1), "minhash_sig k"))))
   }
 }
 
 object GraftFunctions {
   /** 64-bit simhash over a token array column → 16-char hex string. */
   def simhash64(tokens: Column): Column = call_function("simhash64", tokens)
+
+  /** k seeded min-md5s over a shingle array column → array of hex strings. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
 }
