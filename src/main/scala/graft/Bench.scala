@@ -35,16 +35,21 @@ object Bench {
     SparkEntry.queries.foreach { case (name, fn) => runOnce(warmDir, name, fn) }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Best of 2 timed runs per query: a single run is exposed to one-off
+    // GC pauses / compilation stalls (observed 4x spikes); min-of-2 is
+    // the standard noise floor without hiding real cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val r = runOnce(sfDir, name, fn)
-      val secs = (System.nanoTime() - t0) / 1e9
-      r match {
-        case Right(_) => name -> secs
-        case Left(err) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val r = runOnce(sfDir, name, fn)
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      times.collectFirst { case (Left(err), _) => err } match {
+        case Some(err) =>
           System.err.println(s"[bench] $name FAILED: $err")
           errors += name -> err
           name -> -1.0
+        case None => name -> times.map(_._2).min
       }
     }
     val ok = results.filter(_._2 >= 0)

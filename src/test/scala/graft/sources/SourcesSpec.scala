@@ -36,6 +36,20 @@ class SourcesSpec extends SparkSuite {
     } finally { q.stop(); server.close() }
   }
 
+  test("S3 streaming text source tails a directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-text").toString
+    val q = Sources.readTextStream(spark, dir)
+      .writeStream.format("memory").queryName("ftext").outputMode("append").start()
+    try {
+      java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "a.txt"), "one\ntwo\n")
+      q.processAllAvailable()
+      java.nio.file.Files.writeString(java.nio.file.Path.of(dir, "b.txt"), "three\n")
+      q.processAllAvailable()
+      val got = spark.table("ftext").as[String].collect().toSet
+      assert(got === Set("one", "two", "three"))
+    } finally q.stop()
+  }
+
   test("S8/S9 rate-micro-batch through the generator mapping == batch generator") {
     val gen = SampleData.withGradeSalary(Sources.rateMicroBatch(spark, 10), "value")
       .select($"value".as("seq"), $"name", $"grade", $"salary")
