@@ -68,6 +68,8 @@ object SparkEntry {
       Aggregations.keyedSum(Tables.events(s, d), "user_id", "value")),
     "q_window_sum" -> ((s, d) =>
       Aggregations.windowSum(Tables.events(s, d), "ts_sec", "event_type", "value", 5L)),
+    "q_session_sum" -> ((s, d) =>
+      Aggregations.sessionSum(Tables.events(s, d), "ts_sec", "user_id", "value", 30L)),
     "q_maxby" -> ((s, d) =>
       Aggregations.maxBy(Tables.events(s, d), "user_id", "value", "event_id")
         .withColumn("ts_us", expr("ts_ns div 1000"))
@@ -269,6 +271,18 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 5000000000) * 5 AS wstart_sec, event_type,
         |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_session_sum" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, value FROM events),
+        |m AS (SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 30
+        |                     OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+        |                THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m)
+        |SELECT user_id, min(t) AS session_start, max(t) + 30 AS session_end,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "q_maxby" ->
       """SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type, value, props
         |FROM (SELECT *, row_number() OVER (

@@ -53,6 +53,24 @@ object Aggregations {
         col(key))
       .agg(exactSum(col(measure)).as("sum_value"))
 
+  /** Session-window keyed sum (window-layer extension; the reference's
+    * pom still packages a pruned SessionWindowing example — SURVEY.md §0).
+    * A session groups events per key whose gaps are <= `gapSec`; the
+    * window closes `gapSec` after the last event (Spark `session_window`
+    * semantics: an event at exactly prev + gap still MERGES — the break
+    * is strictly greater than the gap).
+    * Works on batch and — with a watermark upstream — streaming input.
+    * Output: key, session_start/session_end as epoch seconds, sum. */
+  def sessionSum(df: DataFrame, tsSec: String, key: String, measure: String,
+                 gapSec: Long): DataFrame =
+    df.withColumn("__ts", timestamp_seconds(col(tsSec)))
+      .groupBy(session_window(col("__ts"), s"$gapSec seconds").as("w"), col(key))
+      .agg(exactSum(col(measure)).as("sum_value"))
+      .select(col(key),
+        unix_timestamp(col("w.start")).as("session_start"),
+        unix_timestamp(col("w.end")).as("session_end"),
+        col("sum_value"))
+
   /** A6 `maxBy` arg-max (`TopSpeedWindowing.scala:115`): the WHOLE record
     * holding the per-key max of `measure`. Ties broken by `tieBreak`
     * descending so the result is deterministic (Flink's maxBy keeps the

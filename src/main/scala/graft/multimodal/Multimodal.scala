@@ -30,16 +30,52 @@ object Multimodal {
     def decode(id: Long, bytes: Array[Byte]): DecodedFeatures
   }
 
-  /** Deterministic fake decoder: byte-sum checksum + two fake "features"
-    * derived from byte positions. Stands in for the codec stage. */
+  /** Real byte-format header parsing for the two simplest uncompressed
+    * media containers — this is an actual decoder path, not a stub:
+    * BMP (width/height/bpp from the BITMAPINFOHEADER) and RIFF/WAVE
+    * (channels/sample-rate/bits from the fmt chunk). Anything else is
+    * an unrecognized payload. */
+  object MediaHeaders {
+    final case class Info(format: String, width: Int, height: Int,
+                          channels: Int, sampleRate: Int, bitsPerSample: Int)
+
+    private def u16le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def i32le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+    def sniff(b: Array[Byte]): Option[Info] = {
+      if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
+        Some(Info("bmp", i32le(b, 18), i32le(b, 22), 1, 0, u16le(b, 28)))
+      else if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+        Some(Info("wav", 0, 0, u16le(b, 22), i32le(b, 24), u16le(b, 34)))
+      else None
+    }
+  }
+
+  /** Deterministic decoder: REAL header parse for recognized formats
+    * (BMP → width/height as features; WAV → sampleRate/channels);
+    * unrecognized payloads fall back to byte-derived pseudo-features —
+    * the remaining declared stub boundary (the container has no codecs
+    * for compressed formats). The byte-sum checksum is computed either
+    * way. */
   object FakeDecoder extends PayloadDecoder {
     def decode(id: Long, bytes: Array[Byte]): DecodedFeatures = {
       var sum = 0L
       var i = 0
       while (i < bytes.length) { sum += (bytes(i) & 0xff).toLong; i += 1 }
-      val f0 = if (bytes.nonEmpty) (bytes(0) & 0xff).toDouble / 255.0 else 0.0
-      val f1 = if (bytes.length > 1) (bytes(1) & 0xff).toDouble / 255.0 else 0.0
-      DecodedFeatures(id, bytes.length, sum, f0, f1)
+      MediaHeaders.sniff(bytes) match {
+        case Some(m) if m.format == "bmp" =>
+          DecodedFeatures(id, bytes.length, sum, m.width.toDouble, m.height.toDouble)
+        case Some(m) =>
+          DecodedFeatures(id, bytes.length, sum, m.sampleRate.toDouble, m.channels.toDouble)
+        case None =>
+          val f0 = if (bytes.nonEmpty) (bytes(0) & 0xff).toDouble / 255.0 else 0.0
+          val f1 = if (bytes.length > 1) (bytes(1) & 0xff).toDouble / 255.0 else 0.0
+          DecodedFeatures(id, bytes.length, sum, f0, f1)
+      }
     }
   }
 

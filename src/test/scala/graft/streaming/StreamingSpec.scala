@@ -96,6 +96,32 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("session-window agg: streaming emissions (after watermark) == batch result") {
+    val data = Seq((0L, 1L, 1.0), (10L, 1L, 2.0), (60L, 1L, 4.0)) // 2 sessions for key 1
+    def agg(df: DataFrame): DataFrame = {
+      val shaped = df.select(col("_1").as("ts_sec"), col("_2").as("k"), col("_3").as("v"))
+        .withColumn("ts", timestamp_seconds(col("ts_sec")))
+        .withWatermark("ts", "0 seconds")
+      shaped.groupBy(session_window(col("ts"), "30 seconds").as("w"), col("k"))
+        .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("s"), col("k"), col("sum_value"))
+    }
+    val batch = agg(data.toDF()).as[(Long, Long, Double)].collect().toSet
+    assert(batch === Set((0L, 1L, 3.0), (60L, 1L, 4.0)))
+
+    val ms = mem[(Long, Long, Double)]
+    val q = agg(ms.toDF()).writeStream.format("memory").queryName("ssess")
+      .outputMode("append").start()
+    withQuery(q) {
+      ms.addData(data: _*); q.processAllAvailable()
+      ms.addData((1000L, 9L, 0.0)); q.processAllAvailable() // advance watermark
+      ms.addData((2000L, 9L, 0.0)); q.processAllAvailable()
+      val got = spark.table("ssess").as[(Long, Long, Double)].collect().toSet
+        .filter(_._1 < 1000L)
+      assert(got === batch)
+    }
+  }
+
   test("W3-W5 TopSpeed stateful op: incremental MemoryStream run == batch run") {
     val all = Seq(
       CarEvent(0, 30, 10.0, 0L), CarEvent(0, 50, 30.0, 1000L),
