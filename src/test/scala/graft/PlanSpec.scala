@@ -1,0 +1,58 @@
+package graft
+
+import graft.core.Tables
+import graft.ops.{RowOps, Tokenize}
+import graft.rel.Relational
+
+/** Plan audits: the scale properties claimed in SURVEY.md §8 as
+  * executable assertions — filters reach the parquet scan, projections
+  * prune columns at the reader, aggregation is map-side partial, and the
+  * hot paths live inside WholeStageCodegen. */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Runs the query first so AQE finalizes (isFinalPlan=true) and the
+    * WholeStageCodegen wrappers appear in the plan string. */
+  private def executed(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_eq: predicate is pushed to the parquet scan, columns pruned") {
+    val plan = executed(RowOps.filterEq(Tables.events(spark, sf), "event_type", "click")
+      .select("event_id", "event_type", "value"))
+    assert(plan.contains("PushedFilters: [IsNotNull(event_type)"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("props") && !readSchema.contains("user_id"),
+      s"scan reads more than it needs: $readSchema")
+  }
+
+  test("TPC-H q1: shipdate filter pushed down; aggregation is partial before the shuffle") {
+    val df = Relational.q1(spark, sf)
+    val plan = executed(df)
+    assert(plan.contains("PushedFilters") && plan.contains("IsNotNull(l_shipdate)"))
+    assert(plan.contains("partial_sum"), "no map-side combine in q1")
+    assert(plan.contains("*("), "q1 fell out of codegen")
+  }
+
+  test("TPC-H q3: small dimension broadcast, facts shuffled") {
+    val plan = executed(Relational.q3(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), "customer dim not broadcast")
+  }
+
+  test("word count: explode pipeline stays in codegen with partial aggregation") {
+    val plan = executed(Tokenize.wordCount(Tables.documents(spark, sf), "text"))
+    assert(plan.contains("partial_count"), "no map-side combine")
+    assert(plan.contains("*("), "pipeline fell out of codegen")
+  }
+
+  test("multimodal meta: payload-free projection prunes at the scan") {
+    // The meta projection derives n_bytes from the payload, so `text`
+    // must be read — but nothing else beyond the 4 used columns may be.
+    val plan = executed(graft.multimodal.Multimodal.metaOnly(Tables.documents(spark, sf)))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("n_tokens") && !readSchema.contains("n_chars"),
+      s"scan reads unused columns: $readSchema")
+  }
+}

@@ -96,6 +96,19 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming exact dedup: dropDuplicates holds state across micro-batches") {
+    val ms = mem[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").dropDuplicates("doc_id")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    withQuery(q) {
+      ms.addData((1L, "a"), (2L, "b"), (1L, "a-dup-same-batch")); q.processAllAvailable()
+      ms.addData((2L, "b-dup-next-batch"), (3L, "c")); q.processAllAvailable()
+      val got = spark.table("sdedup").as[(Long, String)].collect().toMap
+      assert(got.keySet === Set(1L, 2L, 3L))
+      assert(got(2L) === "b") // the cross-batch duplicate was dropped by state
+    }
+  }
+
   test("session-window agg: streaming emissions (after watermark) == batch result") {
     val data = Seq((0L, 1L, 1.0), (10L, 1L, 2.0), (60L, 1L, 4.0)) // 2 sessions for key 1
     def agg(df: DataFrame): DataFrame = {
