@@ -80,16 +80,18 @@ object SparkEntry {
     // ---- M4: TopSpeed stateful op (batch/oracle reformulation) ------------
     "q_topspeed_bucket" -> ((s, d) =>
       TopSpeed.topSpeedBuckets(Tables.events(s, d), 10, 50.0)),
-    // flatMapGroupsWithState path itself (W3-W5): delta-trigger semantics
-    // are sequential per key — not SQL-expressible, so no oracle entry
-    // (driver records rows-only); full semantics covered by TopSpeedSpec
-    // + StreamingSpec against hand-computed expectations.
+    // The flatMapGroupsWithState path itself (W3-W5): the greedy delta-
+    // trigger is sequential per key, but IS expressible as a recursive
+    // CTE (lateral min per firing) — fully oracle-checked. Integer-space
+    // distance keeps the doubles bit-identical across engines.
     "q_topspeed_state" -> ((s, d) => {
       import s.implicits._
       val ce = TopSpeed.carEvents(Tables.events(s, d), 10)
         .selectExpr("carId", "cast(speed as int) as speed", "distance", "time")
         .as[TopSpeed.CarEvent]
       TopSpeed.run(ce).toDF()
+        .select(col("carId").as("car_id"), col("speed"),
+          col("distance"), col("time").as("time_ms"))
     }),
     // ---- M5: ordered async map -------------------------------------------
     "q_async_identity" -> ((s, d) => {
@@ -303,8 +305,9 @@ object SparkEntry {
         |                   epoch_ns(ts) // 1000 AS ts_us, event_id
         |            FROM events),
         |     d AS (SELECT car_id, speed, event_id,
-        |                  sum(speed/3.6) OVER (PARTITION BY car_id ORDER BY ts_us, event_id
-        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS distance
+        |                  sum(cast(round(speed*100) AS bigint)) OVER (
+        |                    PARTITION BY car_id ORDER BY ts_us, event_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 360.0 AS distance
         |           FROM ce)
         |SELECT car_id, cast(floor(distance/50.0) AS bigint) AS bucket,
         |       speed AS top_speed, event_id
@@ -312,6 +315,38 @@ object SparkEntry {
         |        PARTITION BY car_id, floor(distance/50.0)
         |        ORDER BY speed DESC, event_id DESC) AS rn FROM d) t
         |WHERE rn = 1""".stripMargin,
+    "q_topspeed_state" ->
+      """WITH RECURSIVE
+        |ce AS (SELECT cast(user_id % 10 AS int) AS car_id, value AS vspeed,
+        |              epoch_ns(ts) // 1000 AS ts_us, event_id
+        |       FROM events),
+        |d0 AS (SELECT car_id, vspeed, event_id, ts_us,
+        |              sum(cast(round(vspeed*100) AS bigint)) OVER (
+        |                PARTITION BY car_id ORDER BY ts_us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 360.0 AS distance,
+        |              row_number() OVER (PARTITION BY car_id ORDER BY ts_us, event_id) AS rn
+        |       FROM ce),
+        |d AS (SELECT *, cast(trunc(vspeed) AS int) AS ispeed, ts_us // 1000 AS tms FROM d0),
+        |f AS (
+        |  SELECT car_id, 0 AS rn, cast(0.0 AS double) AS last_fired, 0 AS depth
+        |  FROM (SELECT DISTINCT car_id FROM d)
+        |  UNION ALL
+        |  SELECT f.car_id, nxt.rn, nxt.distance, f.depth + 1
+        |  FROM f JOIN LATERAL (
+        |    SELECT d.rn, d.distance FROM d
+        |    WHERE d.car_id = f.car_id AND d.rn > f.rn AND d.distance - f.last_fired >= 50.0
+        |    ORDER BY d.rn LIMIT 1
+        |  ) nxt ON true
+        |),
+        |fe AS (SELECT f.car_id, f.rn AS fire_rn, d.tms AS fire_tms
+        |       FROM f JOIN d ON d.car_id = f.car_id AND d.rn = f.rn
+        |       WHERE f.depth > 0),
+        |em AS (SELECT fe.car_id, fe.fire_rn, b.ispeed, b.distance, b.tms,
+        |              row_number() OVER (PARTITION BY fe.car_id, fe.fire_rn
+        |                ORDER BY b.ispeed DESC, b.tms DESC, b.rn DESC) AS r
+        |       FROM fe JOIN d b ON b.car_id = fe.car_id AND b.rn <= fe.fire_rn
+        |                      AND b.tms >= fe.fire_tms - 10000)
+        |SELECT car_id, ispeed AS speed, distance, tms AS time_ms FROM em WHERE r = 1""".stripMargin,
     "q_async_identity" ->
       "SELECT event_id FROM events",
     "q_tpch_q1" ->

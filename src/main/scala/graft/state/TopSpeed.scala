@@ -64,8 +64,13 @@ object TopSpeed {
     * Ordering uses MICROsecond granularity + event_id tiebreak: DuckDB
     * truncates the parquet NANOS timestamps to micros on read, so a
     * nanosecond sort key would order ties differently across engines.
-    * The running double sum is evaluated sequentially in frame order, so
-    * it is bit-identical to the same SQL in DuckDB. */
+    *
+    * The cumulative distance runs in INTEGER space: values carry exactly
+    * 2 decimals, so `round(speed*100)` is an exact BIGINT, its window sum
+    * is exact, and the single `/360.0` per row rounds once — making
+    * `distance` bit-identical across engines. (A running DOUBLE sum is
+    * NOT: DuckDB's windowed SUM is not a sequential fold, and the last
+    * few bits diverge.) */
   def carEvents(events: DataFrame, cars: Int): DataFrame = {
     val w = Window.partitionBy(col("carId")).orderBy(col("ts_us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -74,7 +79,8 @@ object TopSpeed {
         (col("user_id") % cars).cast("int").as("carId"),
         col("value").as("speed"),
         expr("ts_ns div 1000").as("ts_us"), col("event_id"))
-      .withColumn("distance", sum(col("speed") / 3.6).over(w))
+      .withColumn("distance",
+        sum(round(col("speed") * 100).cast("long")).over(w) / 360.0)
       .select(col("carId"), col("speed").as("speed"), col("distance"),
         expr("ts_us div 1000").as("time"), col("event_id"))
   }
