@@ -1,0 +1,32 @@
+package graft.join
+
+import graft.SparkSuite
+
+class SaltedJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("salted inner join == plain inner join (multiset), skew spread over sub-keys") {
+    // 10k rows of one hot key + a uniform tail, joined to a small dim.
+    val big = (Seq.fill(10000)(1L) ++ (2L to 500L)).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toDF("k", "payload")
+    val small = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (999L, "absent"))
+      .toDF("sk", "name")
+
+    val plain = big.join(small, big("k") === small("sk"), "inner")
+      .select("k", "payload", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val salted = SaltedJoin.inner(big, "k", small, "sk", salts = 8)
+      .select("k", "payload", "name").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    assert(salted === plain)
+    assert(salted.count(_._3 == "hot") === 10000)
+  }
+
+  test("salting is deterministic across runs (retry-safe)") {
+    val big = (1L to 200L).map(k => (k % 5, k)).toDF("k", "payload")
+    val small = (0L to 4L).map(k => (k, s"d$k")).toDF("sk", "name")
+    val r1 = SaltedJoin.inner(big, "k", small, "sk", 4).collect().map(_.toString).sorted
+    val r2 = SaltedJoin.inner(big, "k", small, "sk", 4).collect().map(_.toString).sorted
+    assert(r1.toSeq === r2.toSeq)
+  }
+}
