@@ -103,6 +103,7 @@ object SparkEntry {
     "q_tpch_q1" -> Relational.q1 _,
     "q_tpch_q3" -> Relational.q3 _,
     "q_tpch_q5" -> Relational.q5 _,
+    "q_tpch_q6" -> Relational.q6 _,
     // ---- M7: text analysis -------------------------------------------------
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
@@ -383,6 +384,13 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(l_discount AS decimal(18,2))) AS double) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents)
          |SELECT doc_id,

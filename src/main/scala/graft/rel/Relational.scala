@@ -67,6 +67,20 @@ object Relational {
       .agg(sum(discPrice).cast("double").as("revenue"))
   }
 
+  /** TPC-H Q6 forecasting revenue change: the pure scan-speed query —
+    * every predicate pushes to the parquet reader, one partial-agg row
+    * per task, no shuffle worth the name. The plan to beat at 100 TB is
+    * "read only the 4 referenced columns, skip row groups via stats". */
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
   /** TPC-H Q5-ish local-supplier revenue per nation: only the genuinely
     * tiny dimension chain region→nation (5 / 25 rows at every SF) is
     * explicitly broadcast; customer/supplier join selection is left to
