@@ -109,6 +109,25 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("streaming dedup with bounded state: dropDuplicatesWithinWatermark") {
+    // The scale-safe streaming dedup: state for a key expires once the
+    // watermark passes it, so unbounded streams don't accumulate
+    // unbounded dedup state (plain dropDuplicates state grows forever).
+    val ms = mem[(Long, Long)] // (ts_sec, doc_id)
+    val df = ms.toDF().select(timestamp_seconds(col("_1")).as("ts"), col("_2").as("doc_id"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = df.writeStream.format("memory").queryName("wdedup")
+      .outputMode("append").start()
+    withQuery(q) {
+      ms.addData((0L, 1L), (1L, 1L), (2L, 2L)); q.processAllAvailable() // dup within watermark
+      ms.addData((100L, 9L)); q.processAllAvailable() // advance watermark past doc 1's state
+      ms.addData((101L, 1L)); q.processAllAvailable() // state expired → doc 1 re-emitted
+      val ids = spark.table("wdedup").select("doc_id").as[Long].collect().toSeq.sorted
+      assert(ids === Seq(1L, 1L, 2L, 9L))
+    }
+  }
+
   test("session-window agg: streaming emissions (after watermark) == batch result") {
     val data = Seq((0L, 1L, 1.0), (10L, 1L, 2.0), (60L, 1L, 4.0)) // 2 sessions for key 1
     def agg(df: DataFrame): DataFrame = {
