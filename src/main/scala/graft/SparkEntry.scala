@@ -120,6 +120,9 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.documents(s, d), n = 2, k = 6)),
     "q_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2)),
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2))),
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
@@ -174,6 +177,26 @@ object SparkEntry {
        |       FROM nv GROUP BY doc_id)
        |SELECT doc_id, $nibChars AS simhash FROM v""".stripMargin
   }
+
+  /** Shared CTE chain producing the MinHash-LSH candidate pairs (used by
+    * the pairs oracle and, under WITH RECURSIVE, the clustering oracle). */
+  private def duckLshPairCtes: String =
+    s"""t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
+       |sig AS (SELECT doc_id,
+       |               min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1,
+       |               min(md5('2:' || shingle)) AS mh_2, min(md5('3:' || shingle)) AS mh_3,
+       |               min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, doc_id FROM sig
+       |          UNION ALL SELECT 1, mh_2 || '|' || mh_3, doc_id FROM sig
+       |          UNION ALL SELECT 2, mh_4 || '|' || mh_5, doc_id FROM sig),
+       |ok AS (SELECT band, band_key FROM bands
+       |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |lsh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |              FROM bands a JOIN bands b
+       |                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |              JOIN ok ON a.band = ok.band AND a.band_key = ok.band_key)""".stripMargin
 
   /** DuckDB cosine of two double-list columns — the same strict
     * left-to-right fold as Similarity.cosine (bit-identical doubles). */
@@ -429,22 +452,18 @@ object SparkEntry {
          |       min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5
          |FROM sh GROUP BY doc_id""".stripMargin,
     "q_minhash_lsh_pairs" ->
-      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
-         |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
-         |sig AS (SELECT doc_id,
-         |               min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1,
-         |               min(md5('2:' || shingle)) AS mh_2, min(md5('3:' || shingle)) AS mh_3,
-         |               min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5
-         |        FROM sh GROUP BY doc_id),
-         |bands AS (SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, doc_id FROM sig
-         |          UNION ALL SELECT 1, mh_2 || '|' || mh_3, doc_id FROM sig
-         |          UNION ALL SELECT 2, mh_4 || '|' || mh_5, doc_id FROM sig),
-         |ok AS (SELECT band, band_key FROM bands
-         |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000)
-         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-         |JOIN ok ON a.band = ok.band AND a.band_key = ok.band_key""".stripMargin,
+      s"""WITH $duckLshPairCtes
+         |SELECT doc_a, doc_b FROM lsh_pairs""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $duckLshPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |cc(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.node = e.src
+         |)
+         |SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),

@@ -143,6 +143,48 @@ object Dedup {
         graft.functions.GraftFunctions.simhash64(col("tk")).as("simhash"))
   }
 
+  /** Near-dup clustering: connected components over candidate pairs via
+    * iterative min-label propagation — each doc ends up labeled with the
+    * smallest doc_id in its component (the canonical representative a
+    * dedup pipeline keeps). Converges in O(component diameter) rounds;
+    * near-dup components are shallow, so the default cap is generous.
+    *
+    * Scale shape: every round is one hash-partition join + min-combine on
+    * the edge list — the standard distributed CC loop (small-star style).
+    * The loop iterates over PLANS, not collected data; `localCheckpoint`
+    * truncates lineage each round so the plan doesn't grow unbounded.
+    * Output: (doc_id, cluster_id) for every doc appearing in a pair. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint()
+    // Labels only ever DECREASE, so the label sum is a strictly
+    // decreasing potential function — equal sums == fixpoint. One cheap
+    // aggregate per round instead of a change-detection join.
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("lbl"))).first().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst")).agg(min(col("lbl")).as("nlbl"))
+      val next = labels.join(prop, labels("doc_id") === prop("dst"), "left")
+        .select(labels("doc_id"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = labelSum(next)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      i += 1
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   /** n-gram Jaccard near-dup pairs via a capped inverted index: group
     * doc-ids per shingle (one shuffle), drop shingles in more than
     * `maxDf` docs (stop-shingle skew guard — also bounds the per-shingle

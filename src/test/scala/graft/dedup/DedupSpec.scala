@@ -52,6 +52,20 @@ class DedupSpec extends SparkSuite {
     assert(r(0)._2 !== r(2)._2)
   }
 
+  test("connected components: multi-hop chains collapse to the min doc_id") {
+    // chain 1-2-3 (no direct 1-3 edge) + isolated pair 7-8
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connected components: a long path converges within the iteration cap") {
+    val pairs = (1L until 15L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(cc.forall(_._2 == 1L) && cc.length === 15)
+  }
+
   test("ngram jaccard: hand-computed overlap, threshold respected") {
     // doc0: shingles {a b, b c, c d}; doc1: {a b, b c, c x}
     // jaccard = 2 / (3 + 3 - 2) = 0.5
