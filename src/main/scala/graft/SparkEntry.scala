@@ -415,20 +415,30 @@ object SparkEntry {
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
     "q_lang_id" ->
-      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents)
-         |SELECT doc_id,
-         |       cast(len(list_filter(tk, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS double) / len(tk) AS en_ratio,
-         |       CASE WHEN cast(len(list_filter(tk, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS double) / len(tk) >= 0.02
-         |            THEN 'en' ELSE 'und' END AS lang_pred
-         |FROM t""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |r AS (SELECT doc_id,
+         |             CASE WHEN len(tk) > 0
+         |                  THEN cast(len(list_filter(tk, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS double) / len(tk)
+         |                  ELSE 0.0 END AS en_ratio
+         |      FROM t)
+         |SELECT doc_id, en_ratio,
+         |       CASE WHEN en_ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+         |FROM r""".stripMargin,
     "q_quality_score" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents)
          |SELECT doc_id,
          |       cast(len(tk) AS bigint) AS n_tokens,
          |       cast(len(list_distinct(tk)) AS bigint) AS n_distinct,
-         |       cast(len(list_distinct(tk)) AS double) / len(tk) AS distinct_ratio,
-         |       cast(list_sum(list_transform(tk, w -> len(w))) AS double) / len(tk) AS mean_token_len,
-         |       (len(tk) >= 10 AND cast(len(list_distinct(tk)) AS double) / len(tk) >= 0.2) AS keep
+         |       CASE WHEN len(tk) > 0
+         |            THEN cast(len(list_distinct(tk)) AS double) / len(tk)
+         |            ELSE 0.0 END AS distinct_ratio,
+         |       CASE WHEN len(tk) > 0
+         |            THEN cast(list_sum(list_transform(tk, w -> len(w))) AS double) / len(tk)
+         |            ELSE 0.0 END AS mean_token_len,
+         |       (len(tk) >= 10 AND
+         |        CASE WHEN len(tk) > 0
+         |             THEN cast(len(list_distinct(tk)) AS double) / len(tk)
+         |             ELSE 0.0 END >= 0.2) AS keep
          |FROM t""".stripMargin,
     "q_token_count" ->
       s"""SELECT doc_id,
@@ -545,7 +555,7 @@ object SparkEntry {
     "q_multimodal_decode" ->
       """SELECT doc_id,
         |       cast(octet_length(encode(text)) AS int) AS n_bytes,
-        |       cast(list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substring(text, i, 1)))) AS bigint) AS checksum,
+        |       cast(coalesce(list_sum(list_transform(generate_series(1, length(text)), i -> ascii(substring(text, i, 1)))), 0) AS bigint) AS checksum,
         |       (CASE WHEN length(text) > 0 THEN cast(ascii(substring(text, 1, 1)) AS double)/255.0 ELSE 0.0 END) AS feat0,
         |       (CASE WHEN length(text) > 1 THEN cast(ascii(substring(text, 2, 1)) AS double)/255.0 ELSE 0.0 END) AS feat1
         |FROM documents""".stripMargin,

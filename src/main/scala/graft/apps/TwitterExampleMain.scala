@@ -5,7 +5,6 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.core.{Args, GraftSession}
 import graft.ops.TweetJson
 import graft.sinks.Sinks
-import graft.streaming.StreamingTwins
 
 /** Runnable mirror of `TwitterExample.java:52-116`: tweet-JSON stream →
   * nested parse → English filter → tokenize → running keyed count.
@@ -25,9 +24,9 @@ object TwitterExampleMain {
     if (a.has("stream")) {
       import spark.implicits._
       val ms = MemoryStream[String](spark)
-      val counts = StreamingTwins.runningWordCount(
-        TweetJson.englishWords(ms.toDF(), "value")
-          .withColumnRenamed("word", "text"), "text")
+      // same transformation as the batch path (englishWordCount) — the
+      // \s+ tokenizer, NOT re-tokenized through \W+
+      val counts = TweetJson.englishWordCount(ms.toDF(), "value")
       val q = Sinks.consoleStream(counts, "update").start()
       TweetJson.FixtureTexts.foreach { t => ms.addData(t); q.processAllAvailable() }
       q.stop()

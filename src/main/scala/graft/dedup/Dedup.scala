@@ -164,10 +164,12 @@ object Dedup {
     // Labels only ever DECREASE, so the label sum is a strictly
     // decreasing potential function — equal sums == fixpoint. One cheap
     // aggregate per round instead of a change-detection join.
+    // (coalesce(0): sum over zero rows is NULL — empty pair sets must
+    // return an empty result, not throw.)
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("lbl"))).first().getLong(0)
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).first().getLong(0)
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = prevSum == 0L
     var i = 0
     while (!converged && i < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("doc_id"))
@@ -182,6 +184,11 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (!converged)
+      System.err.println(s"[connectedComponents] iteration cap $maxIters hit " +
+        "before the fixpoint — a component's diameter exceeds the cap and its " +
+        "labels are NOT fully propagated; raise maxIters")
+    edges.unpersist()
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -110,10 +110,17 @@ object MinHashImpl {
     false
   }
 
+  // seed prefixes depend only on k — cached, not rebuilt per row
+  private val seedCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def seedsFor(k: Int): Array[Array[Byte]] =
+    seedCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(s => (s.toString + ":").getBytes("UTF-8")))
+
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val d = md5.get()
     val mins = new Array[Array[Byte]](k)
-    val seeds = Array.tabulate(k)(s => (s.toString + ":").getBytes("UTF-8"))
+    val seeds = seedsFor(k)
     var i = 0
     val m = shingles.numElements()
     while (i < m) {

@@ -21,15 +21,22 @@ import org.apache.spark.sql.functions._
 object SaltedJoin {
 
   /** Inner equi-join `big(bigKey) == small(smallKey)` with `salts`-way
-    * key salting. Column sets must be disjoint (like a raw `join`). */
+    * key salting. Column sets must be disjoint (like a raw `join`).
+    *
+    * `saltBy` chooses the salt input: pass a UNIQUE id column (preferred
+    * — byte-identical duplicate rows then spread across sub-keys too);
+    * None hashes the whole row, which keeps determinism but cannot
+    * separate byte-identical duplicates (they share a hash). */
   def inner(big: DataFrame, bigKey: String, small: DataFrame, smallKey: String,
-            salts: Int): DataFrame = {
+            salts: Int, saltBy: Option[String] = None): DataFrame = {
     require(salts > 0, "salts must be positive")
     // Deterministic per-row salt on the big side: spreads a hot key's
-    // rows across `salts` sub-keys. xxhash64 over the whole row avoids
-    // needing a unique id column.
+    // rows across `salts` sub-keys and is stable under task retry
+    // (unlike rand()/monotonically_increasing_id()).
+    val saltSrc = saltBy.map(c => xxhash64(col(c)))
+      .getOrElse(xxhash64(struct(big.columns.map(col): _*)))
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+      pmod(saltSrc, lit(salts)).cast("int"))
     // Replicate the small side once per salt value.
     val saltedSmall = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))

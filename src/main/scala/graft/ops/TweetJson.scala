@@ -68,7 +68,11 @@ object TweetJson {
       col("t.id").as("id"),
       col("t.user.lang").as("lang"),
       size(col("t.user.entities.hashtags")).as("n_hashtags"),
-      element_at(col("t.user.entities.hashtags"), 1).getField("text").as("first_tag"))
+      // guarded: element_at(…, 1) on an EMPTY array throws under ANSI
+      // (a null/missing array is fine); the oracle yields NULL there
+      when(size(col("t.user.entities.hashtags")) > 0,
+        element_at(col("t.user.entities.hashtags"), 1).getField("text"))
+        .as("first_tag"))
 
   /** Flatten the nested hashtags array<struct>: one row per (tweet id,
     * hashtag text, first index). */

@@ -15,10 +15,13 @@ import org.apache.spark.sql.Row
 object Sinks {
 
   /** Render any row shape to one `value: STRING` column — the reference's
-    * `Tuple2(a,b).toString`-style text lines: `(a,b,...)`. */
+    * `Tuple2(a,b).toString`-style text lines: `(a,b,...)`. NULL fields
+    * print as "null" like Java toString — concat_ws alone would silently
+    * DROP them and vary the field count per row. */
   def toLines(df: DataFrame): DataFrame =
     df.select(concat(lit("("),
-      concat_ws(",", df.columns.map(col): _*), lit(")")).as("value"))
+      concat_ws(",", df.columns.map(c =>
+        coalesce(col(c).cast("string"), lit("null"))): _*), lit(")")).as("value"))
 
   /** K3+K4: single text file, overwrite semantics. */
   def writeText(df: DataFrame, path: String): Unit =

@@ -25,37 +25,42 @@ object TextAnalysis {
     * the wordlist per language; the operator shape (token-set membership
     * ratio + threshold) is the load-bearing part. */
   def langId(df: DataFrame): DataFrame = {
-    val t = toks(col("text"))
+    // tokens materialized in their own projection — the expression below
+    // references them 4x, and HOFs run interpreted (see Dedup notes)
+    val tk = col("tk")
     val sw = array(EnStopwords.map(lit): _*)
-    val hits = size(filter(t, w => array_contains(sw, w)))
-    val total = size(t)
+    val hits = size(filter(tk, w => array_contains(sw, w)))
+    val total = size(tk)
     // Empty-doc guard: 0 tokens → ratio 0.0 / 'und', never NaN.
     val ratio = when(total > 0, hits.cast("double") / total).otherwise(lit(0.0))
-    df.select(
-      col("doc_id"),
-      ratio.as("en_ratio"),
-      when(ratio >= 0.02, "en").otherwise("und").as("lang_pred"))
+    df.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        ratio.as("en_ratio"),
+        when(ratio >= 0.02, "en").otherwise("und").as("lang_pred"))
   }
 
   /** Quality scoring: token count, distinct-token ratio (repetitiveness),
     * mean token length, and a composite keep/drop flag — the standard
     * cheap pre-filters before expensive dedup/training. */
   def qualityScore(df: DataFrame): DataFrame = {
-    val t = toks(col("text"))
-    val n = size(t)
-    val nd = size(array_distinct(t))
+    // tokens materialized once (referenced 5x below — see langId note)
+    val tk = col("tk")
+    val n = size(tk)
+    val nd = size(array_distinct(tk))
     // Empty-doc guards: 0 tokens → 0.0 ratios and keep=false, never NaN.
     val dRatio = when(n > 0, nd.cast("double") / n).otherwise(lit(0.0))
     val meanLen = when(n > 0,
-      aggregate(t, lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
+      aggregate(tk, lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
       .otherwise(lit(0.0))
-    df.select(
-      col("doc_id"),
-      n.cast("bigint").as("n_tokens"),
-      nd.cast("bigint").as("n_distinct"),
-      dRatio.as("distinct_ratio"),
-      meanLen.as("mean_token_len"),
-      (n >= 10 && dRatio >= 0.2).as("keep"))
+    df.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(
+        col("doc_id"),
+        n.cast("bigint").as("n_tokens"),
+        nd.cast("bigint").as("n_distinct"),
+        dRatio.as("distinct_ratio"),
+        meanLen.as("mean_token_len"),
+        (n >= 10 && dRatio >= 0.2).as("keep"))
   }
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation

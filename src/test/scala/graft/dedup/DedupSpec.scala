@@ -52,6 +52,11 @@ class DedupSpec extends SparkSuite {
     assert(r(0)._2 !== r(2)._2)
   }
 
+  test("connected components: empty pair set yields an empty result, no crash") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.connectedComponents(empty).count() === 0L)
+  }
+
   test("connected components: multi-hop chains collapse to the min doc_id") {
     // chain 1-2-3 (no direct 1-3 edge) + isolated pair 7-8
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")

@@ -33,6 +33,16 @@ class TweetJsonSpec extends SparkSuite {
       (2L, "example3", 0), (2L, "tweet3", 0)))
   }
 
+  test("empty hashtags array yields null first_tag, not an ANSI error") {
+    val docs = Seq(
+      """{"id":5,"user":{"lang":"en","entities":{"hashtags":[]}}}""",
+      """{"id":6,"user":{"lang":"en"}}""").toDF("json")
+    val rows = TweetJson.docMeta(docs, "json")
+      .as[(Long, String, Option[Int], Option[String])].collect().sortBy(_._1)
+    assert(rows(0) === ((5L, "en", Some(0), None)))
+    assert(rows(1) === ((6L, "en", None, None)))
+  }
+
   test("non-English and text-less documents are filtered out") {
     val docs = Seq(
       """{"text":"Guten Tag","user":{"lang":"de"}}""",

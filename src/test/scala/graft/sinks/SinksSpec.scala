@@ -22,4 +22,11 @@ class SinksSpec extends SparkSuite {
       f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
     assert(parts === 1) // K4: sink parallelism 1
   }
+
+  test("toLines prints NULL fields as 'null' with stable arity (Tuple.toString parity)") {
+    val lines = Sinks.toLines(
+      Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "v"))
+      .as[String].collect().toSeq.sorted
+    assert(lines === Seq("(1,null)", "(2,x)"))
+  }
 }

@@ -24,9 +24,9 @@ class StreamingSpec extends SparkSuite {
 
   test("A4 running word count in update mode reproduces the golden per-record sequence") {
     val ms = mem[String]
-    val wc = StreamingTwins.runningWordCount(
-      TweetJson.englishWords(ms.toDF(), "value")
-        .withColumnRenamed("word", "text"), "text")
+    // the SAME transformation as the batch englishWordCount — running in
+    // update mode gives the per-batch running emission
+    val wc = TweetJson.englishWordCount(ms.toDF(), "value")
     val q = wc.writeStream.format("memory").queryName("golden_wc")
       .outputMode("update").start()
     withQuery(q) {
