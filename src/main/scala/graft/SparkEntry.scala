@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.agg.Aggregations
 import graft.core.Tables
 import graft.dedup.Dedup
-import graft.gen.SampleData
+import graft.gen.{SampleData, Sampling}
 import graft.join.WindowJoin
 import graft.multimodal.Multimodal
 import graft.ops.{AsyncMap, RowOps, Tokenize, TweetJson}
@@ -123,6 +123,17 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2))),
+    "q_dedup_keep" -> ((s, d) =>
+      Dedup.applyClusters(Tables.documents(s, d),
+        Dedup.connectedComponents(
+          Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2)))),
+    // ---- training-data sampling -------------------------------------------
+    "q_hash_sample" -> ((s, d) =>
+      Sampling.hashSample(Tables.documents(s, d)
+        .select("doc_id", "n_chars"), "doc_id", 0.25)),
+    "q_train_test_split" -> ((s, d) =>
+      Sampling.trainTestSplit(Tables.documents(s, d)
+        .select("doc_id", "n_chars"), "doc_id", 0.1)),
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
@@ -474,6 +485,28 @@ object SparkEntry {
          |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.node = e.src
          |)
          |SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node""".stripMargin,
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE $duckLshPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |cc(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.node = e.src
+         |),
+         |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node)
+         |SELECT d.doc_id,
+         |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |       (c.cluster_id IS NULL OR d.doc_id = c.cluster_id) AS keep
+         |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin,
+    "q_hash_sample" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE substring(md5(cast(doc_id AS varchar)), 1, 8) < '${Sampling.thresholdHex(0.25)}'""".stripMargin,
+    "q_train_test_split" ->
+      s"""SELECT doc_id, n_chars,
+         |       CASE WHEN substring(md5(cast(doc_id AS varchar)), 1, 8) < '${Sampling.thresholdHex(0.1)}'
+         |            THEN 'test' ELSE 'train' END AS split
+         |FROM documents""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),

@@ -192,6 +192,17 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** Apply clustering to the corpus: every doc labeled with its cluster's
+    * canonical id (itself when unpaired) and a keep/drop decision — the
+    * final step of the dedup pipeline (keep one representative per
+    * near-dup component, drop the rest). One left join on doc_id. */
+  def applyClusters(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        (col("cluster_id").isNull || col("doc_id") === col("cluster_id")).as("keep"))
+
   /** n-gram Jaccard near-dup pairs via a capped inverted index: group
     * doc-ids per shingle (one shuffle), drop shingles in more than
     * `maxDf` docs (stop-shingle skew guard — also bounds the per-shingle

@@ -1,0 +1,39 @@
+package graft.gen
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the training-pipeline sampler.
+  *
+  * `sample(frac)`/`randomSplit` depend on partitioning and seed plumbing;
+  * a content-hash threshold depends only on the ROW ID, so the same doc
+  * lands in the same split on every run, every engine, every cluster
+  * size — the property stable train/test splits and incremental re-runs
+  * at 100 TB actually need. Fully map-side: no shuffle, no state.
+  *
+  * Mechanics: first 8 hex chars of md5(id) compared against a fixed-width
+  * hex threshold (lexicographic == numeric for fixed width) — exactly
+  * reproducible in any engine with md5. */
+object Sampling {
+
+  private def bucketHex(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 8)
+
+  /** Hex threshold string for a fraction of the 32-bit hash space. */
+  def thresholdHex(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1]: $fraction")
+    f"${math.floor(fraction * 4294967296.0).toLong.min(4294967295L)}%08x"
+  }
+
+  /** Keep ~`fraction` of rows, deterministically by id hash. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(bucketHex(col(idCol)) < lit(thresholdHex(fraction)))
+
+  /** Stable train/test labeling: rows below the threshold are 'test',
+    * the rest 'train' — disjoint, exhaustive, reproducible. */
+  def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double): DataFrame =
+    df.withColumn("split",
+      when(bucketHex(col(idCol)) < lit(thresholdHex(testFraction)), "test")
+        .otherwise("train"))
+}
