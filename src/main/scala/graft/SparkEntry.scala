@@ -70,6 +70,9 @@ object SparkEntry {
       Aggregations.windowSum(Tables.events(s, d), "ts_sec", "event_type", "value", 5L)),
     "q_session_sum" -> ((s, d) =>
       Aggregations.sessionSum(Tables.events(s, d), "ts_sec", "user_id", "value", 30L)),
+    "q_value_stats" -> ((s, d) =>
+      Aggregations.valueStats(Tables.events(s, d), "event_type", "value",
+        Seq(0.5, 0.9, 0.99))),
     "q_maxby" -> ((s, d) =>
       Aggregations.maxBy(Tables.events(s, d), "user_id", "value", "event_id")
         .withColumn("ts_us", expr("ts_ns div 1000"))
@@ -320,6 +323,12 @@ object SparkEntry {
         |SELECT user_id, min(t) AS session_start, max(t) + 30 AS session_end,
         |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
+    "q_value_stats" ->
+      """SELECT event_type, min(value) AS min_v,
+        |       quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.9) AS p90,
+        |       quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_maxby" ->
       """SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type, value, props
         |FROM (SELECT *, row_number() OVER (

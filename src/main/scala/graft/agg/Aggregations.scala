@@ -71,6 +71,20 @@ object Aggregations {
         unix_timestamp(col("w.end")).as("session_end"),
         col("sum_value"))
 
+  /** Per-key distribution statistics: exact interpolated percentiles +
+    * min/max — the data-quality profile a pipeline computes before
+    * filtering. `percentile` is Spark's EXACT sort-based implementation
+    * (deterministic, unlike approx_percentile) — one shuffle per key,
+    * sort within group. */
+  def valueStats(df: DataFrame, key: String, measure: String,
+                 ps: Seq[Double]): DataFrame = {
+    val pcts = ps.map(p =>
+      expr(s"percentile($measure, $p)").as(s"p${(p * 100).toInt}"))
+    df.groupBy(col(key))
+      .agg(min(col(measure)).as("min_v"), pcts: _*)
+      .select(col(key) +: (col("min_v") +: ps.map(p => col(s"p${(p * 100).toInt}"))): _*)
+  }
+
   /** A6 `maxBy` arg-max (`TopSpeedWindowing.scala:115`): the WHOLE record
     * holding the per-key max of `measure`. Ties broken by `tieBreak`
     * descending so the result is deterministic (Flink's maxBy keeps the

@@ -26,4 +26,12 @@ class SessionWindowSpec extends SparkSuite {
     assert(run((1L, 0L, 1.0), (2L, 5L, 2.0)) ===
       Seq((1L, 0L, 30L, 1.0), (2L, 5L, 35L, 2.0)))
   }
+
+  test("valueStats: exact interpolated percentiles, hand-computed") {
+    val df = (1 to 5).map(i => ("a", i.toDouble)).toDF("k", "v")
+    val r = Aggregations.valueStats(df, "k", "v", Seq(0.5, 0.9))
+      .as[(String, Double, Double, Double)].collect().head
+    // sorted [1..5]: p50 idx=2 -> 3.0; p90 idx=3.6 -> 4 + 0.6*(5-4) = 4.6
+    assert(r === (("a", 1.0, 3.0, 4.6)))
+  }
 }
