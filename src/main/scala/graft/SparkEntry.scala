@@ -157,6 +157,8 @@ object SparkEntry {
       Multimodal.metaOnly(Tables.documents(s, d))),
     "q_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(s, Tables.documents(s, d)).toDF()),
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(s, Tables.documents(s, d), nFrames = 4).toDF()),
   )
 
   /** DuckDB token-list fragment shared by the text/dedup oracles. */
@@ -601,5 +603,17 @@ object SparkEntry {
         |       (CASE WHEN length(text) > 0 THEN cast(ascii(substring(text, 1, 1)) AS double)/255.0 ELSE 0.0 END) AS feat0,
         |       (CASE WHEN length(text) > 1 THEN cast(ascii(substring(text, 2, 1)) AS double)/255.0 ELSE 0.0 END) AS feat1
         |FROM documents""".stripMargin,
+    // text is single-byte ascii, so character slicing == byte slicing
+    "q_frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, length(text) AS len,
+        |                  unnest(generate_series(0, 3)) AS frame_id
+        |           FROM documents),
+        |s AS (SELECT doc_id, cast(frame_id AS int) AS frame_id,
+        |             (frame_id * len) // 4 AS st, ((frame_id + 1) * len) // 4 AS en, text
+        |      FROM f)
+        |SELECT doc_id, frame_id, cast(en - st AS int) AS n_bytes,
+        |       cast(coalesce(list_sum(list_transform(generate_series(st + 1, en),
+        |              i -> ascii(substring(text, i, 1)))), 0) AS bigint) AS checksum
+        |FROM s""".stripMargin,
   )
 }

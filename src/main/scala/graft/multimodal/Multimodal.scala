@@ -99,6 +99,54 @@ object Multimodal {
       .select(col("doc_id"), col("meta.n_bytes").cast("bigint").as("n_bytes"),
         col("meta.origin").as("origin"), col("meta.lang_hint").as("lang_hint"))
 
+  /** One sampled "frame": a contiguous byte slice of the payload with
+    * its own length and checksum — the record shape a video/audio
+    * frame-sampling stage emits (one input row → nFrames output rows). */
+  case class Frame(doc_id: Long, frame_id: Int, n_bytes: Int, checksum: Long)
+
+  /** Frame sampling: split each payload into `nFrames` contiguous byte
+    * ranges (slice i = [i*len/n, (i+1)*len/n)) and emit one row per
+    * frame — the flatMap-shaped stage of a media pipeline (a real codec
+    * would decode the container and pick keyframes; the slicing/fan-out/
+    * checksum plumbing is identical). Map-side, zero shuffle. */
+  def frameSample(spark: SparkSession, documents: DataFrame,
+                  nFrames: Int): Dataset[Frame] = {
+    require(nFrames > 0, "nFrames must be positive")
+    import spark.implicits._
+    asBinaryTable(documents)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val len = bytes.length
+        (0 until nFrames).iterator.map { i =>
+          val start = i * len / nFrames
+          val end = (i + 1) * len / nFrames
+          var sum = 0L
+          var j = start
+          while (j < end) { sum += (bytes(j) & 0xff).toLong; j += 1 }
+          Frame(id, i, end - start, sum)
+        }
+      }
+  }
+
+  /** Resize stub: stride-`factor` byte downsampling (keep every factor-th
+    * byte) — stands in for image resize; the payload-in/payload-out
+    * transform plumbing is the real part. Deterministic, map-side. */
+  def resizeStub(spark: SparkSession, documents: DataFrame,
+                 factor: Int): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    import spark.implicits._
+    asBinaryTable(documents)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, bytes) =>
+        val out = new Array[Byte]((bytes.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i * factor); i += 1 }
+        (id, out)
+      }.toDF("doc_id", "payload")
+  }
+
   /** Partition-parallel decode: the real plumbing around the stub.
     * No shuffle; one decoder instance per partition (cheap init amortized
     * across the partition — the pattern a codec/model handle needs). */

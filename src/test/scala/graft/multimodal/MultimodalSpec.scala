@@ -46,6 +46,26 @@ class MultimodalSpec extends SparkSuite {
     assert(d.checksum === ('a'.toInt + 'b'.toInt).toLong)
   }
 
+  test("frameSample: n frames per payload, slices partition the bytes exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij", "s", "en", 10L, 10L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars", "n_tokens")
+    val frames = Multimodal.frameSample(spark, docs, 4).collect().sortBy(_.frame_id)
+    assert(frames.length === 4)
+    assert(frames.map(_.n_bytes).toSeq === Seq(2, 3, 2, 3)) // 10 bytes over 4 frames
+    assert(frames.map(_.n_bytes).sum === 10)
+    assert(frames.map(_.checksum).sum === "abcdefghij".map(_.toLong).sum)
+  }
+
+  test("resizeStub: stride downsampling keeps every factor-th byte") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdef", "s", "en", 6L, 6L))
+      .toDF("doc_id", "text", "source", "lang", "n_chars", "n_tokens")
+    val out = Multimodal.resizeStub(spark, docs, 2)
+      .as[(Long, Array[Byte])].collect().head
+    assert(new String(out._2) === "ace")
+  }
+
   test("decode pipeline runs partition-parallel over the documents table") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Multimodal.decodeFeatures(spark, docs).collect()
