@@ -44,9 +44,15 @@ object Tokenize {
       .agg(count(lit(1)).as("cnt"))
 
   /** R3 conditional fan-out: rows whose token set contains `needle`
-    * (case-insensitive) emit all their tokens uppercased. */
+    * (case-insensitive) emit all their tokens uppercased.
+    * Tokens are materialized once and the needle test selects the array
+    * (explode of an empty array drops the row) — a `filter` formulation
+    * would be pushed below the projection and re-run the tokenizer, and
+    * HOFs evaluate interpreted (see Dedup notes). */
   def conditionalFanout(df: DataFrame, textCol: String, needle: String): DataFrame =
-    df.filter(exists(words(col(textCol)), w => w === lit(needle.toLowerCase)))
-      .select(explode(words(col(textCol))).as("w"))
+    df.select(words(col(textCol)).as("tk"))
+      .select(when(exists(col("tk"), w => w === lit(needle.toLowerCase)), col("tk"))
+        .otherwise(array().cast("array<string>")).as("tk"))
+      .select(explode(col("tk")).as("w"))
       .select(upper(col("w")).as("word"))
 }
