@@ -139,6 +139,8 @@ object SparkEntry {
         .select("doc_id", "n_chars"), "doc_id", 0.1)),
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 2, maxDf = 20L, threshold = 0.5)),
     // ---- M7: similarity search ---------------------------------------------
@@ -168,9 +170,10 @@ object SparkEntry {
   private val DuckBigrams =
     "list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])"
 
-  /** SimHash oracle: 64-bit (16 hex nibbles, 4 bit-majority votes each),
-    * mirroring Dedup.simhash exactly (generated SQL). */
-  private def simhashOracle: String = {
+  /** SimHash CTE chain (64-bit: 16 hex nibbles, 4 bit-majority votes
+    * each), mirroring Dedup.simhash exactly — ends in a `sim(doc_id,
+    * simhash)` CTE shared by the fingerprint and pairing oracles. */
+  private def duckSimhashCtes: String = {
     val nibVals = (0 until 16).map(i =>
       s"(strpos('0123456789abcdef', substring(h, ${i + 1}, 1)) - 1) AS nv_$i")
       .mkString(",\n              ")
@@ -183,15 +186,44 @@ object SparkEntry {
         s"(CASE WHEN v_${i * 4 + j}*2 > n THEN ${1 << (3 - j)} ELSE 0 END)").mkString(" + ")
       s"substring('0123456789abcdef', 1 + $v, 1)"
     }.mkString(" ||\n       ")
-    s"""WITH tok AS (SELECT doc_id, unnest($DuckToks) AS t FROM documents),
+    s"""tok AS (SELECT doc_id, unnest($DuckToks) AS t FROM documents),
        |h AS (SELECT doc_id, md5(t) AS h FROM tok),
        |nv AS (SELECT doc_id,
        |              $nibVals
        |       FROM h),
        |v AS (SELECT doc_id, count(*) AS n,
        |              $votes
-       |       FROM nv GROUP BY doc_id)
-       |SELECT doc_id, $nibChars AS simhash FROM v""".stripMargin
+       |       FROM nv GROUP BY doc_id),
+       |sim AS (SELECT doc_id, $nibChars AS simhash FROM v)""".stripMargin
+  }
+
+  private def simhashOracle: String =
+    s"""WITH $duckSimhashCtes
+       |SELECT doc_id, simhash FROM sim""".stripMargin
+
+  /** SimHash pairing oracle: 4-band blocking + exact Hamming distance,
+    * mirroring Dedup.simhashPairs (bucket cap included). */
+  private def simhashPairsOracle: String = {
+    val ham = "list_sum(list_transform(generate_series(1, 16), i -> " +
+      "bit_count(xor(strpos('0123456789abcdef', substring(a.simhash, i, 1)) - 1, " +
+      "strpos('0123456789abcdef', substring(b.simhash, i, 1)) - 1))))"
+    val bands = (0 until 4).map(b =>
+      s"SELECT '$b:' || substring(simhash, ${b * 4 + 1}, 4) AS band_key, doc_id, simhash FROM sim")
+      .mkString("\n          UNION ALL ")
+    s"""WITH $duckSimhashCtes,
+       |bands AS ($bands),
+       |ok AS (SELECT band_key FROM bands
+       |       GROUP BY band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                a.simhash AS sa, b.simhash AS sb
+       |         FROM bands a JOIN bands b
+       |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |         JOIN ok ON a.band_key = ok.band_key)
+       |SELECT doc_a, doc_b, cast(hamming AS int) AS hamming
+       |FROM (SELECT doc_a, doc_b,
+       |             ${ham.replace("a.simhash", "sa").replace("b.simhash", "sb")} AS hamming
+       |      FROM cand) t
+       |WHERE hamming <= 3""".stripMargin
   }
 
   /** Shared CTE chain producing the MinHash-LSH candidate pairs (used by
@@ -519,6 +551,7 @@ object SparkEntry {
          |            THEN 'test' ELSE 'train' END AS split
          |FROM documents""".stripMargin,
     "q_simhash" -> simhashOracle,
+    "q_simhash_pairs" -> simhashPairsOracle,
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |sh0 AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),

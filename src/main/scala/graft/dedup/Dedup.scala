@@ -192,6 +192,42 @@ object Dedup {
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
+    * 16-bit nibble groups; docs sharing any band are candidates (by the
+    * pigeonhole principle this has FULL recall for Hamming distance <= 3:
+    * at most 3 differing bits cannot touch all 4 bands), then the exact
+    * Hamming distance filters. Same single-pass bucket/pair shape as
+    * minhashLshPairs, same maxBucket skew guard. */
+  def simhashPairs(df: DataFrame, maxHamming: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    val sh = simhash(df)
+    val bandKeys = array((0 until 4).map(b =>
+      concat(lit(b.toString), lit(":"), col("simhash").substr(b * 4 + 1, 4))): _*)
+    val pairs = sh
+      .select(col("doc_id"), col("simhash"), explode(bandKeys).as("band_key"))
+      .groupBy("band_key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("items"), (a, i) =>
+        transform(slice(col("items"), i + 2, size(col("items"))), b =>
+          struct(a.getField("doc_id").as("doc_a"),
+            b.getField("doc_id").as("doc_b"),
+            a.getField("simhash").as("sh_a"),
+            b.getField("simhash").as("sh_b")))))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      .distinct()
+    val hamming = (0 until 16).map { i =>
+      bit_count(
+        conv(col("sh_a").substr(i + 1, 1), 16, 10).cast("int")
+          .bitwiseXOR(conv(col("sh_b").substr(i + 1, 1), 16, 10).cast("int")))
+    }.reduce[Column](_ + _)
+    pairs
+      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Apply clustering to the corpus: every doc labeled with its cluster's
     * canonical id (itself when unpaired) and a keep/drop decision — the
     * final step of the dedup pipeline (keep one representative per

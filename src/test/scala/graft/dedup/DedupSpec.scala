@@ -71,6 +71,14 @@ class DedupSpec extends SparkSuite {
     assert(cc.forall(_._2 == 1L) && cc.length === 15)
   }
 
+  test("simhash pairs: identical docs at hamming 0; disjoint docs not paired") {
+    val d = docs("alpha beta gamma delta", "alpha beta gamma delta",
+      "zz yy xx ww vv uu tt ss")
+    val pairs = Dedup.simhashPairs(d)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(pairs === Seq((0L, 1L, 0)))
+  }
+
   test("ngram jaccard: hand-computed overlap, threshold respected") {
     // doc0: shingles {a b, b c, c d}; doc1: {a b, b c, c x}
     // jaccard = 2 / (3 + 3 - 2) = 0.5
