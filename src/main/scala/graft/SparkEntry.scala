@@ -150,6 +150,9 @@ object SparkEntry {
       Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, planes = 4)),
     "q_ivf_topk" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, nlist = 16)),
+    "q_ivf_probe2" -> ((s, d) =>
+      Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, nlist = 16,
+        nprobe = 2)),
     // threshold 0.4 is this synthetic corpus's near-dup operating point
     // (max pairwise cosine ~0.51); production near-dup uses 0.9+.
     "q_embed_neardup" -> ((s, d) =>
@@ -605,6 +608,23 @@ object SparkEntry {
          |q AS (SELECT vec_id AS query_id, v AS qv, list FROM a WHERE vec_id < 10),
          |s AS (SELECT query_id, a.vec_id AS neighbor_id, ${duckCos("qv", "a.v")} AS cos_sim
          |      FROM a JOIN q USING (list) WHERE a.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
+         |WHERE rn <= 5""".stripMargin,
+    "q_ivf_probe2" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |a0 AS (SELECT e.vec_id, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS csim
+         |       FROM e CROSS JOIN c),
+         |r AS (SELECT vec_id, v, cid, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM a0),
+         |corpus AS (SELECT vec_id, v, cid AS list FROM r WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cid AS list FROM r
+         |      WHERE vec_id < 10 AND rn <= 2),
+         |s AS (SELECT query_id, corpus.vec_id AS neighbor_id, ${duckCos("qv", "corpus.v")} AS cos_sim
+         |      FROM corpus JOIN q USING (list) WHERE corpus.vec_id <> query_id)
          |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
          |FROM (SELECT *, row_number() OVER (
          |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t

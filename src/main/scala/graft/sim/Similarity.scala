@@ -136,23 +136,26 @@ object Similarity {
     * assignment is one shuffle on vec_id; the probe join shuffles on the
     * list id whose cardinality (nlist) is a scale knob exactly like
     * `planes`. */
-  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int): DataFrame = {
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int,
+              nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, $nlist]")
     val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cents = v.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("csim").desc, col("cid"))
-    val assigned = v.join(broadcast(cents))
+    // every vector ranked against every centroid: rank 1 = its list
+    // (corpus assignment); ranks 1..nprobe = the lists a QUERY probes
+    val ranked = v.join(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"),
         cosine(col("v"), col("cv")).as("csim"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid").as("list"))
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("q"), col("list"))
-    val scored = assigned
-      .select(col("vec_id").as("neighbor_id"), col("v"), col("list"))
+    val corpus = ranked.filter(col("rn") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("cid").as("list"))
+    val queries = ranked.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("q"), col("cid").as("list"))
+    val scored = corpus
       .join(broadcast(queries), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -27,6 +27,19 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("IVF nprobe=2 recall is >= nprobe=1 (results move toward brute force)") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val brute = Similarity.bruteForceTopK(emb, 5, 3)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.ivfTopK(emb, 5, 3, nlist = 8, nprobe = nprobe)
+        .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+      got.count(brute.contains).toDouble / brute.size
+    }
+    assert(recall(2) >= recall(1))
+    assert(recall(8) === 1.0) // probing every list IS brute force
+  }
+
   test("IVF with more lists probes fewer candidates but keeps exact cosines") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ivf = Similarity.ivfTopK(emb, nQueries = 5, k = 3, nlist = 8)
