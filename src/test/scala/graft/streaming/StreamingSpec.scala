@@ -96,6 +96,22 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("K3 streaming file sink: checkpointed parquet output round-trips") {
+    val base = java.nio.file.Files.createTempDirectory("graft-fsink").toString
+    val ms = mem[(Long, String)]
+    val q = ms.toDF().toDF("id", "v").writeStream
+      .format("parquet").option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode("append").start()
+    withQuery(q) {
+      ms.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      ms.addData((3L, "c")); q.processAllAvailable()
+      val got = spark.read.parquet(s"$base/data")
+        .as[(Long, String)].collect().toSet
+      assert(got === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    }
+  }
+
   test("streaming exact dedup: dropDuplicates holds state across micro-batches") {
     val ms = mem[(Long, String)]
     val q = ms.toDF().toDF("doc_id", "text").dropDuplicates("doc_id")
