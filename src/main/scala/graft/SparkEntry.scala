@@ -153,6 +153,11 @@ object SparkEntry {
     "q_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, nlist = 16,
         nprobe = 2)),
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.annRecall(
+        Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5),
+        Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, planes = 4),
+        k = 5)),
     // threshold 0.4 is this synthetic corpus's near-dup operating point
     // (max pairwise cosine ~0.51); production near-dup uses 0.9+.
     "q_embed_neardup" -> ((s, d) =>
@@ -248,6 +253,37 @@ object SparkEntry {
        |              FROM bands a JOIN bands b
        |                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |              JOIN ok ON a.band = ok.band AND a.band_key = ok.band_key)""".stripMargin
+
+  /** Brute-force / LSH top-k oracle queries — full statements, reused as
+    * CTE bodies by the recall oracle. */
+  private def duckBruteTopK: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (SELECT query_id, e.vec_id AS neighbor_id,
+      |             list_reduce(list_transform(list_zip(qv, e.v), p -> p[1]*p[2]), (x,y) -> x+y)
+      |             / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+      |                * sqrt(list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y))) AS cos_sim
+      |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+      |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
+      |WHERE rn <= 5""".stripMargin
+
+  private def duckLshTopK: String =
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+       |           FROM embeddings),
+       |wb AS (SELECT vec_id, v, cast(${duckLshBucket("v", 4)} AS bigint) AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM wb WHERE vec_id < 10),
+       |s AS (SELECT query_id, wb.vec_id AS neighbor_id,
+       |             list_reduce(list_transform(list_zip(qv, wb.v), p -> p[1]*p[2]), (x,y) -> x+y)
+       |             / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
+       |                * sqrt(list_reduce(list_transform(wb.v, x -> x*x), (x,y) -> x+y))) AS cos_sim
+       |      FROM wb JOIN q ON wb.bucket = q.bucket AND wb.vec_id <> q.query_id)
+       |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
+       |WHERE rn <= 5""".stripMargin
 
   /** DuckDB cosine of two double-list columns — the same strict
     * left-to-right fold as Similarity.cosine (bit-identical doubles). */
@@ -568,33 +604,16 @@ object SparkEntry {
          |SELECT doc_a, doc_b, cast(i AS double) / (sa.sz + sb.sz - i) AS jaccard
          |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE cast(i AS double) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
-    "q_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
-        |           FROM embeddings),
-        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-        |s AS (SELECT query_id, e.vec_id AS neighbor_id,
-        |             list_reduce(list_transform(list_zip(qv, e.v), p -> p[1]*p[2]), (x,y) -> x+y)
-        |             / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
-        |                * sqrt(list_reduce(list_transform(e.v, x -> x*x), (x,y) -> x+y))) AS cos_sim
-        |      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
-        |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
-        |FROM (SELECT *, row_number() OVER (
-        |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
-        |WHERE rn <= 5""".stripMargin,
-    "q_lsh_topk" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
-         |           FROM embeddings),
-         |wb AS (SELECT vec_id, v, cast(${duckLshBucket("v", 4)} AS bigint) AS bucket FROM e),
-         |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM wb WHERE vec_id < 10),
-         |s AS (SELECT query_id, wb.vec_id AS neighbor_id,
-         |             list_reduce(list_transform(list_zip(qv, wb.v), p -> p[1]*p[2]), (x,y) -> x+y)
-         |             / (sqrt(list_reduce(list_transform(qv, x -> x*x), (x,y) -> x+y))
-         |                * sqrt(list_reduce(list_transform(wb.v, x -> x*x), (x,y) -> x+y))) AS cos_sim
-         |      FROM wb JOIN q ON wb.bucket = q.bucket AND wb.vec_id <> q.query_id)
-         |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
-         |FROM (SELECT *, row_number() OVER (
-         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
-         |WHERE rn <= 5""".stripMargin,
+    "q_cosine_topk" -> duckBruteTopK,
+    "q_lsh_topk" -> duckLshTopK,
+    "q_ann_recall" ->
+      s"""WITH brute AS ($duckBruteTopK),
+         |ap AS ($duckLshTopK)
+         |SELECT b.query_id,
+         |       cast(count(a.neighbor_id) AS double) / 5.0 AS recall
+         |FROM brute b LEFT JOIN ap a
+         |  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
     "q_ivf_topk" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
          |           FROM embeddings),

@@ -54,6 +54,20 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_sim", "rank")
   }
 
+  /** ANN quality measurement: per-query recall of an approximate top-k
+    * result against the brute-force ground truth ("measure, don't
+    * guess" — recall is a first-class pipeline signal, not a guess).
+    * Both inputs share the (query_id, neighbor_id, …, rank) shape. */
+  def annRecall(groundTruth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val a = approx.select(col("query_id").as("a_qid"),
+      col("neighbor_id").as("a_nid"))
+    groundTruth.select(col("query_id"), col("neighbor_id"))
+      .join(a, col("query_id") === col("a_qid") &&
+        col("neighbor_id") === col("a_nid"), "left")
+      .groupBy(col("query_id"))
+      .agg((count(col("a_nid")).cast("double") / k).as("recall"))
+  }
+
   /** Deterministic ±1 "random" hyperplane component for (plane i, dim j):
     * an LCG over the flattened index — reproducible in ANSI SQL, no RNG
     * state, no broadcast of plane matrices. */
