@@ -156,8 +156,7 @@ object SparkEntry {
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(
         Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5),
-        Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, planes = 4),
-        k = 5)),
+        Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, planes = 4))),
     // threshold 0.4 is this synthetic corpus's near-dup operating point
     // (max pairwise cosine ~0.51); production near-dup uses 0.9+.
     "q_embed_neardup" -> ((s, d) =>
@@ -293,14 +292,16 @@ object SparkEntry {
       s" * sqrt(list_reduce(list_transform($b, x -> x*x), (x,y) -> x+y)))"
 
   /** LSH bucket oracle fragment for vector column `v` (generated SQL):
-    * same LCG hyperplane signs as Similarity.planeSign. */
-  private def duckLshBucket(v: String, planes: Int): String =
+    * the SAME precomputed sign literals as Similarity.planeSigns. */
+  private def duckLshBucket(v: String, planes: Int): String = {
+    val signs = Similarity.planeSigns(planes)
     (0 until planes).map { i =>
+      val sl = signs(i).map(s => if (s > 0) "1.0" else "-1.0").mkString(", ")
       val proj = s"list_reduce(list_transform(generate_series(1, 64), j -> " +
-        s"$v[j] * (CASE WHEN ((1103515245*(${i}*64 + (j-1)) + 12345) % 2147483648) % 2 = 0 " +
-        s"THEN 1.0 ELSE -1.0 END)), (x, y) -> x + y)"
+        s"$v[j] * (list_value($sl)[j])), (x, y) -> x + y)"
       s"(CASE WHEN $proj >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
+  }
 
   /** DuckDB VALUES list of the embedded tweet fixture docs (the fixture
     * is constant, so the oracle embeds the same strings — they contain no
@@ -610,7 +611,7 @@ object SparkEntry {
       s"""WITH brute AS ($duckBruteTopK),
          |ap AS ($duckLshTopK)
          |SELECT b.query_id,
-         |       cast(count(a.neighbor_id) AS double) / 5.0 AS recall
+         |       cast(count(a.neighbor_id) AS double) / count(*) AS recall
          |FROM brute b LEFT JOIN ap a
          |  ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
          |GROUP BY b.query_id""".stripMargin,
@@ -657,11 +658,13 @@ object SparkEntry {
          |           FROM embeddings),
          |wb AS (SELECT vec_id, v, cast(${duckLshBucket("v", 4)} AS bigint) AS bucket,
          |              sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS nrm
-         |       FROM e)
+         |       FROM e),
+         |ok AS (SELECT bucket FROM wb GROUP BY bucket HAVING count(*) <= 100000)
          |SELECT vec_a, vec_b, cos_sim
          |FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |             $dotIdx / (a.nrm * b.nrm) AS cos_sim
-         |      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) p
+         |      FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |      JOIN ok ON a.bucket = ok.bucket) p
          |WHERE cos_sim >= 0.4""".stripMargin
     },
     "q_multimodal_meta" ->

@@ -46,7 +46,10 @@ object PipelineMain {
     val a = Args(args)
     val spark = GraftSession.build("training-data-pipeline")
     val docs = Tables.documents(spark, a.getOrElse("data", "/root/testdata/sf0.001"))
+    // persisted: count, the split histogram, and the write would each
+    // re-run the joins + dedup stages otherwise
     val out = run(docs, a.getOrElse("testFraction", "0.1").toDouble)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val total = docs.count()
     val kept = out.count()
     val by = out.groupBy("split").count().collect()
@@ -56,6 +59,7 @@ object PipelineMain {
       out.write.mode("overwrite").partitionBy("split").parquet(dir)
       println(s"[pipeline] wrote $dir (partitioned by split)")
     }
+    out.unpersist()
     spark.stop()
   }
 }

@@ -107,6 +107,9 @@ object Dedup {
     * Returns distinct (doc_a < doc_b) pairs. */
   def minhashLshPairs(df: DataFrame, n: Int, k: Int, rowsPerBand: Int,
                       maxBucket: Int = 1000): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k=$k must be a multiple of rowsPerBand=$rowsPerBand (trailing " +
+        "signature columns would be silently ignored)")
     val nBands = k / rowsPerBand
     val bandKeys = array((0 until nBands).map { b =>
       concat_ws("|",

@@ -33,7 +33,8 @@ object Sampling {
   /** Stable train/test labeling: rows below the threshold are 'test',
     * the rest 'train' — disjoint, exhaustive, reproducible. */
   def trainTestSplit(df: DataFrame, idCol: String, testFraction: Double): DataFrame =
-    df.withColumn("split",
+    if (testFraction >= 1.0) df.withColumn("split", lit("test"))
+    else df.withColumn("split",
       when(bucketHex(col(idCol)) < lit(thresholdHex(testFraction)), "test")
         .otherwise("train"))
 }

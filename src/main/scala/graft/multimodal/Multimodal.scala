@@ -49,7 +49,10 @@ object Multimodal {
       if (b.length >= 30 && b(0) == 'B' && b(1) == 'M')
         Some(Info("bmp", i32le(b, 18), i32le(b, 22), 1, 0, u16le(b, 28)))
       else if (b.length >= 36 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
-        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')
+        b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+        // canonical layout only: 'fmt ' must be the first chunk, else the
+        // fixed offsets would read garbage (JUNK/LIST-first files → None)
+        b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ')
         Some(Info("wav", 0, 0, u16le(b, 22), i32le(b, 24), u16le(b, 34)))
       else None
     }
@@ -119,8 +122,9 @@ object Multimodal {
       .flatMap { case (id, bytes) =>
         val len = bytes.length
         (0 until nFrames).iterator.map { i =>
-          val start = i * len / nFrames
-          val end = (i + 1) * len / nFrames
+          // Long arithmetic: i*len overflows Int for GB-scale payloads
+          val start = (i.toLong * len / nFrames).toInt
+          val end = ((i + 1).toLong * len / nFrames).toInt
           var sum = 0L
           var j = start
           while (j < end) { sum += (bytes(j) & 0xff).toLong; j += 1 }

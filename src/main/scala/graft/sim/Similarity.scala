@@ -33,6 +33,17 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Shared per-query top-k: rank by cosine desc with neighbor-id
+    * tiebreak — ONE definition so brute/LSH/IVF can never diverge. */
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+  }
+
   /** Brute-force cosine top-k: every query vector (vec_id < nQueries —
     * a deterministic stand-in for a user-provided query set) against the
     * whole corpus. The query side is tiny → broadcast; the corpus streams
@@ -46,45 +57,48 @@ object Similarity {
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q"), col("v")).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    topK(scored, k)
   }
 
   /** ANN quality measurement: per-query recall of an approximate top-k
     * result against the brute-force ground truth ("measure, don't
     * guess" — recall is a first-class pipeline signal, not a guess).
     * Both inputs share the (query_id, neighbor_id, …, rank) shape. */
-  def annRecall(groundTruth: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+  def annRecall(groundTruth: DataFrame, approx: DataFrame): DataFrame = {
     val a = approx.select(col("query_id").as("a_qid"),
       col("neighbor_id").as("a_nid"))
     groundTruth.select(col("query_id"), col("neighbor_id"))
       .join(a, col("query_id") === col("a_qid") &&
         col("neighbor_id") === col("a_nid"), "left")
       .groupBy(col("query_id"))
-      .agg((count(col("a_nid")).cast("double") / k).as("recall"))
+      // divide by the PER-QUERY ground-truth size, not a constant k —
+      // a small corpus can have fewer than k true neighbors
+      .agg((count(col("a_nid")).cast("double") / count(lit(1))).as("recall"))
   }
 
-  /** Deterministic ±1 "random" hyperplane component for (plane i, dim j):
-    * an LCG over the flattened index — reproducible in ANSI SQL, no RNG
-    * state, no broadcast of plane matrices. */
-  private def planeSign(i: Int, j: Column): Column = {
-    val x = lit(i.toLong * 64L) + j
-    when(pmod(lit(1103515245L) * x + lit(12345L), lit(2147483648L)) % 2 === 0, 1.0)
-      .otherwise(-1.0)
+  /** Deterministic ±1 hyperplane sign matrix, precomputed with a proper
+    * 64-bit LCG (state evolves; bit 32 is taken — NOT the low bit of a
+    * stateless mod-2^31 step, whose parity is a pure function of input
+    * parity and makes every plane identical). The signs are embedded as
+    * literals in both the Spark plan and the generated oracle SQL. */
+  def planeSigns(planes: Int, dim: Int = 64): Array[Array[Double]] = {
+    var s = 20260812L
+    Array.fill(planes, dim) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      if (((s >>> 32) & 1L) == 0L) 1.0 else -1.0
+    }
   }
 
   /** Random-hyperplane LSH bucket id (`planes` bits) of an embedding. */
-  def lshBucket(v: Column, planes: Int): Column =
+  def lshBucket(v: Column, planes: Int): Column = {
+    val signs = planeSigns(planes)
     (0 until planes).map { i =>
-      val proj = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, j) => x * planeSign(i, j)),
+      val sv = array(signs(i).map(lit): _*)
+      val proj = aggregate(zip_with(v, sv, (x, sg) => x * sg),
         lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce[Column](_ + _)
+  }
 
   /** Embedding-cosine near-duplicate pairs: bucket the corpus by
     * hyperplane signs, then score all pairs WITHIN each bucket with a
@@ -106,7 +120,7 @@ object Similarity {
     * loss at high thresholds is minimal. Output ids ordered
     * (vec_a < vec_b); arithmetic is left-folded to match the oracle. */
   def embeddingNearDupPairs(embeddings: DataFrame, planes: Int,
-                            threshold: Double): DataFrame = {
+                            threshold: Double, maxBucket: Int = 100000): DataFrame = {
     import embeddings.sparkSession.implicits._
     embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -115,8 +129,11 @@ object Similarity {
       .as[(Long, Long, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (_, it) =>
-        val items = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
-        val n = items.length
+        // maxBucket skew guard (mirrored in the oracle): a degenerate
+        // bucket would otherwise buffer unboundedly and go quadratic
+        val items = it.map(t => (t._2, t._3.toArray))
+          .take(maxBucket + 1).toArray.sortBy(_._1)
+        val n = if (items.length > maxBucket) 0 else items.length
         val norms = new Array[Double](n)
         var i = 0
         while (i < n) {
@@ -174,12 +191,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q"), col("v")).as("cos_sim"))
-    val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(wk))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    topK(scored, k)
   }
 
   /** LSH-bucketed ANN: queries only compare against corpus vectors in the
@@ -197,11 +209,6 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q"), col("v")).as("cos_sim"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos_sim", "rank")
+    topK(scored, k)
   }
 }
