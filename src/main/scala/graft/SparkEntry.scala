@@ -72,7 +72,7 @@ object SparkEntry {
       Aggregations.sessionSum(Tables.events(s, d), "ts_sec", "user_id", "value", 30L)),
     "q_value_stats" -> ((s, d) =>
       Aggregations.valueStats(Tables.events(s, d), "event_type", "value",
-        Seq(0.5, 0.9, 0.99))),
+        ValueStatsPs)),
     "q_maxby" -> ((s, d) =>
       Aggregations.maxBy(Tables.events(s, d), "user_id", "value", "event_id")
         .withColumn("ts_us", expr("ts_ns div 1000"))
@@ -169,6 +169,41 @@ object SparkEntry {
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(s, Tables.documents(s, d), nFrames = 4).toDF()),
   )
+
+  /** Percentile fractions for q_value_stats — ONE definition feeding both
+    * the Spark query and the generated oracle (shared-constant hygiene:
+    * a drifted literal cannot silently break parity). */
+  private val ValueStatsPs = Seq(0.5, 0.9, 0.99)
+
+  /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
+    * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
+    * measures), rank r = 1 + p·(n−1), interpolate between the bins
+    * holding order statistics ⌊r⌋ and ⌈r⌉. Every double op appears in
+    * the same order as the Spark expression so results are bit-identical. */
+  private def valueStatsOracle(ps: Seq[Double]): String = {
+    val names = ps.map(p => s"p${math.round(p * 100)}")
+    def rank(p: Double) = s"(1.0 + $p * cast(n - 1 AS double))"
+    val brackets = ps.zip(names).map { case (p, nm) =>
+      s"min(CASE WHEN cum >= floor(${rank(p)}) THEN bin END) AS lo_$nm,\n" +
+        s"       min(CASE WHEN cum >= ceil(${rank(p)}) THEN bin END) AS hi_$nm"
+    }.mkString(",\n       ")
+    val outs = ps.zip(names).map { case (p, nm) =>
+      s"(lo_$nm + (${rank(p)} - floor(${rank(p)})) * (hi_$nm - lo_$nm)) / 100.0 AS $nm"
+    }.mkString(",\n       ")
+    s"""WITH h AS (SELECT event_type, cast(round(value * 100) AS bigint) AS bin,
+       |                  count(*) AS cnt, min(value) AS measure_min
+       |           FROM events GROUP BY 1, 2),
+       |c AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |             sum(cnt) OVER (PARTITION BY event_type) AS n
+       |      FROM h),
+       |a AS (SELECT event_type, min(measure_min) AS min_v, max(n) AS n,
+       |       $brackets
+       |      FROM c GROUP BY event_type)
+       |SELECT event_type, min_v,
+       |       $outs
+       |FROM a""".stripMargin
+  }
 
   /** DuckDB token-list fragment shared by the text/dedup oracles. */
   private val DuckToks =
@@ -397,12 +432,7 @@ object SparkEntry {
         |SELECT user_id, min(t) AS session_start, max(t) + 30 AS session_end,
         |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM s GROUP BY user_id, sid""".stripMargin,
-    "q_value_stats" ->
-      """SELECT event_type, min(value) AS min_v,
-        |       quantile_cont(value, 0.5) AS p50,
-        |       quantile_cont(value, 0.9) AS p90,
-        |       quantile_cont(value, 0.99) AS p99
-        |FROM events GROUP BY event_type""".stripMargin,
+    "q_value_stats" -> valueStatsOracle(ValueStatsPs),
     "q_maxby" ->
       """SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type, value, props
         |FROM (SELECT *, row_number() OVER (

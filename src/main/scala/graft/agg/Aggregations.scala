@@ -72,17 +72,51 @@ object Aggregations {
         col("sum_value"))
 
   /** Per-key distribution statistics: exact interpolated percentiles +
-    * min/max — the data-quality profile a pipeline computes before
-    * filtering. `percentile` is Spark's EXACT sort-based implementation
-    * (deterministic, unlike approx_percentile) — one shuffle per key,
-    * sort within group. */
+    * min — the data-quality profile a pipeline computes before filtering.
+    *
+    * Formulated as a FIXED-BIN HISTOGRAM, not Spark's `percentile`: that
+    * TypedImperativeAggregate buffers every value of a group in memory,
+    * which OOMs an executor when one key holds billions of rows. The
+    * measure carries 2 fractional digits, so `round(measure*100)` is an
+    * EXACT integer bin — counting bins then interpolating between the two
+    * bracketing order statistics reproduces `percentile`'s linear
+    * interpolation exactly, with per-group state bounded by the value
+    * DOMAIN (bins), not the row count.
+    *
+    * Plan shape: one partial-agg shuffle on (key, bin), one shuffle on
+    * key for the cumulative window (sort-based, spillable), and the final
+    * per-key agg reuses that partitioning — no third exchange.
+    *
+    * Interpolation (mirrors the DuckDB oracle op-for-op so doubles stay
+    * bit-identical): rank r = 1 + p·(n−1); result = (lo + (r−⌊r⌋)·(hi−lo))
+    * / 100 where lo/hi are the bins holding order statistics ⌊r⌋/⌈r⌉. */
   def valueStats(df: DataFrame, key: String, measure: String,
                  ps: Seq[Double]): DataFrame = {
-    val pcts = ps.map(p =>
-      expr(s"percentile($measure, $p)").as(s"p${(p * 100).toInt}"))
-    df.groupBy(col(key))
-      .agg(min(col(measure)).as("min_v"), pcts: _*)
-      .select(col(key) +: (col("min_v") +: ps.map(p => col(s"p${(p * 100).toInt}"))): _*)
+    // math.round, not toInt: (0.29*100).toInt == 28 under floating point
+    val names = ps.map(p => s"p${math.round(p * 100)}")
+    require(names.distinct == names, s"percentile labels collide: $names")
+    val hist = df
+      .groupBy(col(key), round(col(measure) * 100).cast("bigint").as("bin"))
+      .agg(count(lit(1)).as("cnt"), min(col(measure)).as("measure_min"))
+    val wCum = Window.partitionBy(col(key)).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(key))))
+    def rank(p: Double): Column =
+      lit(1.0) + lit(p) * (col("n") - lit(1L)).cast("double")
+    val brackets = ps.zip(names).flatMap { case (p, nm) =>
+      Seq(min(when(col("cum") >= floor(rank(p)), col("bin"))).as(s"lo_$nm"),
+          min(when(col("cum") >= ceil(rank(p)), col("bin"))).as(s"hi_$nm"))
+    }
+    val agged = cum.groupBy(col(key))
+      .agg(min(col("measure_min")).as("min_v"), (max(col("n")).as("n") +: brackets): _*)
+    val outs = ps.zip(names).map { case (p, nm) =>
+      val r = rank(p)
+      ((col(s"lo_$nm") + (r - floor(r)) * (col(s"hi_$nm") - col(s"lo_$nm"))) / 100.0)
+        .as(nm)
+    }
+    agged.select(col(key) +: col("min_v") +: outs: _*)
   }
 
   /** A6 `maxBy` arg-max (`TopSpeedWindowing.scala:115`): the WHOLE record

@@ -24,6 +24,13 @@ object GraftSession {
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Let AQE size post-shuffle partitions by bytes (64 MB advisory)
+      // instead of pinning them to parallelism: a tiny reduce side (the
+      // CC label loop, dimension aggs) collapses to a handful of tasks
+      // rather than `cpus` near-empty ones, and at cluster scale the
+      // byte target is the right sizing anyway. This is the setting the
+      // Spark tuning guide recommends turning off.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -170,22 +170,33 @@ object Similarity {
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int,
               nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, $nlist]")
+    import embeddings.sparkSession.implicits._
     val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents = v.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("cid"))
-    // every vector ranked against every centroid: rank 1 = its list
-    // (corpus assignment); ranks 1..nprobe = the lists a QUERY probes
-    val ranked = v.join(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cid"),
-        cosine(col("v"), col("cv")).as("csim"))
-      .withColumn("rn", row_number().over(w))
-    val corpus = ranked.filter(col("rn") === 1)
-      .select(col("vec_id").as("neighbor_id"), col("v"), col("cid").as("list"))
-    val queries = ranked.filter(col("vec_id") < nQueries && col("rn") <= nprobe)
-      .select(col("vec_id").as("query_id"), col("v").as("q"), col("cid").as("list"))
+    // The centroid table is tiny (nlist rows) and always driver-held in
+    // IVF designs — collect it once and embed as an array literal, so
+    // corpus list assignment is a pure MAP-SIDE arg-max over the vector's
+    // centroid similarities. The previous formulation ranked via
+    // row_number() over an N×nlist join, forcing a sort-exchange of 16×
+    // the corpus volume (r2 verdict #3); this one adds no exchange at all
+    // before the probe join's own shuffle.
+    val cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val centLit = array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+    // per-centroid (csim, -cid) structs: the array MAX is lexicographic —
+    // highest csim, then smallest cid — exactly ORDER BY csim DESC, cid
+    // of the oracle's rank-1 row; the ascending SORT reversed gives the
+    // full ranking for the query side's 1..nprobe probe lists.
+    def scoredCents(vec: Column): Column = transform(centLit, c =>
+      struct(cosine(vec, c.getField("cv")).as("csim"),
+        (-c.getField("cid")).as("ncid")))
+    val corpus = v.select(col("vec_id").as("neighbor_id"), col("v"),
+      (-array_max(scoredCents(col("v"))).getField("ncid")).as("list"))
+    val queries = v.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("q"),
+        explode(slice(reverse(array_sort(scoredCents(col("v")))), 1, nprobe)).as("c"))
+      .select(col("query_id"), col("q"), (-col("c.ncid")).as("list"))
     val scored = corpus
       .join(broadcast(queries), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -71,6 +71,24 @@ class DedupSpec extends SparkSuite {
     assert(cc.forall(_._2 == 1L) && cc.length === 15)
   }
 
+  test("connected components: multi-level contraction path == single-pass result") {
+    // Force the recursive contraction branch with a 2-edges-per-partition
+    // budget: components spanning many partitions must still collapse to
+    // their global min, and settled components must survive composition.
+    // Graph: long path 1..10, triangle 20-21-22, isolated pair 30-31.
+    val edges = (1L until 10L).map(i => (i, i + 1)) ++
+      Seq((20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L))
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val expected = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val multi = Dedup.connectedComponents(pairs, edgesPerPartition = 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(expected ===
+      ((1L to 10L).map(_ -> 1L) ++ Seq(20L -> 20L, 21L -> 20L, 22L -> 20L,
+        30L -> 30L, 31L -> 30L)).toMap)
+    assert(multi === expected)
+  }
+
   test("simhash pairs: identical docs at hamming 0; disjoint docs not paired") {
     val d = docs("alpha beta gamma delta", "alpha beta gamma delta",
       "zz yy xx ww vv uu tt ss")
