@@ -81,6 +81,71 @@ object Relational {
       .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
         .cast("double").as("revenue"))
 
+  /** TPC-H Q10 returned-item reporting (trimmed to the synthetic schema:
+    * no address/phone/comment columns; no LIMIT — top-k with ties is not
+    * hash-checkable): revenue lost per customer on returned lineitems in
+    * one quarter. Shape: two fact filters push to the scans, the
+    * orders⋈lineitem shuffle carries 2-3 columns, customer join is left
+    * to AQE (scales with SF), nation is always-broadcast. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val nat = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q12-shaped shipping-priority audit. The synthetic lineitem has
+    * no shipmode/commitdate/receiptdate, so this preserves Q12's ESSENCE —
+    * fact-fact join + conditional counting of order priorities per
+    * lineitem class — grouping by l_returnflag over one ship-year.
+    * Both counts come from one pass (a single partial-agg shuffle). */
+  def q12(spark: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1).otherwise(0)).as("high_line_count"),
+        sum(when(high, 0).otherwise(1)).as("low_line_count"))
+  }
+
+  /** TPC-H Q18 large-volume customers (no LIMIT): the having-subquery
+    * shape — orders whose total quantity exceeds a threshold, rejoined to
+    * customer detail. The subquery is one partial-agg shuffle on
+    * l_orderkey; its survivors are a small frame AQE broadcasts at low SF
+    * and shuffle-joins at scale. */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"))
+      .filter(col("sq") > 250)
+      .select(col("l_orderkey").as("big_orderkey"))
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    li.join(big, col("l_orderkey") === col("big_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+  }
+
   /** TPC-H Q5-ish local-supplier revenue per nation: only the genuinely
     * tiny dimension chain region→nation (5 / 25 rows at every SF) is
     * explicitly broadcast; customer/supplier join selection is left to
