@@ -144,6 +144,18 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d))),
+    "q_simhash_pairs8" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 7, bands = 8)),
+    // cross-modality dedup agreement: the doc corpus and embedding corpus
+    // share ids in the testdata, so the three near-dup methods are
+    // directly comparable pair-set by pair-set
+    "q_dedup_agreement" -> ((s, d) =>
+      Dedup.pairAgreement(
+        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2),
+        Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 7, bands = 8),
+        Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4,
+          threshold = 0.4)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 2, maxDf = 20L, threshold = 0.5)),
     // ---- M7: similarity search ---------------------------------------------
@@ -246,30 +258,37 @@ object SparkEntry {
     s"""WITH $duckSimhashCtes
        |SELECT doc_id, simhash FROM sim""".stripMargin
 
-  /** SimHash pairing oracle: 4-band blocking + exact Hamming distance,
-    * mirroring Dedup.simhashPairs (bucket cap included). */
-  private def simhashPairsOracle: String = {
+  /** SimHash band/pair CTE chain over the `sim` CTE, parameterized by
+    * band count (full recall for Hamming <= bands-1) and prefixed so it
+    * composes with the MinHash and embedding chains in one statement.
+    * Ends in `<p>pairs(doc_a, doc_b, hamming)`. */
+  private def duckSimhashPairCtes(bands: Int, maxHamming: Int, p: String): String = {
+    val w = 16 / bands
     val ham = "list_sum(list_transform(generate_series(1, 16), i -> " +
-      "bit_count(xor(strpos('0123456789abcdef', substring(a.simhash, i, 1)) - 1, " +
-      "strpos('0123456789abcdef', substring(b.simhash, i, 1)) - 1))))"
-    val bands = (0 until 4).map(b =>
-      s"SELECT '$b:' || substring(simhash, ${b * 4 + 1}, 4) AS band_key, doc_id, simhash FROM sim")
+      "bit_count(xor(strpos('0123456789abcdef', substring(sa, i, 1)) - 1, " +
+      "strpos('0123456789abcdef', substring(sb, i, 1)) - 1))))"
+    val bandSel = (0 until bands).map(b =>
+      s"SELECT '$b:' || substring(simhash, ${b * w + 1}, $w) AS band_key, doc_id, simhash FROM sim")
       .mkString("\n          UNION ALL ")
-    s"""WITH $duckSimhashCtes,
-       |bands AS ($bands),
-       |ok AS (SELECT band_key FROM bands
+    s"""${p}bands AS ($bandSel),
+       |${p}ok AS (SELECT band_key FROM ${p}bands
        |       GROUP BY band_key HAVING count(*) BETWEEN 2 AND 1000),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                a.simhash AS sa, b.simhash AS sb
-       |         FROM bands a JOIN bands b
+       |         FROM ${p}bands a JOIN ${p}bands b
        |           ON a.band_key = b.band_key AND a.doc_id < b.doc_id
-       |         JOIN ok ON a.band_key = ok.band_key)
-       |SELECT doc_a, doc_b, cast(hamming AS int) AS hamming
-       |FROM (SELECT doc_a, doc_b,
-       |             ${ham.replace("a.simhash", "sa").replace("b.simhash", "sb")} AS hamming
-       |      FROM cand) t
-       |WHERE hamming <= 3""".stripMargin
+       |         JOIN ${p}ok ON a.band_key = ${p}ok.band_key),
+       |${p}pairs AS (SELECT doc_a, doc_b, cast(hamming AS int) AS hamming
+       |      FROM (SELECT doc_a, doc_b, $ham AS hamming FROM ${p}cand) t
+       |      WHERE hamming <= $maxHamming)""".stripMargin
   }
+
+  /** SimHash pairing oracle, mirroring Dedup.simhashPairs (band blocking
+    * + exact Hamming distance, bucket cap included). */
+  private def simhashPairsOracle(bands: Int, maxHamming: Int): String =
+    s"""WITH $duckSimhashCtes,
+       |${duckSimhashPairCtes(bands, maxHamming, "sp_")}
+       |SELECT doc_a, doc_b, hamming FROM sp_pairs""".stripMargin
 
   /** Shared CTE chain producing the MinHash-LSH candidate pairs (used by
     * the pairs oracle and, under WITH RECURSIVE, the clustering oracle). */
@@ -654,7 +673,41 @@ object SparkEntry {
          |            THEN 'test' ELSE 'train' END AS split
          |FROM documents""".stripMargin,
     "q_simhash" -> simhashOracle,
-    "q_simhash_pairs" -> simhashPairsOracle,
+    "q_simhash_pairs" -> simhashPairsOracle(4, 3),
+    "q_simhash_pairs8" -> simhashPairsOracle(8, 7),
+    "q_dedup_agreement" -> {
+      val dotIdx = "list_reduce(list_transform(generate_series(1, 64), " +
+        "i -> a.v[i] * b.v[i]), (x, y) -> x + y)"
+      s"""WITH $duckLshPairCtes,
+         |$duckSimhashCtes,
+         |${duckSimhashPairCtes(8, 7, "sp_")},
+         |e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |      FROM embeddings),
+         |wb AS (SELECT vec_id, v, cast(${duckLshBucket("v", 4)} AS bigint) AS bucket,
+         |              sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS nrm
+         |       FROM e),
+         |eok AS (SELECT bucket FROM wb GROUP BY bucket HAVING count(*) <= 100000),
+         |em_pairs AS (SELECT doc_a, doc_b
+         |       FROM (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |                    $dotIdx / (a.nrm * b.nrm) AS cos_sim
+         |             FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |             JOIN eok ON a.bucket = eok.bucket) p
+         |       WHERE cos_sim >= 0.4),
+         |j1 AS (SELECT doc_a, doc_b, in_mh, in_sh
+         |       FROM (SELECT doc_a, doc_b, 1 AS in_mh FROM lsh_pairs) m
+         |       FULL JOIN (SELECT doc_a, doc_b, 1 AS in_sh FROM sp_pairs) s2
+         |         USING (doc_a, doc_b)),
+         |j2 AS (SELECT doc_a, doc_b, in_mh, in_sh, in_em
+         |       FROM j1 FULL JOIN (SELECT doc_a, doc_b, 1 AS in_em FROM em_pairs) e2
+         |         USING (doc_a, doc_b))
+         |SELECT count(in_mh) AS n_minhash, count(in_sh) AS n_simhash,
+         |       count(in_em) AS n_embed,
+         |       count(CASE WHEN in_mh = 1 AND in_sh = 1 THEN 1 END) AS n_mh_sh,
+         |       count(CASE WHEN in_mh = 1 AND in_em = 1 THEN 1 END) AS n_mh_em,
+         |       count(CASE WHEN in_sh = 1 AND in_em = 1 THEN 1 END) AS n_sh_em,
+         |       count(CASE WHEN in_mh = 1 AND in_sh = 1 AND in_em = 1 THEN 1 END) AS n_all
+         |FROM j2""".stripMargin
+    },
     "q_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |sh0 AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),

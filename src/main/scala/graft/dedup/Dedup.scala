@@ -273,18 +273,23 @@ object Dedup {
     out.toDF("doc_id", "cluster_id")
   }
 
-  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into 4
-    * 16-bit nibble groups; docs sharing any band are candidates (by the
-    * pigeonhole principle this has FULL recall for Hamming distance <= 3:
-    * at most 3 differing bits cannot touch all 4 bands), then the exact
-    * Hamming distance filters. Same single-pass bucket/pair shape as
+  /** SimHash near-duplicate pairs: band the 64-bit fingerprint into
+    * `bands` equal hex-digit groups; docs sharing any band are candidates
+    * (by the pigeonhole principle this has FULL recall for Hamming
+    * distance <= bands-1: that many differing bits cannot touch every
+    * band), then the exact Hamming distance filters. More bands buy
+    * recall at the cost of coarser (larger) buckets — 4 bands covers
+    * Hamming <= 3, 8 bands <= 7. Same single-pass bucket/pair shape as
     * minhashLshPairs, same maxBucket skew guard. */
   def simhashPairs(df: DataFrame, maxHamming: Int = 3,
-                   maxBucket: Int = 1000): DataFrame = {
-    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+                   maxBucket: Int = 1000, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 16 % bands == 0, s"bands=$bands must divide the 16 hex digits")
+    require(maxHamming < bands,
+      s"$bands-band blocking only guarantees recall for hamming <= ${bands - 1}")
+    val w = 16 / bands
     val sh = simhash(df)
-    val bandKeys = array((0 until 4).map(b =>
-      concat(lit(b.toString), lit(":"), col("simhash").substr(b * 4 + 1, 4))): _*)
+    val bandKeys = array((0 until bands).map(b =>
+      concat(lit(b.toString), lit(":"), col("simhash").substr(b * w + 1, w))): _*)
     val pairs = sh
       .select(col("doc_id"), col("simhash"), explode(bandKeys).as("band_key"))
       .groupBy("band_key")
@@ -319,6 +324,34 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         (col("cluster_id").isNull || col("doc_id") === col("cluster_id")).as("keep"))
+
+  /** Cross-modality dedup agreement — the "measure, don't guess" signal
+    * for near-dup pipelines: given three candidate pair sets over the
+    * same corpus ids (lexical MinHash-LSH, bitwise SimHash, and
+    * embedding-cosine), report each method's pair count and every
+    * intersection size in ONE row. Low pairwise agreement flags a method
+    * (or threshold) that is out of tune before anyone deletes data.
+    *
+    * Inputs must share the (doc_a, doc_b) normalized-pair shape
+    * (doc_a < doc_b). Two coalescing full outer joins on the pair key,
+    * then a single global aggregate — at 100 TB the joins shuffle only
+    * the pair sets (tiny next to the corpus) and the aggregate is one
+    * partial-agg reduction. */
+  def pairAgreement(mh: DataFrame, sh: DataFrame, em: DataFrame): DataFrame =
+    mh.select(col("doc_a"), col("doc_b"), lit(1).as("in_mh"))
+      .join(sh.select(col("doc_a"), col("doc_b"), lit(1).as("in_sh")),
+        Seq("doc_a", "doc_b"), "full")
+      .join(em.select(col("doc_a"), col("doc_b"), lit(1).as("in_em")),
+        Seq("doc_a", "doc_b"), "full")
+      .agg(
+        count(col("in_mh")).as("n_minhash"),
+        count(col("in_sh")).as("n_simhash"),
+        count(col("in_em")).as("n_embed"),
+        count(when(col("in_mh") === 1 && col("in_sh") === 1, 1)).as("n_mh_sh"),
+        count(when(col("in_mh") === 1 && col("in_em") === 1, 1)).as("n_mh_em"),
+        count(when(col("in_sh") === 1 && col("in_em") === 1, 1)).as("n_sh_em"),
+        count(when(col("in_mh") === 1 && col("in_sh") === 1 &&
+          col("in_em") === 1, 1)).as("n_all"))
 
   /** n-gram Jaccard near-dup pairs via a capped inverted index: group
     * doc-ids per shingle (one shuffle), drop shingles in more than

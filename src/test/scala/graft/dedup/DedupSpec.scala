@@ -89,6 +89,28 @@ class DedupSpec extends SparkSuite {
     assert(multi === expected)
   }
 
+  test("simhash pairs: 8-band candidates cover everything 4-band finds") {
+    // pigeonhole: 8 bands guarantee recall to hamming 7 ⊇ hamming ≤ 3,
+    // so the 4-band pair set must be a subset of the 8-band one
+    val d = docs("alpha beta gamma delta", "alpha beta gamma delta",
+      "alpha beta gamma x", "alpha beta y x", "zz yy xx ww vv uu")
+    val p4 = Dedup.simhashPairs(d)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val p8 = Dedup.simhashPairs(d, maxHamming = 7, bands = 8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(p4.subsetOf(p8))
+    assert(p8.contains((0L, 1L)))
+  }
+
+  test("pair agreement: hand-computed counts over three pair sets") {
+    val mh = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val sh = Seq((1L, 2L), (3L, 4L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val em = Seq((1L, 2L), (9L, 10L)).toDF("doc_a", "doc_b")
+    val r = Dedup.pairAgreement(mh, sh, em)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(r === ((3L, 3L, 2L, 2L, 1L, 1L, 1L)))
+  }
+
   test("simhash pairs: identical docs at hamming 0; disjoint docs not paired") {
     val d = docs("alpha beta gamma delta", "alpha beta gamma delta",
       "zz yy xx ww vv uu tt ss")
