@@ -1,9 +1,10 @@
 package graft.state
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** W3–W5: GlobalWindow + TimeEvictor(10 s) + DeltaTrigger(50 m) arg-max —
   * the one genuinely custom stateful operator in the reference
@@ -25,17 +26,16 @@ object TopSpeed {
   case class CarEvent(carId: Int, speed: Int, distance: Double, time: Long)
   case class CarState(buffer: List[CarEvent], lastFired: Double)
 
-  /** Streaming/typed implementation, usable on both bounded and unbounded
-    * `Dataset[CarEvent]`. Events within a group are processed in `time`
-    * order (micro-batch granularity: the loop fires as many times as the
-    * data demands — SURVEY.md §7.4(3)). */
-  def topSpeedStateFn(evictionMs: Long, triggerMeters: Double)(
-      carId: Int, events: Iterator[CarEvent], state: GroupState[CarState]): Iterator[CarEvent] = {
-    val prev = state.getOption.getOrElse(CarState(Nil, 0.0))
+  /** The state-machine core shared by BOTH state APIs (the
+    * flatMapGroupsWithState path and the transformWithState processor):
+    * fold a time-ordered slice of one car's events into (next state,
+    * emissions). Pure function — the two runtimes can never diverge. */
+  def advance(prev: CarState, events: Seq[CarEvent], evictionMs: Long,
+              triggerMeters: Double): (CarState, Seq[CarEvent]) = {
     var buffer = prev.buffer
     var lastFired = prev.lastFired
     val out = scala.collection.mutable.ArrayBuffer.empty[CarEvent]
-    events.toSeq.sortBy(e => (e.time, e.distance)).foreach { e =>
+    events.sortBy(e => (e.time, e.distance)).foreach { e =>
       buffer = e :: buffer
       if (e.distance - lastFired >= triggerMeters) {
         val horizon = buffer.map(_.time).max - evictionMs
@@ -44,7 +44,18 @@ object TopSpeed {
         lastFired = e.distance                     // DeltaTrigger reset
       }
     }
-    state.update(CarState(buffer, lastFired))
+    (CarState(buffer, lastFired), out.toSeq)
+  }
+
+  /** Streaming/typed implementation, usable on both bounded and unbounded
+    * `Dataset[CarEvent]`. Events within a group are processed in `time`
+    * order (micro-batch granularity: the loop fires as many times as the
+    * data demands — SURVEY.md §7.4(3)). */
+  def topSpeedStateFn(evictionMs: Long, triggerMeters: Double)(
+      carId: Int, events: Iterator[CarEvent], state: GroupState[CarState]): Iterator[CarEvent] = {
+    val (next, out) = advance(state.getOption.getOrElse(CarState(Nil, 0.0)),
+      events.toSeq, evictionMs, triggerMeters)
+    state.update(next)
     out.iterator
   }
 
@@ -56,6 +67,42 @@ object TopSpeed {
     ds.groupByKey(_.carId)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
         topSpeedStateFn(evictionMs, triggerMeters))
+  }
+
+  /** The same operator on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`) —
+    * the forward-looking runtime with per-state-variable storage, TTL and
+    * timer support. Wraps the SAME `advance` core, so
+    * `TopSpeedSpec`/`StreamingSpec` can assert both APIs emit identically.
+    * Streaming runs require the RocksDB state store provider. */
+  class TopSpeedProcessor(evictionMs: Long, triggerMeters: Double)
+      extends StatefulProcessor[Int, CarEvent, CarEvent] {
+    @transient private var state: ValueState[CarState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[CarState]("topSpeedState",
+        Encoders.product[CarState], TTLConfig.NONE)
+    override def handleInputRows(carId: Int, rows: Iterator[CarEvent],
+                                 timerValues: TimerValues): Iterator[CarEvent] = {
+      val prev = Option(state.get()).getOrElse(CarState(Nil, 0.0))
+      val (next, out) = advance(prev, rows.toSeq, evictionMs, triggerMeters)
+      state.update(next)
+      out.iterator
+    }
+  }
+
+  /** `run`'s twin on the v2 state API. */
+  def runTws(ds: Dataset[CarEvent], evictionMs: Long = 10000L,
+             triggerMeters: Double = 50.0): Dataset[CarEvent] = {
+    import ds.sparkSession.implicits._
+    // BATCH transformWithState still loads a real state store, whose
+    // snapshot reporting needs the StateStoreCoordinator RPC endpoint —
+    // created only when the StreamingQueryManager initializes. Touching
+    // `streams` bootstraps it; without this a pure-batch session fails
+    // with CANNOT_LOAD_STATE_STORE / RpcEndpointNotFoundException.
+    ds.sparkSession.streams
+    ds.groupByKey(_.carId)
+      .transformWithState(new TopSpeedProcessor(evictionMs, triggerMeters),
+        TimeMode.None(), OutputMode.Update)
   }
 
   /** Deterministic CarEvent derivation from the events table (FIXTURES.md

@@ -59,4 +59,25 @@ class TopSpeedSpec extends SparkSuite {
     assert(out1.nonEmpty)
     assert(out1 === out2) // deterministic across runs
   }
+
+  test("transformWithState (v2 state API) emits identically to flatMapGroupsWithState") {
+    // hand cases + the derived pipeline: both runtimes wrap the same
+    // `advance` core, and this pins that neither runtime's plumbing
+    // (state codec, batch operator) perturbs emissions
+    val hand = Seq(
+      CarEvent(0, 30, 10.0, 0L), CarEvent(0, 50, 30.0, 1000L),
+      CarEvent(0, 40, 55.0, 2000L), CarEvent(0, 60, 80.0, 3000L),
+      CarEvent(0, 20, 110.0, 4000L), CarEvent(1, 10, 60.0, 0L))
+    val v1 = TopSpeed.run(hand.toDS()).collect().toSeq.sortBy(e => (e.carId, e.time))
+    val v2 = TopSpeed.runTws(hand.toDS()).collect().toSeq.sortBy(e => (e.carId, e.time))
+    assert(v2 === v1)
+
+    val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    val ce = TopSpeed.carEvents(events, 10)
+      .selectExpr("carId", "cast(speed as int) as speed", "distance", "time")
+      .as[CarEvent]
+    val p1 = TopSpeed.run(ce).collect().toSeq.sortBy(e => (e.carId, e.time))
+    val p2 = TopSpeed.runTws(ce).collect().toSeq.sortBy(e => (e.carId, e.time))
+    assert(p2 === p1 && p1.nonEmpty)
+  }
 }

@@ -38,6 +38,66 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("A4 exact per-record replay: ordered golden sequence from ONE micro-batch") {
+    import graft.state.RunningCount
+    // the same extraction the batch oracle uses yields the word arrivals
+    // in tweet order; numbering them makes the interleaved emission order
+    // assertable after the key shuffle — no one-record-per-batch crutch
+    val words = TweetJson.englishWords(TweetJson.fixtureDf(spark), "json")
+      .as[String].collect()
+    val arrivals = words.zipWithIndex.map { case (w, i) =>
+      RunningCount.WordIn(i.toLong, w)
+    }
+    val ms = mem[RunningCount.WordIn]
+    val q = RunningCount.run(ms.toDS()).writeStream.format("memory")
+      .queryName("rc_golden").outputMode("update").start()
+    withQuery(q) {
+      ms.addData(arrivals.toSeq: _*) // ALL records in one micro-batch
+      q.processAllAvailable()
+      val got = spark.table("rc_golden").as[RunningCount.WordOut].collect()
+        .sortBy(_.seq).map(o => (o.word, o.cnt)).toSeq
+      // the reference's exact per-record emission order
+      // (TwitterExampleData.java:28): one update per input occurrence
+      assert(got === Seq("apache" -> 1L, "flink" -> 1L, "apache" -> 2L,
+        "flink" -> 2L, "apache" -> 3L, "flink" -> 3L))
+      // counts keep rising across batches: state carries over
+      ms.addData(RunningCount.WordIn(100L, "apache"))
+      q.processAllAvailable()
+      val last = spark.table("rc_golden").as[RunningCount.WordOut]
+        .collect().maxBy(_.seq)
+      assert(last === RunningCount.WordOut(100L, "apache", 4L))
+    }
+  }
+
+  test("transformWithState TopSpeed twin streams on RocksDB == batch emissions") {
+    val events = Seq(
+      CarEvent(0, 30, 10.0, 0L), CarEvent(0, 50, 30.0, 1000L),
+      CarEvent(0, 40, 55.0, 2000L), CarEvent(0, 60, 80.0, 3000L),
+      CarEvent(0, 20, 110.0, 4000L), CarEvent(1, 10, 60.0, 0L))
+    val batch = TopSpeed.run(events.toDS()).collect().toSeq
+      .sortBy(e => (e.carId, e.time))
+    // the v2 state API requires the RocksDB provider when streaming
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = mem[CarEvent]
+      val q = TopSpeed.runTws(ms.toDS()).writeStream.format("memory")
+        .queryName("tws_topspeed").outputMode("update").start()
+      withQuery(q) {
+        events.grouped(2).foreach { g => ms.addData(g: _*); q.processAllAvailable() }
+        val got = spark.table("tws_topspeed").as[CarEvent].collect().toSeq
+          .sortBy(e => (e.carId, e.time))
+        assert(got === batch)
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("A5/W1/W6 watermarked tumbling window agg: streaming emissions == batch result") {
     val data = Seq((0L, "a", 1.0), (1L, "a", 2.0), (6L, "b", 3.0))
     def shape(df: DataFrame): DataFrame =
