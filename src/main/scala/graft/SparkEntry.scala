@@ -90,7 +90,7 @@ object SparkEntry {
     "q_topspeed_state" -> ((s, d) => {
       import s.implicits._
       val ce = TopSpeed.carEvents(Tables.events(s, d), 10)
-        .selectExpr("carId", "cast(speed as int) as speed", "distance", "time")
+        .selectExpr("carId", "cast(speed as int) as speed", "distance", "time", "seq")
         .as[TopSpeed.CarEvent]
       TopSpeed.run(ce).toDF()
         .select(col("carId").as("car_id"), col("speed"),
@@ -125,14 +125,17 @@ object SparkEntry {
     "q_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(Tables.documents(s, d), n = 2, k = 6)),
     "q_minhash_lsh_pairs" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2)),
+      Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
+        maxBucket = LshMaxBucket)),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
-        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2))),
+        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
+        maxBucket = LshMaxBucket))),
     "q_dedup_keep" -> ((s, d) =>
       Dedup.applyClusters(Tables.documents(s, d),
         Dedup.connectedComponents(
-          Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2)))),
+          Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
+        maxBucket = LshMaxBucket)))),
     // ---- training-data sampling -------------------------------------------
     "q_hash_sample" -> ((s, d) =>
       Sampling.hashSample(Tables.documents(s, d)
@@ -143,18 +146,21 @@ object SparkEntry {
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d))),
+      Dedup.simhashPairs(Tables.documents(s, d), maxBucket = LshMaxBucket)),
     "q_simhash_pairs8" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 7, bands = 8)),
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 7,
+        maxBucket = LshMaxBucket, bands = 8)),
     // cross-modality dedup agreement: the doc corpus and embedding corpus
     // share ids in the testdata, so the three near-dup methods are
     // directly comparable pair-set by pair-set
     "q_dedup_agreement" -> ((s, d) =>
       Dedup.pairAgreement(
-        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2),
-        Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 7, bands = 8),
+        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
+        maxBucket = LshMaxBucket),
+        Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 7,
+        maxBucket = LshMaxBucket, bands = 8),
         Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4,
-          threshold = 0.4)
+          threshold = 0.4, maxBucket = EmbedMaxBucket)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 2, maxDf = 20L, threshold = 0.5)),
@@ -175,20 +181,29 @@ object SparkEntry {
     // threshold 0.4 is this synthetic corpus's near-dup operating point
     // (max pairwise cosine ~0.51); production near-dup uses 0.9+.
     "q_embed_neardup" -> ((s, d) =>
-      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4, threshold = 0.4)),
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4,
+        threshold = 0.4, maxBucket = EmbedMaxBucket)),
     // ---- M7: multimodal columns --------------------------------------------
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metaOnly(Tables.documents(s, d))),
     "q_multimodal_decode" -> ((s, d) =>
       Multimodal.decodeFeatures(s, Tables.documents(s, d)).toDF()),
     "q_frame_sample" -> ((s, d) =>
-      Multimodal.frameSample(s, Tables.documents(s, d), nFrames = 4).toDF()),
+      Multimodal.frameSample(s, Tables.documents(s, d), nFrames = FrameCount).toDF()),
   )
 
   /** Percentile fractions for q_value_stats — ONE definition feeding both
     * the Spark query and the generated oracle (shared-constant hygiene:
     * a drifted literal cannot silently break parity). */
   private val ValueStatsPs = Seq(0.5, 0.9, 0.99)
+
+  /** LSH/SimHash band-bucket skew cap and the embedding near-dup bucket
+    * cap — single definitions interpolated into BOTH the Spark calls and
+    * the generated oracle SQL (a drifted literal cannot silently break
+    * parity — r2 ADVICE). */
+  private val LshMaxBucket = 1000
+  private val EmbedMaxBucket = 100000
+  private val FrameCount = 4
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -272,7 +287,7 @@ object SparkEntry {
       .mkString("\n          UNION ALL ")
     s"""${p}bands AS ($bandSel),
        |${p}ok AS (SELECT band_key FROM ${p}bands
-       |       GROUP BY band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |       GROUP BY band_key HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
        |${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                a.simhash AS sa, b.simhash AS sb
        |         FROM ${p}bands a JOIN ${p}bands b
@@ -304,7 +319,7 @@ object SparkEntry {
        |          UNION ALL SELECT 1, mh_2 || '|' || mh_3, doc_id FROM sig
        |          UNION ALL SELECT 2, mh_4 || '|' || mh_5, doc_id FROM sig),
        |ok AS (SELECT band, band_key FROM bands
-       |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND 1000),
+       |       GROUP BY band, band_key HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
        |lsh_pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |              FROM bands a JOIN bands b
        |                ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -686,7 +701,7 @@ object SparkEntry {
          |wb AS (SELECT vec_id, v, cast(${duckLshBucket("v", 4)} AS bigint) AS bucket,
          |              sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS nrm
          |       FROM e),
-         |eok AS (SELECT bucket FROM wb GROUP BY bucket HAVING count(*) <= 100000),
+         |eok AS (SELECT bucket FROM wb GROUP BY bucket HAVING count(*) <= $EmbedMaxBucket),
          |em_pairs AS (SELECT doc_a, doc_b
          |       FROM (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
          |                    $dotIdx / (a.nrm * b.nrm) AS cos_sim
@@ -775,7 +790,7 @@ object SparkEntry {
          |wb AS (SELECT vec_id, v, cast(${duckLshBucket("v", 4)} AS bigint) AS bucket,
          |              sqrt(list_reduce(list_transform(v, x -> x*x), (x, y) -> x + y)) AS nrm
          |       FROM e),
-         |ok AS (SELECT bucket FROM wb GROUP BY bucket HAVING count(*) <= 100000)
+         |ok AS (SELECT bucket FROM wb GROUP BY bucket HAVING count(*) <= $EmbedMaxBucket)
          |SELECT vec_a, vec_b, cos_sim
          |FROM (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |             $dotIdx / (a.nrm * b.nrm) AS cos_sim
@@ -796,11 +811,11 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // text is single-byte ascii, so character slicing == byte slicing
     "q_frame_sample" ->
-      """WITH f AS (SELECT doc_id, text, length(text) AS len,
-        |                  unnest(generate_series(0, 3)) AS frame_id
+      s"""WITH f AS (SELECT doc_id, text, length(text) AS len,
+        |                  unnest(generate_series(0, ${FrameCount - 1})) AS frame_id
         |           FROM documents),
         |s AS (SELECT doc_id, cast(frame_id AS int) AS frame_id,
-        |             (frame_id * len) // 4 AS st, ((frame_id + 1) * len) // 4 AS en, text
+        |             (frame_id * len) // $FrameCount AS st, ((frame_id + 1) * len) // $FrameCount AS en, text
         |      FROM f)
         |SELECT doc_id, frame_id, cast(en - st AS int) AS n_bytes,
         |       cast(coalesce(list_sum(list_transform(generate_series(st + 1, en),

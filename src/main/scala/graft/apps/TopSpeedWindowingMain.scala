@@ -32,7 +32,7 @@ object TopSpeedWindowingMain {
       .select(
         (col("value") % cars).cast("int").as("carId"),
         (col("value") / cars).cast("double").as("tick"),
-        col("timestamp"))
+        col("timestamp"), col("value"))
       .select(
         col("carId"),
         (lit(50.0) + lit(30.0) * sin(col("tick") / 10 + col("carId")))
@@ -41,7 +41,8 @@ object TopSpeedWindowingMain {
         ((lit(50.0) * col("tick")
           - lit(300.0) * cos(col("tick") / 10 + col("carId"))
           + lit(300.0) * cos(col("carId"))) / 36.0).as("distance"),
-        unix_millis(col("timestamp")).as("time"))
+        unix_millis(col("timestamp")).as("time"),
+        col("value").as("seq"))
 
   def main(args: Array[String]): Unit = {
     val a = Args(args)
@@ -59,7 +60,7 @@ object TopSpeedWindowingMain {
     } else {
       val ce = TopSpeed.carEvents(
         Tables.events(spark, a.getOrElse("data", "/root/testdata/sf0.001")), cars)
-        .selectExpr("carId", "cast(speed as int) as speed", "distance", "time")
+        .selectExpr("carId", "cast(speed as int) as speed", "distance", "time", "seq")
         .as[TopSpeed.CarEvent]
       Sinks.print(TopSpeed.run(ce).toDF())
       spark.stop()

@@ -38,11 +38,15 @@ object Sinks {
   def consoleStream(df: DataFrame, mode: String): DataStreamWriter[Row] =
     df.writeStream.format("console").outputMode(mode)
 
-  /** K2 streaming: per-batch stderr writer via foreachBatch. */
-  def stderrStream(df: DataFrame, mode: String): DataStreamWriter[Row] =
+  /** K2 streaming: per-batch stderr writer via foreachBatch. `maxRows`
+    * caps what each batch collects to the driver (mirroring printToErr's
+    * take(n)) — without it one fat micro-batch could OOM the driver of a
+    * long-running demo. */
+  def stderrStream(df: DataFrame, mode: String,
+                   maxRows: Int = 1000): DataStreamWriter[Row] =
     df.writeStream.outputMode(mode).foreachBatch {
       (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
-        toLines(batch.toDF()).collect()
+        toLines(batch.toDF()).take(maxRows)
           .foreach(r => System.err.println(s"[batch $id] ${r.getString(0)}"))
     }
 }

@@ -23,7 +23,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object TopSpeed {
 
-  case class CarEvent(carId: Int, speed: Int, distance: Double, time: Long)
+  /** `seq` is a per-car monotone arrival number (event_id for derived
+    * events, the rate counter for the simulator): it totalizes the
+    * processing order when `time` (ms-truncated) and `distance` tie —
+    * e.g. zero-speed events inside one millisecond — keeping the state
+    * machine's order identical to the oracle's (ts_us, event_id) sort
+    * (r2 ADVICE). Speeds must be non-negative so distance is monotone
+    * in arrival order. */
+  case class CarEvent(carId: Int, speed: Int, distance: Double, time: Long,
+                      seq: Long)
   case class CarState(buffer: List[CarEvent], lastFired: Double)
 
   /** The state-machine core shared by BOTH state APIs (the
@@ -35,12 +43,19 @@ object TopSpeed {
     var buffer = prev.buffer
     var lastFired = prev.lastFired
     val out = scala.collection.mutable.ArrayBuffer.empty[CarEvent]
-    events.sortBy(e => (e.time, e.distance)).foreach { e =>
+    // (time, distance, seq): distance carries the sub-millisecond arrival
+    // order (it is a cumulative sum in arrival order), seq settles
+    // zero-speed ties — together this reproduces the oracle's
+    // (ts_us, event_id) processing order exactly
+    events.sortBy(e => (e.time, e.distance, e.seq)).foreach { e =>
       buffer = e :: buffer
       if (e.distance - lastFired >= triggerMeters) {
         val horizon = buffer.map(_.time).max - evictionMs
         buffer = buffer.filter(_.time >= horizon) // TimeEvictor, pre-fire
-        out += buffer.maxBy(b => (b.speed, b.time)) // arg-max, stable tie
+        // arg-max tie chain mirrors the oracle's ORDER BY speed DESC,
+        // time DESC, rn DESC: among equal (speed, time), the latest
+        // arrival — whose distance is maximal — is emitted
+        out += buffer.maxBy(b => (b.speed, b.time, b.distance, b.seq))
         lastFired = e.distance                     // DeltaTrigger reset
       }
     }
@@ -129,7 +144,8 @@ object TopSpeed {
       .withColumn("distance",
         sum(round(col("speed") * 100).cast("long")).over(w) / 360.0)
       .select(col("carId"), col("speed").as("speed"), col("distance"),
-        expr("ts_us div 1000").as("time"), col("event_id"))
+        expr("ts_us div 1000").as("time"), col("event_id"),
+        col("event_id").as("seq"))
   }
 
   /** Batch/oracle reformulation: per (carId, floor(distance/trigger))

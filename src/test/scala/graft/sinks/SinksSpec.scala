@@ -23,6 +23,23 @@ class SinksSpec extends SparkSuite {
     assert(parts === 1) // K4: sink parallelism 1
   }
 
+  test("K2 stderrStream caps per-batch driver collection at maxRows") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val baos = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(baos, true))
+    try {
+      val ms = MemoryStream[Long](spark)
+      val q = Sinks.stderrStream(ms.toDF(), "append", maxRows = 5).start()
+      try {
+        ms.addData(1L to 100L: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally System.setErr(realErr)
+    val lines = baos.toString.split("\n").count(_.startsWith("[batch"))
+    assert(lines === 5) // 100-row batch, 5-row cap
+  }
+
   test("toLines prints NULL fields as 'null' with stable arity (Tuple.toString parity)") {
     val lines = Sinks.toLines(
       Seq((1L, Option.empty[String]), (2L, Some("x"))).toDF("id", "v"))

@@ -16,35 +16,35 @@ class TopSpeedSpec extends SparkSuite {
 
   test("steady travel: fires at >=50m since last firing, emits buffered max speed") {
     val e = Seq(
-      CarEvent(0, 30, 10.0, 0L),
-      CarEvent(0, 50, 30.0, 1000L),
-      CarEvent(0, 40, 55.0, 2000L),  // 55-0  >= 50 → fire, max speed in buffer = 50 @1000
-      CarEvent(0, 60, 80.0, 3000L),  // 80-55 = 25 → no fire
-      CarEvent(0, 20, 110.0, 4000L)) // 110-55 >= 50 → fire, max speed = 60 @3000
-    assert(run(e) === Seq(CarEvent(0, 50, 30.0, 1000L), CarEvent(0, 60, 80.0, 3000L)))
+      CarEvent(0, 30, 10.0, 0L, 0L),
+      CarEvent(0, 50, 30.0, 1000L, 1000L),
+      CarEvent(0, 40, 55.0, 2000L, 2000L),  // 55-0  >= 50 → fire, max speed in buffer = 50 @1000
+      CarEvent(0, 60, 80.0, 3000L, 3000L),  // 80-55 = 25 → no fire
+      CarEvent(0, 20, 110.0, 4000L, 4000L)) // 110-55 >= 50 → fire, max speed = 60 @3000
+    assert(run(e) === Seq(CarEvent(0, 50, 30.0, 1000L, 1000L), CarEvent(0, 60, 80.0, 3000L, 3000L)))
   }
 
   test(">50m jump de-aligns the firing grid from distance buckets") {
     val e = Seq(
-      CarEvent(1, 10, 10.0, 0L),
-      CarEvent(1, 20, 75.0, 1000L),  // 75-0 >= 50 → fire (max=20), lastFired=75
-      CarEvent(1, 99, 100.0, 2000L), // 100-75 = 25 → NO fire (bucket grid would have fired at 100)
-      CarEvent(1, 5, 130.0, 3000L))  // 130-75 >= 50 → fire, max speed = 99 @2000
-    assert(run(e) === Seq(CarEvent(1, 20, 75.0, 1000L), CarEvent(1, 99, 100.0, 2000L)))
+      CarEvent(1, 10, 10.0, 0L, 0L),
+      CarEvent(1, 20, 75.0, 1000L, 1000L),  // 75-0 >= 50 → fire (max=20), lastFired=75
+      CarEvent(1, 99, 100.0, 2000L, 2000L), // 100-75 = 25 → NO fire (bucket grid would have fired at 100)
+      CarEvent(1, 5, 130.0, 3000L, 3000L))  // 130-75 >= 50 → fire, max speed = 99 @2000
+    assert(run(e) === Seq(CarEvent(1, 20, 75.0, 1000L, 1000L), CarEvent(1, 99, 100.0, 2000L, 2000L)))
   }
 
   test("TimeEvictor drops >10s-old events BEFORE the arg-max is taken") {
     val e = Seq(
-      CarEvent(2, 90, 10.0, 0L),      // top speed, but 15s old at fire time
-      CarEvent(2, 20, 70.0, 15000L))  // fire: horizon = 15000-10000 → evicts t=0
-    assert(run(e) === Seq(CarEvent(2, 20, 70.0, 15000L)))
+      CarEvent(2, 90, 10.0, 0L, 0L),      // top speed, but 15s old at fire time
+      CarEvent(2, 20, 70.0, 15000L, 15000L))  // fire: horizon = 15000-10000 → evicts t=0
+    assert(run(e) === Seq(CarEvent(2, 20, 70.0, 15000L, 15000L)))
   }
 
   test("cars are independent: state is per key") {
     val e = Seq(
-      CarEvent(0, 10, 60.0, 0L),  // car 0 fires immediately (60 >= 50)
-      CarEvent(1, 10, 40.0, 0L))  // car 1 never reaches 50
-    assert(run(e) === Seq(CarEvent(0, 10, 60.0, 0L)))
+      CarEvent(0, 10, 60.0, 0L, 0L),  // car 0 fires immediately (60 >= 50)
+      CarEvent(1, 10, 40.0, 0L, 0L))  // car 1 never reaches 50
+    assert(run(e) === Seq(CarEvent(0, 10, 60.0, 0L, 0L)))
   }
 
   test("batch flatMapGroupsWithState matches the derived-CarEvent pipeline end-to-end") {
@@ -52,7 +52,7 @@ class TopSpeedSpec extends SparkSuite {
     // from the real events table must be deterministic and non-empty.
     val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val ce = TopSpeed.carEvents(events, 10)
-      .selectExpr("carId", "cast(speed as int) as speed", "distance", "time")
+      .selectExpr("carId", "cast(speed as int) as speed", "distance", "time", "seq")
       .as[CarEvent]
     val out1 = TopSpeed.run(ce).collect().toSeq.sortBy(e => (e.carId, e.time))
     val out2 = TopSpeed.run(ce).collect().toSeq.sortBy(e => (e.carId, e.time))
@@ -65,16 +65,16 @@ class TopSpeedSpec extends SparkSuite {
     // `advance` core, and this pins that neither runtime's plumbing
     // (state codec, batch operator) perturbs emissions
     val hand = Seq(
-      CarEvent(0, 30, 10.0, 0L), CarEvent(0, 50, 30.0, 1000L),
-      CarEvent(0, 40, 55.0, 2000L), CarEvent(0, 60, 80.0, 3000L),
-      CarEvent(0, 20, 110.0, 4000L), CarEvent(1, 10, 60.0, 0L))
+      CarEvent(0, 30, 10.0, 0L, 0L), CarEvent(0, 50, 30.0, 1000L, 1000L),
+      CarEvent(0, 40, 55.0, 2000L, 2000L), CarEvent(0, 60, 80.0, 3000L, 3000L),
+      CarEvent(0, 20, 110.0, 4000L, 4000L), CarEvent(1, 10, 60.0, 0L, 0L))
     val v1 = TopSpeed.run(hand.toDS()).collect().toSeq.sortBy(e => (e.carId, e.time))
     val v2 = TopSpeed.runTws(hand.toDS()).collect().toSeq.sortBy(e => (e.carId, e.time))
     assert(v2 === v1)
 
     val events = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     val ce = TopSpeed.carEvents(events, 10)
-      .selectExpr("carId", "cast(speed as int) as speed", "distance", "time")
+      .selectExpr("carId", "cast(speed as int) as speed", "distance", "time", "seq")
       .as[CarEvent]
     val p1 = TopSpeed.run(ce).collect().toSeq.sortBy(e => (e.carId, e.time))
     val p2 = TopSpeed.runTws(ce).collect().toSeq.sortBy(e => (e.carId, e.time))

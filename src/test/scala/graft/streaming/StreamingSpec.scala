@@ -71,9 +71,9 @@ class StreamingSpec extends SparkSuite {
 
   test("transformWithState TopSpeed twin streams on RocksDB == batch emissions") {
     val events = Seq(
-      CarEvent(0, 30, 10.0, 0L), CarEvent(0, 50, 30.0, 1000L),
-      CarEvent(0, 40, 55.0, 2000L), CarEvent(0, 60, 80.0, 3000L),
-      CarEvent(0, 20, 110.0, 4000L), CarEvent(1, 10, 60.0, 0L))
+      CarEvent(0, 30, 10.0, 0L, 0L), CarEvent(0, 50, 30.0, 1000L, 1000L),
+      CarEvent(0, 40, 55.0, 2000L, 2000L), CarEvent(0, 60, 80.0, 3000L, 3000L),
+      CarEvent(0, 20, 110.0, 4000L, 4000L), CarEvent(1, 10, 60.0, 0L, 0L))
     val batch = TopSpeed.run(events.toDS()).collect().toSeq
       .sortBy(e => (e.carId, e.time))
     // the v2 state API requires the RocksDB provider when streaming
@@ -232,10 +232,10 @@ class StreamingSpec extends SparkSuite {
 
   test("W3-W5 TopSpeed stateful op: incremental MemoryStream run == batch run") {
     val all = Seq(
-      CarEvent(0, 30, 10.0, 0L), CarEvent(0, 50, 30.0, 1000L),
-      CarEvent(0, 40, 55.0, 2000L), CarEvent(0, 60, 80.0, 3000L),
-      CarEvent(0, 20, 110.0, 4000L),
-      CarEvent(1, 10, 10.0, 0L), CarEvent(1, 20, 75.0, 1000L))
+      CarEvent(0, 30, 10.0, 0L, 0L), CarEvent(0, 50, 30.0, 1000L, 1000L),
+      CarEvent(0, 40, 55.0, 2000L, 2000L), CarEvent(0, 60, 80.0, 3000L, 3000L),
+      CarEvent(0, 20, 110.0, 4000L, 4000L),
+      CarEvent(1, 10, 10.0, 0L, 0L), CarEvent(1, 20, 75.0, 1000L, 1000L))
     val batch = TopSpeed.run(all.toDS()).collect().toSeq.sortBy(e => (e.carId, e.time))
 
     val ms = mem[CarEvent]
@@ -250,8 +250,8 @@ class StreamingSpec extends SparkSuite {
         .sortBy(e => (e.carId, e.time))
       assert(got === batch)
       assert(got === Seq(
-        CarEvent(0, 50, 30.0, 1000L), CarEvent(0, 60, 80.0, 3000L),
-        CarEvent(1, 20, 75.0, 1000L)))
+        CarEvent(0, 50, 30.0, 1000L, 1000L), CarEvent(0, 60, 80.0, 3000L, 3000L),
+        CarEvent(1, 20, 75.0, 1000L, 1000L)))
     }
   }
 }
