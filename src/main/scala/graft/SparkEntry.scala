@@ -119,6 +119,10 @@ object SparkEntry {
       TextAnalysis.tokenCount(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d))),
+    "q_tfidf_stats" -> ((s, d) =>
+      TextAnalysis.termStats(Tables.documents(s, d))),
+    "q_quantize_int8" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d))),
     // ---- M7: deduplication -------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d))),
@@ -644,6 +648,22 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_tfidf_stats" ->
+      s"""WITH tf AS (SELECT doc_id, t AS word, count(*) AS tf
+         |            FROM (SELECT doc_id, unnest($DuckToks) AS t FROM documents)
+         |            GROUP BY doc_id, t),
+         |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT count(*) AS n_docs FROM documents)
+         |SELECT doc_id, word, tf, df, n_docs
+         |FROM tf JOIN dfreq USING (word) CROSS JOIN n""".stripMargin,
+    "q_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+        |           FROM embeddings),
+        |a AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |x AS (SELECT vec_id, unnest(generate_series(1, len(v))) AS ip, v, amax FROM a)
+        |SELECT vec_id, cast(ip - 1 AS int) AS i,
+        |       cast(CASE WHEN amax > 0 THEN round(v[ip] * 127.0 / amax) ELSE 0 END AS int) AS qv
+        |FROM x""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t)

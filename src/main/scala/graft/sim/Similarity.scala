@@ -167,36 +167,52 @@ object Similarity {
     * assignment is one shuffle on vec_id; the probe join shuffles on the
     * list id whose cardinality (nlist) is a scale knob exactly like
     * `planes`. */
+  /** The EXACT sequential fold `cosine` compiles to, as a JVM loop:
+    * dot = (((0 + x₀y₀) + x₁y₁) + …), norms likewise — IEEE doubles are
+    * deterministic, so this is bit-identical to both the Catalyst HOF
+    * evaluation and the oracle's list_reduce. */
+  private def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int,
               nprobe: Int = 1): DataFrame = {
     require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, $nlist]")
-    import embeddings.sparkSession.implicits._
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     // The centroid table is tiny (nlist rows) and always driver-held in
-    // IVF designs — collect it once and embed as an array literal, so
-    // corpus list assignment is a pure MAP-SIDE arg-max over the vector's
-    // centroid similarities. The previous formulation ranked via
-    // row_number() over an N×nlist join, forcing a sort-exchange of 16×
-    // the corpus volume (r2 verdict #3); this one adds no exchange at all
-    // before the probe join's own shuffle.
+    // IVF designs — collect it once and broadcast, so corpus list
+    // assignment is a pure MAP-SIDE arg-max in a typed loop. The r2
+    // formulation ranked via row_number() over an N×nlist join (a
+    // sort-exchange of 16× the corpus); the first rewrite scored through
+    // Catalyst HOFs, which run interpreted at ~1 s per million lambda
+    // evaluations — a tight JVM loop over the broadcast array is the
+    // right tool. Tie-break (csim DESC, cid ASC) matches the oracle's
+    // rank-1 row; cosineLocal keeps the doubles bit-identical.
     val cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nlist)
       .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val centLit = array(cents.map { case (cid, cv) =>
-      struct(lit(cid).as("cid"), array(cv.map(lit): _*).as("cv"))
-    }: _*)
-    // per-centroid (csim, -cid) structs: the array MAX is lexicographic —
-    // highest csim, then smallest cid — exactly ORDER BY csim DESC, cid
-    // of the oracle's rank-1 row; the ascending SORT reversed gives the
-    // full ranking for the query side's 1..nprobe probe lists.
-    def scoredCents(vec: Column): Column = transform(centLit, c =>
-      struct(cosine(vec, c.getField("cv")).as("csim"),
-        (-c.getField("cid")).as("ncid")))
-    val corpus = v.select(col("vec_id").as("neighbor_id"), col("v"),
-      (-array_max(scoredCents(col("v"))).getField("ncid")).as("list"))
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val corpus = v.as[(Long, Array[Double])].map { case (id, vec) =>
+      var bestC = Long.MaxValue; var bestS = Double.NegativeInfinity
+      bcCents.value.foreach { case (cid, cv) =>
+        val s = cosineLocal(vec, cv)
+        if (s > bestS || (s == bestS && cid < bestC)) { bestS = s; bestC = cid }
+      }
+      (id, vec, bestC)
+    }.toDF("neighbor_id", "v", "list")
     val queries = v.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("q"),
-        explode(slice(reverse(array_sort(scoredCents(col("v")))), 1, nprobe)).as("c"))
-      .select(col("query_id"), col("q"), (-col("c.ncid")).as("list"))
+      .as[(Long, Array[Double])].flatMap { case (id, vec) =>
+        bcCents.value.map { case (cid, cv) => (cosineLocal(vec, cv), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }
+          .take(nprobe)
+          .map { case (_, cid) => (id, vec, cid) }
+      }.toDF("query_id", "q", "list")
     val scored = corpus
       .join(broadcast(queries), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -204,6 +220,23 @@ object Similarity {
         cosine(col("q"), col("v")).as("cos_sim"))
     topK(scored, k)
   }
+
+  /** Symmetric per-vector int8 quantization — the storage/bandwidth step
+    * of an embedding pipeline (4× smaller than float32, 8× than the
+    * double working form): qᵢ = round(xᵢ · 127 / max|x|), zero vectors
+    * map to all-zero. Emitted EXPLODED as (vec_id, i, qv) scalar rows so
+    * the oracle hash-compares engine-neutral integers rather than array
+    * renderings. Map-side only — one projection, no shuffle; both
+    * engines round half away from zero, and the scale arithmetic is
+    * order-identical, so qv is exact. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), col("amax"), posexplode(col("v")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("int").as("i"),
+        when(col("amax") > 0, round(col("x") * lit(127.0) / col("amax")))
+          .otherwise(lit(0)).cast("int").as("qv"))
 
   /** LSH-bucketed ANN: queries only compare against corpus vectors in the
     * same hyperplane-sign bucket. Same output shape as brute force; lower

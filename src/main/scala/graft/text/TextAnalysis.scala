@@ -74,6 +74,36 @@ object TextAnalysis {
       bpeish.cast("bigint").as("bpeish_tokens"))
   }
 
+  /** TF-IDF term statistics: per (doc, term) frequency, per-term document
+    * frequency, and the corpus size — the exact-integer core of TF-IDF
+    * weighting. The weight itself (`tfIdf`) multiplies in a logarithm,
+    * whose last-bit value is libm-dependent and therefore NOT part of the
+    * hash-checked surface; the joins and counts — the part that costs
+    * anything at 100 TB — are.
+    *
+    * Plan shape: one explode + (doc,term) partial-agg shuffle; df is a
+    * second partial agg over the first's output (already partitioned by
+    * a superset key, so AQE keeps it cheap); the corpus size broadcasts
+    * as a literal. */
+  def termStats(df: DataFrame): DataFrame = {
+    val nDocs = df.select(col("doc_id")).count()
+    val tf = df.select(col("doc_id"), explode(toks(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "word")
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        lit(nDocs).as("n_docs"))
+  }
+
+  /** Smoothed TF-IDF weight over `termStats` output (sklearn-style:
+    * tf · (ln((n+1)/(df+1)) + 1)). Double-precision log — use for
+    * ranking/filtering, not for cross-engine hash comparison. */
+  def tfIdf(stats: DataFrame): DataFrame =
+    stats.withColumn("tfidf",
+      col("tf") * (log((col("n_docs") + 1).cast("double") /
+        (col("df") + 1).cast("double")) + 1))
+
   /** Document fingerprint: min-of-hashes over word bigram shingles
     * (winnowing-style selection with k=1). Equal fingerprints ⇒ highly
     * similar shingle sets; used as a cheap near-dup pre-cluster key.

@@ -17,6 +17,23 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
   }
 
+  test("int8 quantization: hand-computed values, zero-vector guard, range") {
+    val emb = Seq(
+      (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector → all-zero, no NaN
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(emb)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(q === Seq(
+      (0L, 0, 127), (0L, 1, -64), (0L, 2, 32), (0L, 3, 0),
+      (1L, 0, 0), (1L, 1, 0), (1L, 2, 0), (1L, 3, 0)))
+    val full = Similarity.quantizeInt8(
+      Seq((2L, vec(7))).toDF("vec_id", "embedding"))
+      .as[(Long, Int, Int)].collect()
+    assert(full.forall(r => r._3 >= -127 && r._3 <= 127))
+    assert(full.exists(r => math.abs(r._3) == 127)) // the max attains the scale
+  }
+
   test("IVF with nlist=1 degenerates to brute force (single probe list)") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)

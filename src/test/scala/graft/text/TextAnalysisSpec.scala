@@ -38,6 +38,22 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r === ((0L, 2L, 5L)))
   }
 
+  test("termStats/tfIdf: hand-computed tf, df, corpus size and weight") {
+    val stats = TextAnalysis.termStats(docs("a a b", "b c"))
+      .as[(Long, String, Long, Long, Long)].collect().toSeq.sorted
+    assert(stats === Seq(
+      (0L, "a", 2L, 1L, 2L), (0L, "b", 1L, 2L, 2L),
+      (1L, "b", 1L, 2L, 2L), (1L, "c", 1L, 1L, 2L)))
+    val w = TextAnalysis.tfIdf(TextAnalysis.termStats(docs("a a b", "b c")))
+      .select("doc_id", "word", "tfidf")
+      .as[(Long, String, Double)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    // tf=2, df=1, n=2: 2 * (ln(3/2) + 1)
+    assert(math.abs(w((0L, "a")) - 2 * (math.log(3.0 / 2.0) + 1)) < 1e-12)
+    // tf=1, df=2, n=2: ln(1) + 1 = 1
+    assert(math.abs(w((0L, "b")) - 1.0) < 1e-12)
+  }
+
   test("fingerprint: <2 tokens yields null, equal shingle sets share a fingerprint") {
     val rows = TextAnalysis.fingerprint(docs("solo", "a b c", "a b c"))
       .as[(Long, Option[String])].collect().sortBy(_._1)
