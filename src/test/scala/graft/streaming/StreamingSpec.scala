@@ -172,6 +172,26 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("K3 exactly-once across restart: a new query resumes from the checkpoint") {
+    val base = java.nio.file.Files.createTempDirectory("graft-restart").toString
+    val ms = mem[(Long, String)]
+    def startQuery() = ms.toDF().toDF("id", "v").writeStream
+      .format("parquet").option("path", s"$base/data")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode("append").start()
+    val q1 = startQuery()
+    ms.addData((1L, "a"), (2L, "b")); q1.processAllAvailable(); q1.stop()
+    // arrives while NO query is running: must be picked up, not lost
+    ms.addData((3L, "c"))
+    val q2 = startQuery()
+    withQuery(q2) {
+      ms.addData((4L, "d")); q2.processAllAvailable()
+      val rows = spark.read.parquet(s"$base/data").as[(Long, String)].collect()
+      assert(rows.toSet === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+      assert(rows.length === 4) // exactly-once: restart neither dropped nor replayed
+    }
+  }
+
   test("streaming exact dedup: dropDuplicates holds state across micro-batches") {
     val ms = mem[(Long, String)]
     val q = ms.toDF().toDF("doc_id", "text").dropDuplicates("doc_id")
