@@ -47,6 +47,39 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("*("), "pipeline fell out of codegen")
   }
 
+  test("q_value_stats: no all-values-in-memory aggregate anywhere in the plan") {
+    // the r2 verdict's scale-killer: `percentile` buffers every group
+    // value (ObjectHashAggregate over a TypedImperativeAggregate); the
+    // histogram formulation must keep everything in hash/sort aggs
+    val plan = executed(graft.agg.Aggregations.valueStats(
+      Tables.events(spark, sf), "event_type", "value", Seq(0.5, 0.9, 0.99)))
+    assert(!plan.contains("percentile"), "exact percentile agg is back in the plan")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "an object-buffering aggregate crept in — not bounded-memory")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "histogram agg lost its map-side combine")
+  }
+
+  test("TPC-H q18: having-subquery aggregates partially; join with the survivors") {
+    val plan = executed(Relational.q18(spark, sf))
+    assert(plan.contains("partial_sum"), "quantity sums lost map-side combine")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"))
+  }
+
+  test("IVF: corpus list assignment adds no exchange before the probe join") {
+    // r2 verdict #3's done-criterion: the N×nlist row_number window used
+    // to sort-exchange 16× the corpus; assignment must now be map-side
+    val df = graft.sim.Similarity.ivfTopK(
+      Tables.embeddings(spark, sf), nQueries = 5, k = 3, nlist = 4)
+    // AQE's toString appends an "Initial Plan" section — audit only the
+    // final plan
+    val plan = executed(df).split("== Initial Plan ==").head
+    val exchanges = plan.linesIterator.count(l => l.contains("Exchange") &&
+      !l.contains("BroadcastExchange") && !l.contains("reused"))
+    // one exchange for the final per-query top-k window — nothing else
+    assert(exchanges <= 1, s"IVF plan has $exchanges shuffle exchanges:\n$plan")
+  }
+
   test("multimodal meta: payload-free projection prunes at the scan") {
     // The meta projection derives n_bytes from the payload, so `text`
     // must be read — but nothing else beyond the 4 used columns may be.
