@@ -110,6 +110,7 @@ object SparkEntry {
     "q_tpch_q10" -> Relational.q10 _,
     "q_tpch_q12" -> Relational.q12 _,
     "q_tpch_q18" -> Relational.q18 _,
+    "q_tpch_q19" -> Relational.q19 _,
     // ---- M7: text analysis -------------------------------------------------
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
@@ -609,6 +610,13 @@ object SparkEntry {
         |                     GROUP BY l_orderkey
         |                     HAVING sum(cast(l_quantity AS decimal(18,2))) > 250)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 11 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#25' AND p_size BETWEEN 26 AND 50 AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |r AS (SELECT doc_id,

@@ -146,6 +146,26 @@ object Relational {
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
   }
 
+  /** TPC-H Q19-shaped discounted revenue: an OR of three
+    * (brand ∧ size-range ∧ quantity-range) conjuncts spanning BOTH join
+    * sides — the disjunctive-predicate shape. Catalyst cannot push the
+    * whole OR to either scan, but it derives the per-side unions
+    * (p_brand ∈ {…} to part, the l_quantity envelope to lineitem) so
+    * both readers still skip; part is a true dimension → broadcast. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    def branch(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(broadcast(part), col("p_partkey") === col("l_partkey"))
+      .filter(branch("Brand#1", 1, 10, 1, 20) ||
+        branch("Brand#13", 11, 25, 10, 30) ||
+        branch("Brand#25", 26, 50, 20, 40))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
   /** TPC-H Q5-ish local-supplier revenue per nation: only the genuinely
     * tiny dimension chain region→nation (5 / 25 rows at every SF) is
     * explicitly broadcast; customer/supplier join selection is left to
