@@ -1,7 +1,8 @@
 package graft.state
 
-import org.apache.spark.sql.Dataset
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A4's EXACT per-record emission cadence (`WordCount.java:82`
   * `keyBy(0).sum(1)` emits one updated count per input record; golden
@@ -37,5 +38,31 @@ object RunningCount {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.word)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** The same per-record cadence on the state-v2 API (`transformWithState`
+    * + ValueState) — the A4 counterpart of TopSpeed.runTws, so both
+    * reference stateful shapes have twins on both state runtimes. */
+  class RunningCountProcessor extends StatefulProcessor[String, WordIn, WordOut] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(word: String, rows: Iterator[WordIn],
+                                 timerValues: TimerValues): Iterator[WordOut] = {
+      var c = if (count.exists()) count.get() else 0L
+      val out = rows.toSeq.sortBy(_.seq).map { e =>
+        c += 1
+        WordOut(e.seq, e.word, c)
+      }
+      count.update(c)
+      out.iterator
+    }
+  }
+
+  def runTws(ds: Dataset[WordIn]): Dataset[WordOut] = {
+    import ds.sparkSession.implicits._
+    ds.sparkSession.streams // bootstrap StateStoreCoordinator for batch runs
+    ds.groupByKey(_.word)
+      .transformWithState(new RunningCountProcessor, TimeMode.None(), OutputMode.Update)
   }
 }

@@ -66,4 +66,23 @@ object StreamingTwins {
       .select(col(keyCol), col("gw.start").as("wstart"),
         col("g_id"), col("s_id"), col("grade"), col("salary"))
   }
+
+  /** LEFT OUTER windowed stream-stream join — an extension beyond the
+    * reference (Flink's example joins inner only): unmatched left rows
+    * are emitted with NULL right columns once the watermark passes their
+    * window, bounding the wait exactly like the inner join bounds state.
+    * Same column layout with nullable salary/s_id. */
+  def windowedLeftJoin(grades: DataFrame, salaries: DataFrame,
+                       tsCol: String, keyCol: String, windowSize: String,
+                       watermarkDelay: String = "0 seconds"): DataFrame = {
+    val g = grades.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol), window(col(tsCol), windowSize).as("gw"),
+        col("grade"), col("g_id"))
+    val s = salaries.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("s_key"), window(col(tsCol), windowSize).as("sw"),
+        col("salary"), col("s_id"))
+    g.join(s, col(keyCol) === col("s_key") && col("gw") === col("sw"), "left_outer")
+      .select(col(keyCol), col("gw.start").as("wstart"),
+        col("g_id"), col("s_id"), col("grade"), col("salary"))
+  }
 }

@@ -98,6 +98,52 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("RunningCount on transformWithState == flatMapGroupsWithState (batch + stream)") {
+    import graft.state.RunningCount
+    val ins = Seq(RunningCount.WordIn(0L, "a"), RunningCount.WordIn(1L, "b"),
+      RunningCount.WordIn(2L, "a"), RunningCount.WordIn(3L, "a"))
+    val v1 = RunningCount.run(ins.toDS()).collect().toSeq.sortBy(_.seq)
+    val v2 = RunningCount.runTws(ins.toDS()).collect().toSeq.sortBy(_.seq)
+    assert(v2 === v1)
+    assert(v1.map(o => (o.word, o.cnt)) ===
+      Seq("a" -> 1L, "b" -> 1L, "a" -> 2L, "a" -> 3L))
+  }
+
+  test("left-outer windowed join: unmatched left rows emit NULLs after the watermark") {
+    val gRows = Seq((0L, "tom", 3, 1L), (0L, "bob", 1, 3L)) // bob has no salary
+    val sRows = Seq((1L, "tom", 100, 11L))
+    def gShape(df: DataFrame) = df.select(timestamp_seconds(col("_1")).as("ts"),
+      col("_2").as("name"), col("_3").as("grade"), col("_4").as("g_id"))
+    def sShape(df: DataFrame) = df.select(timestamp_seconds(col("_1")).as("ts"),
+      col("_2").as("name"), col("_3").as("salary"), col("_4").as("s_id"))
+    val batch = StreamingTwins.windowedLeftJoin(
+      gShape(gRows.toDF()), sShape(sRows.toDF()), "ts", "name", "2 seconds")
+      .select(col("name"), col("g_id"), col("s_id"))
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(batch === Set(("tom", 1L, Some(11L)), ("bob", 3L, None)))
+
+    val gm = mem[(Long, String, Int, Long)]
+    val sm = mem[(Long, String, Int, Long)]
+    val joined = StreamingTwins.windowedLeftJoin(
+      gShape(gm.toDF()), sShape(sm.toDF()), "ts", "name", "2 seconds")
+    val q = joined.writeStream.format("memory").queryName("sljoin")
+      .outputMode("append").start()
+    withQuery(q) {
+      gm.addData(gRows: _*); sm.addData(sRows: _*); q.processAllAvailable()
+      // push both watermarks far past the window so the unmatched left
+      // row is finalized and emitted with NULL right columns
+      gm.addData((100L, "zz", 0, 99L)); sm.addData((100L, "zz", 0, 98L))
+      q.processAllAvailable()
+      gm.addData((200L, "zz", 0, 97L)); sm.addData((200L, "zz", 0, 96L))
+      q.processAllAvailable()
+      val got = spark.table("sljoin")
+        .filter(col("g_id") < 90) // drop sentinel rows
+        .select(col("name"), col("g_id"), col("s_id"))
+        .as[(String, Long, Option[Long])].collect().toSet
+      assert(got === batch)
+    }
+  }
+
   test("A5/W1/W6 watermarked tumbling window agg: streaming emissions == batch result") {
     val data = Seq((0L, "a", 1.0), (1L, "a", 2.0), (6L, "b", 3.0))
     def shape(df: DataFrame): DataFrame =
