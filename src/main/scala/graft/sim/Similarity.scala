@@ -197,14 +197,80 @@ object Similarity {
     // rank-1 row; cosineLocal keeps the doubles bit-identical.
     val cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nlist)
       .as[(Long, Array[Double])].collect().sortBy(_._1)
+    ivfSearch(v, cents, nQueries, k, nprobe)
+  }
+
+  /** IVF with LLOYD-TRAINED centroids: `iters` k-means rounds refine the
+    * training-free seeds before the same search path. Per-dimension sums
+    * run in DECIMAL (exact + associative), so the learned centroids are
+    * bit-deterministic regardless of partial-aggregation order — the
+    * property every other checked operator holds. Empty clusters keep
+    * their previous centroid. Quality (not hash) is the contract here:
+    * the oracle-checked deterministic variant stays `ivfTopK`. */
+  def ivfTopKTrained(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int,
+                     iters: Int = 3, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, $nlist]")
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    ivfSearch(v, trainCentroids(embeddings, nlist, iters), nQueries, k, nprobe)
+  }
+
+  /** `iters` rounds of Lloyd's algorithm over cosine similarity,
+    * seeded by the first `nlist` vectors. Assignment is the same typed
+    * broadcast arg-max as the search path; the mean step explodes to
+    * (cid, dim, x) and sums in decimal — one shuffle per round, nlist×dim
+    * rows collected. */
+  def trainCentroids(embeddings: DataFrame, nlist: Int,
+                     iters: Int): Array[(Long, Array[Double])] = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    var cents = v.filter(col("vec_id") < nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    for (_ <- 0 until iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val assigned = v.as[(Long, Array[Double])].map { case (_, vec) =>
+        (bestCentroid(bc.value, vec), vec)
+      }.toDF("cid", "v")
+      val comp = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("x").cast("decimal(27,15)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val byCid = comp.groupBy(_.getLong(0))
+      cents = cents.map { case (cid, prev) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val arr = new Array[Double](prev.length)
+            rows.foreach { r =>
+              arr(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3)
+            }
+            (cid, arr)
+          case None => (cid, prev)
+        }
+      }
+    }
+    cents
+  }
+
+  /** Arg-max centroid by (csim DESC, cid ASC) — shared by assignment,
+    * training, and the oracle's rank-1 semantics. */
+  private def bestCentroid(cents: Array[(Long, Array[Double])],
+                           vec: Array[Double]): Long = {
+    var bestC = Long.MaxValue; var bestS = Double.NegativeInfinity
+    cents.foreach { case (cid, cv) =>
+      val s = cosineLocal(vec, cv)
+      if (s > bestS || (s == bestS && cid < bestC)) { bestS = s; bestC = cid }
+    }
+    bestC
+  }
+
+  private def ivfSearch(v: DataFrame, cents: Array[(Long, Array[Double])],
+                        nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
     val bcCents = spark.sparkContext.broadcast(cents)
     val corpus = v.as[(Long, Array[Double])].map { case (id, vec) =>
-      var bestC = Long.MaxValue; var bestS = Double.NegativeInfinity
-      bcCents.value.foreach { case (cid, cv) =>
-        val s = cosineLocal(vec, cv)
-        if (s > bestS || (s == bestS && cid < bestC)) { bestS = s; bestC = cid }
-      }
-      (id, vec, bestC)
+      (id, vec, bestCentroid(bcCents.value, vec))
     }.toDF("neighbor_id", "v", "list")
     val queries = v.filter(col("vec_id") < nQueries)
       .as[(Long, Array[Double])].flatMap { case (id, vec) =>

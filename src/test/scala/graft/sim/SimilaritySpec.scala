@@ -17,6 +17,24 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
   }
 
+  test("trained IVF: training moves centroids, search stays exact, deterministic") {
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val seed = Similarity.trainCentroids(emb, nlist = 4, iters = 0)
+    val trained = Similarity.trainCentroids(emb, nlist = 4, iters = 2)
+    assert(seed.map(_._1).toSeq === trained.map(_._1).toSeq)
+    assert(seed.zip(trained).exists { case ((_, a), (_, b)) => !a.sameElements(b) },
+      "two Lloyd rounds left every centroid untouched")
+    // decimal-sum means ⇒ bit-deterministic training
+    val again = Similarity.trainCentroids(emb, nlist = 4, iters = 2)
+    assert(trained.zip(again).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    // nlist=1 degenerates to brute force regardless of training
+    val brute = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val one = Similarity.ivfTopKTrained(emb, nQueries = 5, k = 3, nlist = 1, iters = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(one === brute)
+  }
+
   test("int8 quantization: hand-computed values, zero-vector guard, range") {
     val emb = Seq(
       (0L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
