@@ -148,6 +148,12 @@ object SparkEntry {
     "q_train_test_split" -> ((s, d) =>
       Sampling.trainTestSplit(Tables.documents(s, d)
         .select("doc_id", "n_chars"), "doc_id", 0.1)),
+    // training-mix downsampling: per-source keep rates, absent sources
+    // keep the default rate
+    "q_stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars"), "source", "doc_id",
+        StratifiedRates, defaultRate = 0.1)),
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) =>
@@ -209,6 +215,10 @@ object SparkEntry {
   private val LshMaxBucket = 1000
   private val EmbedMaxBucket = 100000
   private val FrameCount = 4
+
+  /** Per-source keep rates for q_stratified_sample — one definition, hex
+    * thresholds interpolated into the oracle via Sampling.thresholdHex. */
+  private val StratifiedRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -715,6 +725,14 @@ object SparkEntry {
          |       CASE WHEN substring(md5(cast(doc_id AS varchar)), 1, 8) < '${Sampling.thresholdHex(0.1)}'
          |            THEN 'test' ELSE 'train' END AS split
          |FROM documents""".stripMargin,
+    "q_stratified_sample" -> {
+      val cases = StratifiedRates.toSeq.sortBy(_._1).map { case (k, r) =>
+        s"WHEN '$k' THEN '${Sampling.thresholdHex(r)}'"
+      }.mkString(" ")
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |WHERE substring(md5(cast(doc_id AS varchar)), 1, 8) <
+         |      CASE source $cases ELSE '${Sampling.thresholdHex(0.1)}' END""".stripMargin
+    },
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle(4, 3),
     "q_simhash_pairs8" -> simhashPairsOracle(8, 7),

@@ -37,4 +37,21 @@ object Sampling {
     else df.withColumn("split",
       when(bucketHex(col(idCol)) < lit(thresholdHex(testFraction)), "test")
         .otherwise("train"))
+
+  /** Stratified sampling: a different keep-rate per stratum value — how a
+    * training-data mix downsamples each source/language to its target
+    * weight. Same id-hash determinism as hashSample (a row's fate never
+    * depends on partitioning or on other rows), still fully map-side; a
+    * stratum absent from `rates` falls back to `defaultRate`. Rates are
+    * embedded as per-stratum hex thresholds, so the SAME literals are
+    * reproducible in the oracle. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 0.0): DataFrame = {
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(thresholdHex(defaultRate)): Column) { case (acc, (k, r)) =>
+        when(col(stratumCol) === k, lit(thresholdHex(r))).otherwise(acc)
+      }
+    df.filter(bucketHex(col(idCol)) < threshold)
+  }
 }

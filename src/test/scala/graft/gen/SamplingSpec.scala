@@ -34,4 +34,18 @@ class SamplingSpec extends SparkSuite {
     assert(Sampling.hashSample(ids, "doc_id", 0.0).count() === 0L)
     assert(Sampling.hashSample(ids, "doc_id", 1.0).count() === 2000L)
   }
+
+  test("stratifiedSample: per-stratum keep set == hashSample at that rate; default applies") {
+    val strat = (1L to 900L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "stratum")
+    val out = Sampling.stratifiedSample(strat, "stratum", "doc_id",
+      Map("s0" -> 0.5, "s1" -> 0.2), defaultRate = 0.0)
+      .as[(Long, String)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(!out.contains("s2")) // default 0.0 drops unlisted strata
+    val s0 = Sampling.hashSample(strat.filter($"stratum" === "s0"), "doc_id", 0.5)
+      .as[(Long, String)].collect().map(_._1).toSet
+    val s1 = Sampling.hashSample(strat.filter($"stratum" === "s1"), "doc_id", 0.2)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(out("s0") === s0 && out("s1") === s1)
+    assert(s0.nonEmpty && s1.nonEmpty && s1.size < s0.size)
+  }
 }
