@@ -35,11 +35,12 @@ object Bench {
     SparkEntry.queries.foreach { case (name, fn) => runOnce(warmDir, name, fn) }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // Best of 2 timed runs per query: a single run is exposed to one-off
-    // GC pauses / compilation stalls (observed 4x spikes); min-of-2 is
-    // the standard noise floor without hiding real cost.
+    // Best of 3 timed runs per query: a single run is exposed to one-off
+    // GC pauses / compilation stalls (observed 4x spikes on this host,
+    // and 2-3x ambient drift between back-to-back full runs); min-of-3
+    // pins the noise floor without hiding real cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val r = runOnce(sfDir, name, fn)
         (r, (System.nanoTime() - t0) / 1e9)
