@@ -40,4 +40,53 @@ class BucketingSpec extends SparkSuite {
       plan.contains("BroadcastHashJoin"))
     assert(joined.count() === li.count()) // every lineitem has its order
   }
+
+  test("TPC-H q3 over co-bucketed facts runs with ZERO shuffles, same result") {
+    // The end-to-end layout-driven payoff: bucket both facts on the join
+    // key and q3's whole pipeline is exchange-free — the bucketed join
+    // needs no shuffle, and the groupBy leads with the bucket key so the
+    // aggregation's clustering requirement is already satisfied.
+    import org.apache.spark.sql.functions._
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq("t_orders_q3", "t_lineitem_q3").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(wh, t)
+      if (dir.exists()) { dir.listFiles().foreach(_.delete()); dir.delete() }
+    }
+    Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("t_orders_q3")
+    Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("t_lineitem_q3")
+
+    // pin the join strategy to the bucketed SMJ path (the explicit
+    // customer broadcast hint is threshold-independent)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+      val cust = Tables.customer(spark, sf)
+        .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val q = spark.table("t_lineitem_q3")
+        .filter(col("l_shipdate") > lit("2000-01-01").cast("timestamp"))
+        .join(spark.table("t_orders_q3")
+          .filter(col("o_orderdate") < lit("2000-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(dec(col("l_extendedprice")) *
+          (lit(1.0).cast("decimal(3,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      val got = q.collect().map(_.toSeq).toSet
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges === 0, s"bucketed q3 still shuffles ($exchanges):\n$plan")
+      val expected = graft.rel.Relational.q3(spark, sf).collect().map(_.toSeq).toSet
+      assert(got === expected && got.nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
