@@ -237,7 +237,7 @@ object SparkEntry {
     }.mkString(",\n       ")
     s"""WITH h AS (SELECT event_type, cast(round(value * 100) AS bigint) AS bin,
        |                  count(*) AS cnt, min(value) AS measure_min
-       |           FROM events GROUP BY 1, 2),
+       |           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
        |c AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
        |             sum(cnt) OVER (PARTITION BY event_type) AS n
@@ -292,7 +292,8 @@ object SparkEntry {
     * band count (full recall for Hamming <= bands-1) and prefixed so it
     * composes with the MinHash and embedding chains in one statement.
     * Ends in `<p>pairs(doc_a, doc_b, hamming)`. */
-  private def duckSimhashPairCtes(bands: Int, maxHamming: Int, p: String): String = {
+  private def duckSimhashPairCtes(bands: Int, maxHamming: Int, p: String,
+                                  maxBucket: Int = LshMaxBucket): String = {
     val w = 16 / bands
     val ham = "list_sum(list_transform(generate_series(1, 16), i -> " +
       "bit_count(xor(strpos('0123456789abcdef', substring(sa, i, 1)) - 1, " +
@@ -302,7 +303,7 @@ object SparkEntry {
       .mkString("\n          UNION ALL ")
     s"""${p}bands AS ($bandSel),
        |${p}ok AS (SELECT band_key FROM ${p}bands
-       |       GROUP BY band_key HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+       |       GROUP BY band_key HAVING count(*) BETWEEN 2 AND $maxBucket),
        |${p}cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |                a.simhash AS sa, b.simhash AS sb
        |         FROM ${p}bands a JOIN ${p}bands b
@@ -727,11 +728,11 @@ object SparkEntry {
          |FROM documents""".stripMargin,
     "q_stratified_sample" -> {
       val cases = StratifiedRates.toSeq.sortBy(_._1).map { case (k, r) =>
-        s"WHEN '$k' THEN '${Sampling.thresholdHex(r)}'"
+        s"WHEN '$k' THEN '${Sampling.stratumThreshold(r)}'"
       }.mkString(" ")
       s"""SELECT doc_id, source, n_chars FROM documents
          |WHERE substring(md5(cast(doc_id AS varchar)), 1, 8) <
-         |      CASE source $cases ELSE '${Sampling.thresholdHex(0.1)}' END""".stripMargin
+         |      CASE source $cases ELSE '${Sampling.stratumThreshold(0.1)}' END""".stripMargin
     },
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle(4, 3),

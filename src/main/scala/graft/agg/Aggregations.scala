@@ -95,7 +95,11 @@ object Aggregations {
     // math.round, not toInt: (0.29*100).toInt == 28 under floating point
     val names = ps.map(p => s"p${math.round(p * 100)}")
     require(names.distinct == names, s"percentile labels collide: $names")
+    // NULL measures are excluded like `percentile` excluded them — and a
+    // NULL bin would sort first in Spark's window but LAST in the
+    // oracle's, silently skewing every cumulative count
     val hist = df
+      .filter(col(measure).isNotNull)
       .groupBy(col(key), round(col(measure) * 100).cast("bigint").as("bin"))
       .agg(count(lit(1)).as("cnt"), min(col(measure)).as("measure_min"))
     val wCum = Window.partitionBy(col(key)).orderBy(col("bin"))

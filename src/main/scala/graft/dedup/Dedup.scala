@@ -213,9 +213,13 @@ object Dedup {
       nodes.iterator.map(k => (k, find(k)))
     }
 
-    def partsFor(nEdges: Long): Int = math.max(1, math.min(
-      spark.sessionState.conf.numShufflePartitions,
-      (nEdges / edgesPerPartition).toInt + 1))
+    // partition count follows the DATA, uncapped by the session's shuffle
+    // parallelism: the bounded-per-task-memory contract (a LongMap over
+    // one partition's endpoints) is only real if ~edgesPerPartition
+    // actually holds. Long arithmetic — an Int division would wrap
+    // negative past ~10^15 edges and collapse everything to 1 partition.
+    def partsFor(nEdges: Long): Int =
+      math.min(nEdges / edgesPerPartition + 1L, Int.MaxValue.toLong).toInt
 
     val pairRdd = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))

@@ -38,19 +38,27 @@ object Sampling {
       when(bucketHex(col(idCol)) < lit(thresholdHex(testFraction)), "test")
         .otherwise("train"))
 
+  /** Per-stratum threshold literal: rate >= 1.0 maps to a sentinel ABOVE
+    * every hex bucket ('g' > 'f'), so a keep-everything stratum really
+    * keeps everything — thresholdHex(1.0) alone would be "ffffffff" and
+    * the strict `<` would drop the ~1-in-4.3-billion rows hashing there
+    * (a certainty at 100 TB). Shared with the generated oracle. */
+  def stratumThreshold(rate: Double): String =
+    if (rate >= 1.0) "g" else thresholdHex(rate)
+
   /** Stratified sampling: a different keep-rate per stratum value — how a
     * training-data mix downsamples each source/language to its target
     * weight. Same id-hash determinism as hashSample (a row's fate never
     * depends on partitioning or on other rows), still fully map-side; a
     * stratum absent from `rates` falls back to `defaultRate`. Rates are
-    * embedded as per-stratum hex thresholds, so the SAME literals are
+    * embedded as per-stratum threshold literals, so the SAME literals are
     * reproducible in the oracle. */
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        rates: Map[String, Double],
                        defaultRate: Double = 0.0): DataFrame = {
     val threshold = rates.toSeq.sortBy(_._1)
-      .foldLeft(lit(thresholdHex(defaultRate)): Column) { case (acc, (k, r)) =>
-        when(col(stratumCol) === k, lit(thresholdHex(r))).otherwise(acc)
+      .foldLeft(lit(stratumThreshold(defaultRate)): Column) { case (acc, (k, r)) =>
+        when(col(stratumCol) === k, lit(stratumThreshold(r))).otherwise(acc)
       }
     df.filter(bucketHex(col(idCol)) < threshold)
   }

@@ -236,6 +236,9 @@ object Similarity {
         .groupBy(col("cid"), col("i"))
         .agg(sum(col("x").cast("decimal(27,15)")).as("s"), count(lit(1)).as("n"))
         .collect()
+      // the round's sums are collected — free the executors' copy now
+      // rather than waiting for the ContextCleaner
+      bc.destroy()
       val byCid = comp.groupBy(_.getLong(0))
       cents = cents.map { case (cid, prev) =>
         byCid.get(cid) match {
@@ -252,17 +255,27 @@ object Similarity {
     cents
   }
 
-  /** Arg-max centroid by (csim DESC, cid ASC) — shared by assignment,
-    * training, and the oracle's rank-1 semantics. */
+  /** Arg-max centroid by (csim DESC, cid ASC) under the engines' TOTAL
+    * order — NaN ranks above every double (a zero-norm vector yields NaN
+    * cosines; both DuckDB's and Spark's DESC sorts put NaN first, so a
+    * naive `>` that skips NaN would silently diverge) and -0.0 is
+    * normalized to 0.0 like Spark's sort normalization. Shared by
+    * assignment, training, and the oracle's rank-1 semantics. */
   private def bestCentroid(cents: Array[(Long, Array[Double])],
                            vec: Array[Double]): Long = {
+    // Double.compare is the total order (NaN greatest); the -inf/MaxValue
+    // seeds lose every comparison, so the first centroid always lands
     var bestC = Long.MaxValue; var bestS = Double.NegativeInfinity
     cents.foreach { case (cid, cv) =>
-      val s = cosineLocal(vec, cv)
-      if (s > bestS || (s == bestS && cid < bestC)) { bestS = s; bestC = cid }
+      val s = normTotal(cosineLocal(vec, cv))
+      val cmp = java.lang.Double.compare(s, bestS)
+      if (cmp > 0 || (cmp == 0 && cid < bestC)) { bestS = s; bestC = cid }
     }
     bestC
   }
+
+  /** -0.0 → 0.0 (NaN passes through): the engines' sort-normalized view. */
+  private def normTotal(s: Double): Double = if (s == 0.0) 0.0 else s
 
   private def ivfSearch(v: DataFrame, cents: Array[(Long, Array[Double])],
                         nQueries: Int, k: Int, nprobe: Int): DataFrame = {
@@ -274,8 +287,12 @@ object Similarity {
     }.toDF("neighbor_id", "v", "list")
     val queries = v.filter(col("vec_id") < nQueries)
       .as[(Long, Array[Double])].flatMap { case (id, vec) =>
-        bcCents.value.map { case (cid, cv) => (cosineLocal(vec, cv), cid) }
-          .sortBy { case (s, cid) => (-s, cid) }
+        // (csim DESC, cid ASC) under the total order: TotalOrdering ranks
+        // NaN above every double, matching the oracle's DESC sort —
+        // negating the similarity would send NaN to the BOTTOM instead
+        bcCents.value.map { case (cid, cv) => (normTotal(cosineLocal(vec, cv)), cid) }
+          .sortBy { case (s, cid) => (s, -cid) }(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long).reverse)
           .take(nprobe)
           .map { case (_, cid) => (id, vec, cid) }
       }.toDF("query_id", "q", "list")

@@ -21,15 +21,22 @@ object RunningCount {
   case class WordIn(seq: Long, word: String)
   case class WordOut(seq: Long, word: String, cnt: Long)
 
-  /** Per-key fold: count monotonically increases across batches; within a
-    * batch, events are processed in `seq` (arrival) order. */
-  def fn(word: String, events: Iterator[WordIn],
-         state: GroupState[Long]): Iterator[WordOut] = {
-    var c = state.getOption.getOrElse(0L)
-    val out = events.toSeq.sortBy(_.seq).map { e =>
+  /** The fold shared by BOTH state APIs (the TopSpeed.advance pattern —
+    * one pure core, so the runtimes can never diverge): count
+    * monotonically increases across batches; within a batch, events are
+    * processed in `seq` (arrival) order. */
+  def advance(count: Long, events: Seq[WordIn]): (Long, Seq[WordOut]) = {
+    var c = count
+    val out = events.sortBy(_.seq).map { e =>
       c += 1
       WordOut(e.seq, e.word, c)
     }
+    (c, out)
+  }
+
+  def fn(word: String, events: Iterator[WordIn],
+         state: GroupState[Long]): Iterator[WordOut] = {
+    val (c, out) = advance(state.getOption.getOrElse(0L), events.toSeq)
     state.update(c)
     out.iterator
   }
@@ -49,11 +56,8 @@ object RunningCount {
       count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
     override def handleInputRows(word: String, rows: Iterator[WordIn],
                                  timerValues: TimerValues): Iterator[WordOut] = {
-      var c = if (count.exists()) count.get() else 0L
-      val out = rows.toSeq.sortBy(_.seq).map { e =>
-        c += 1
-        WordOut(e.seq, e.word, c)
-      }
+      val prev = if (count.exists()) count.get() else 0L
+      val (c, out) = advance(prev, rows.toSeq)
       count.update(c)
       out.iterator
     }
