@@ -154,6 +154,11 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.documents(s, d)
         .select("doc_id", "source", "n_chars"), "source", "doc_id",
         StratifiedRates, defaultRate = 0.1)),
+    // pretraining sequence packing (char-budget over n_chars)
+    "q_pack_sequences" -> ((s, d) =>
+      graft.gen.Packing.packSequences(Tables.documents(s, d)
+        .select("doc_id", "n_chars"), "doc_id", "n_chars",
+        budget = PackBudget, shards = PackShards)),
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) =>
@@ -219,6 +224,10 @@ object SparkEntry {
   /** Per-source keep rates for q_stratified_sample — one definition, hex
     * thresholds interpolated into the oracle via Sampling.thresholdHex. */
   private val StratifiedRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+
+  /** q_pack_sequences knobs, interpolated into both sides. */
+  private val PackBudget = 2048L
+  private val PackShards = 8
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -734,6 +743,15 @@ object SparkEntry {
          |WHERE substring(md5(cast(doc_id AS varchar)), 1, 8) <
          |      CASE source $cases ELSE '${Sampling.stratumThreshold(0.1)}' END""".stripMargin
     },
+    "q_pack_sequences" ->
+      s"""WITH s AS (SELECT doc_id, n_chars, cast(doc_id % $PackShards AS int) AS shard
+         |           FROM documents),
+         |c AS (SELECT *, sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
+         |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_size
+         |      FROM s)
+         |SELECT doc_id, shard, cum_size,
+         |       cast((cum_size - n_chars) // $PackBudget AS bigint) AS bin
+         |FROM c""".stripMargin,
     "q_simhash" -> simhashOracle,
     "q_simhash_pairs" -> simhashPairsOracle(4, 3),
     "q_simhash_pairs8" -> simhashPairsOracle(8, 7),
