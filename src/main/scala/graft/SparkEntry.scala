@@ -122,6 +122,14 @@ object SparkEntry {
       TextAnalysis.fingerprint(Tables.documents(s, d))),
     "q_tfidf_stats" -> ((s, d) =>
       TextAnalysis.termStats(Tables.documents(s, d))),
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionScore(Tables.documents(s, d), threshold = RepThreshold)),
+    // decontamination: docs sharing any bigram with the "benchmark" slice
+    // (doc_id < 20 as the stand-in eval set) are dropped
+    "q_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") < BenchSetSize), n = 2)
+    }),
     "q_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d))),
     // ---- M7: deduplication -------------------------------------------------
@@ -228,6 +236,10 @@ object SparkEntry {
   /** q_pack_sequences knobs, interpolated into both sides. */
   private val PackBudget = 2048L
   private val PackShards = 8
+
+  /** q_repetition / q_decontaminate knobs, interpolated into both sides. */
+  private val RepThreshold = 0.2
+  private val BenchSetSize = 20L
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -743,6 +755,30 @@ object SparkEntry {
          |WHERE substring(md5(cast(doc_id AS varchar)), 1, 8) <
          |      CASE source $cases ELSE '${Sampling.stratumThreshold(0.1)}' END""".stripMargin
     },
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |b AS (SELECT doc_id, unnest($DuckBigrams) AS bg FROM t),
+         |c AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+         |a AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_rep
+         |      FROM c GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(n_bigrams, 0) AS n_bigrams,
+         |       coalesce(max_rep, 0) AS max_rep,
+         |       CASE WHEN coalesce(n_bigrams, 0) > 0
+         |            THEN cast(max_rep AS double) / n_bigrams ELSE 0.0 END AS rep_ratio,
+         |       (CASE WHEN coalesce(n_bigrams, 0) > 0
+         |             THEN cast(max_rep AS double) / n_bigrams ELSE 0.0 END) < $RepThreshold AS keep
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $BenchSetSize),
+         |hits AS (SELECT sh.doc_id, count(*) AS n_contaminated
+         |         FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id)
+         |SELECT d.doc_id,
+         |       coalesce(n_contaminated, 0) AS n_contaminated,
+         |       n_contaminated IS NULL AS keep
+         |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin,
     "q_pack_sequences" ->
       s"""WITH s AS (SELECT doc_id, n_chars, cast(doc_id % $PackShards AS int) AS shard
          |           FROM documents),

@@ -347,6 +347,30 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         (col("cluster_id").isNull || col("doc_id") === col("cluster_id")).as("keep"))
 
+  /** Benchmark decontamination — drop training documents that share any
+    * word n-gram with an evaluation set (the step that keeps test
+    * benchmarks out of the training mix). `benchDocs` is (doc_id, text)
+    * of the eval set: its distinct shingles are tiny next to the corpus
+    * and broadcast into a hash join; per-doc hit counts come from one
+    * aggregation of the matched shingles. Output: every corpus doc with
+    * its contaminated-shingle count and keep decision — downstream
+    * filters on `keep`.
+    *
+    * Scale shape: corpus shingles stream map-side into the broadcast
+    * join; the only shuffle is the per-doc hit count (partial-agg
+    * combined), plus one left join back to the doc list. */
+  def decontaminate(docs: DataFrame, benchDocs: DataFrame, n: Int): DataFrame = {
+    val benchShingles = docShingles(benchDocs, n).select("shingle").distinct()
+    val hits = docShingles(docs, n)
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    docs.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        col("n_contaminated").isNull.as("keep"))
+  }
+
   /** Cross-modality dedup agreement — the "measure, don't guess" signal
     * for near-dup pipelines: given three candidate pair sets over the
     * same corpus ids (lexical MinHash-LSH, bitwise SimHash, and

@@ -74,6 +74,40 @@ object TextAnalysis {
       bpeish.cast("bigint").as("bpeish_tokens"))
   }
 
+  /** Repetition score: the most frequent word bigram's share of all
+    * bigram OCCURRENCES — the boilerplate/spam signal (repeated
+    * navigation text, keyword stuffing) quality pipelines threshold on.
+    *
+    * Formulated as explode → (doc, bigram) count → per-doc max/sum: two
+    * codegen'd partial-agg shuffles. (A per-row nested-HOF count —
+    * `transform(distinct, b => count(bg == b))` — is the measured
+    * interpreted-quadratic trap: O(len²) lambda evals per document.)
+    * Docs with <2 tokens survive via the left join with 0 bigrams.
+    * Integer counts ratioed once, so the double is engine-exact. */
+  def repetitionScore(df: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val tk = col("tk")
+    // NON-distinct bigrams (occurrences, unlike Dedup.shinglesOf —
+    // frequency is the whole point)
+    val bigrams = when(size(tk) >= 2,
+      transform(sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val perDoc = df.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), explode(bigrams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"))
+    df.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("max_rep"), lit(0L)).as("max_rep"))
+      .withColumn("rep_ratio",
+        when(col("n_bigrams") > 0,
+          col("max_rep").cast("double") / col("n_bigrams")).otherwise(0.0))
+      .withColumn("keep", col("rep_ratio") < threshold)
+  }
+
   /** TF-IDF term statistics: per (doc, term) frequency, per-term document
     * frequency, and the corpus size — the exact-integer core of TF-IDF
     * weighting. The weight itself (`tfIdf`) multiplies in a logarithm,

@@ -89,6 +89,16 @@ class DedupSpec extends SparkSuite {
     assert(multi === expected)
   }
 
+  test("decontaminate: docs sharing any bench bigram are dropped, others kept") {
+    val d = docs("the quick brown fox", "a quick brown dog", "totally unrelated words here")
+    // bench = doc 0; doc 1 shares the bigram "quick brown"; doc 2 clean
+    val r = Dedup.decontaminate(d, d.filter($"doc_id" === 0L), n = 2)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(r(0)._3 === false) // the bench doc flags itself
+    assert(r(1) === ((1L, 1L, false)))
+    assert(r(2) === ((2L, 0L, true)))
+  }
+
   test("simhash pairs: 8-band candidates cover everything 4-band finds") {
     // pigeonhole: 8 bands guarantee recall to hamming 7 ⊇ hamming ≤ 3,
     // so the 4-band pair set must be a subset of the 8-band one

@@ -54,6 +54,18 @@ class TextAnalysisSpec extends SparkSuite {
     assert(math.abs(w((0L, "b")) - 1.0) < 1e-12)
   }
 
+  test("repetitionScore: hand-computed max-bigram share; short docs score 0") {
+    val r = TextAnalysis.repetitionScore(
+      docs("a b a b a b", "a b c d e f", "solo"), threshold = 0.5)
+      .as[(Long, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    // "a b a b a b": 5 bigram occurrences, "a b" x3 → 0.6, dropped
+    assert(r(0) === ((0L, 5L, 3L, 0.6, false)))
+    // all-distinct bigrams: 5 occurrences, max 1 → 0.2, kept
+    assert(r(1) === ((1L, 5L, 1L, 0.2, true)))
+    // <2 tokens: no bigrams, ratio 0, kept
+    assert(r(2) === ((2L, 0L, 0L, 0.0, true)))
+  }
+
   test("fingerprint: <2 tokens yields null, equal shingle sets share a fingerprint") {
     val rows = TextAnalysis.fingerprint(docs("solo", "a b c", "a b c"))
       .as[(Long, Option[String])].collect().sortBy(_._1)
