@@ -188,6 +188,58 @@ case class MinHashSig(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Native cosine-similarity kernel: the EXACT interleaved sequential
+  * folds the Catalyst HOF tree (`aggregate(zip_with(a,b,*),0,+)` over
+  * dot and both norms) evaluates — each accumulator adds in index order,
+  * so the result is bit-identical to both the HOF formulation and the
+  * oracle's list_reduce, at JIT speed instead of ~1 µs/lambda
+  * interpretation. Assumes equal-length inputs (the embedding schema). */
+object CosineImpl {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Custom Catalyst expression: cosine similarity of two double arrays as
+  * one codegen'd scalar call — the ANN scoring hot path (every candidate
+  * pair evaluates it) stays inside whole-stage codegen instead of
+  * interpreting three nested higher-order folds. */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<double> inputs, got " +
+          s"${l.simpleString(10)} / ${r.simpleString(10)}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CosineImpl.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session extensions (`spark.sql.extensions=graft.functions.GraftExtensions`,
   * set by GraftSession): registers the engine's custom expressions so they
   * are callable from SQL and via `call_function` — the public, documented
@@ -210,6 +262,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (args: Seq[Expression]) =>
         MinHashSig(args.head, intLit(args(1), "minhash_sig k"))))
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSim(args.head, args(1))))
   }
 }
 
@@ -220,4 +276,7 @@ object GraftFunctions {
   /** k seeded min-md5s over a shingle array column → array of hex strings. */
   def minhashSig(shingles: Column, k: Int): Column =
     call_function("minhash_sig", shingles, org.apache.spark.sql.functions.lit(k))
+
+  /** Cosine similarity of two array<double> columns (codegen'd scalar). */
+  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 }

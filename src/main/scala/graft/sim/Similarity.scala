@@ -31,7 +31,12 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — the codegen'd `cosine_sim` expression, which
+    * evaluates the same sequential folds as `dot(a,b)/(norm(a)*norm(b))`
+    * (bit-identical; SimilaritySpec asserts it) without interpreting
+    * three nested HOFs per candidate pair. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Shared per-query top-k: rank by cosine desc with neighbor-id
     * tiebreak — ONE definition so brute/LSH/IVF can never diverge. */

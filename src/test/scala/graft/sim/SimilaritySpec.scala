@@ -17,6 +17,24 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
   }
 
+  test("cosine_sim expression is bit-identical to the HOF fold formulation") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(50)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val paired = emb.as("a").crossJoin(emb.as("b"))
+      .select(col("a.v").as("va"), col("b.v").as("vb"))
+    val hof = Similarity.dot(col("va"), col("vb")) /
+      (Similarity.norm(col("va")) * Similarity.norm(col("vb")))
+    val both = paired.select(
+      Similarity.cosine(col("va"), col("vb")).as("native"), hof.as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    assert(both.forall { case (n, h) =>
+      java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h)
+    })
+  }
+
   test("trained IVF: training moves centroids, search stays exact, deterministic") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val seed = Similarity.trainCentroids(emb, nlist = 4, iters = 0)
