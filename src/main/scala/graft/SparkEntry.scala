@@ -111,6 +111,22 @@ object SparkEntry {
     "q_tpch_q12" -> Relational.q12 _,
     "q_tpch_q18" -> Relational.q18 _,
     "q_tpch_q19" -> Relational.q19 _,
+    "q_tpch_q4" -> Relational.q4 _,
+    "q_tpch_q13" -> Relational.q13 _,
+    // as-of join: each purchase picks up the latest prior (or same-µs)
+    // view per user; the right side is deduped to one row per (user, ts)
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_id"))
+        .select(col("user_id"), col("ts_us"), col("view_id"),
+          col("ts_us").as("view_ts_us"))
+      graft.join.AsofJoin.asof(p, v, "user_id", "ts_us")
+    }),
     // ---- M7: text analysis -------------------------------------------------
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
@@ -642,6 +658,30 @@ object SparkEntry {
         |                     GROUP BY l_orderkey
         |                     HAVING sum(cast(l_quantity AS decimal(18,2))) > 250)
         |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts_us, max(event_id) AS view_id, ts_us AS view_ts_us
+        |      FROM (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
+        |            FROM events WHERE event_type = 'view') t
+        |      GROUP BY user_id, ts_us)
+        |SELECT p.user_id, p.ts_us, p.event_id, v.view_id, v.view_ts_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin,
     "q_tpch_q19" ->
       """SELECT cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
         |FROM lineitem

@@ -1,0 +1,51 @@
+package graft.join
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** AS-OF join — each left row picks up the LATEST right row whose
+  * timestamp is <= the left row's (inclusive), per key: the
+  * point-in-time lookup every event pipeline needs (latest price at
+  * trade time, last profile before the click, temporal-table join).
+  *
+  * Spark has no asof operator, and the preference ladder says compose
+  * before building custom plans — this IS expressible with existing
+  * operators, exactly once you see it as a MERGE: union both sides,
+  * sort each key's timeline with right rows ordered before left rows at
+  * equal timestamps (inclusive semantics), and carry the last non-null
+  * right payload forward with `last(..., ignoreNulls) over (rows
+  * unbounded preceding)`. One hash-partition window per key — the same
+  * shuffle an equi-join would pay, no range-join blowup, no custom
+  * physical operator to maintain.
+  *
+  * Contract: `left`/`right` are pre-projected to (key, ts, payload...)
+  * with disjoint payload names; the RIGHT side must be unique per
+  * (key, ts) (dedup upstream — ties at one timestamp have no defined
+  * winner in any engine's asof). Left rows with no earlier right row
+  * keep NULL payloads (left-outer semantics). */
+object AsofJoin {
+
+  def asof(left: DataFrame, right: DataFrame,
+           keyCol: String, tsCol: String): DataFrame = {
+    val lNames = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    val rNames = right.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
+    require(lNames.intersect(rNames).isEmpty,
+      s"payload columns must be disjoint: ${lNames.intersect(rNames)}")
+    val lAligned = left.select(
+      Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
+        lNames.map(col) ++
+        rNames.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rAligned = right.select(
+      Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
+        lNames.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        rNames.map(col): _*)
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = rNames.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1).drop("__side")
+  }
+}

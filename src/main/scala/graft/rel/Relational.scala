@@ -146,6 +146,38 @@ object Relational {
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
   }
 
+  /** TPC-H Q4-shaped order-priority check — the EXISTS / left-semi
+    * shape: orders in one year with at least one lineitem shipped more
+    * than 60 days after the order date (the synthetic schema's stand-in
+    * for commit<receipt lateness), counted per priority. The semi join
+    * carries the non-equi lateness predicate alongside the key. */
+  def q4(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  /** TPC-H Q13 customer order-count distribution — the LEFT OUTER join +
+    * double aggregation shape: customers keep a row even with zero
+    * orders, then the counts themselves are histogrammed. */
+  def q13(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
   /** TPC-H Q19-shaped discounted revenue: an OR of three
     * (brand ∧ size-range ∧ quantity-range) conjuncts spanning BOTH join
     * sides — the disjunctive-predicate shape. Catalyst cannot push the

@@ -1,0 +1,29 @@
+package graft.join
+
+import graft.SparkSuite
+
+class AsofJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("asof: latest right row at-or-before each left ts per key; no-match keeps NULL") {
+    val left = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 7L, 102L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 5L, 900L), (1L, 9L, 901L), (2L, 8L, 902L))
+      .toDF("k", "ts", "rid")
+    val got = AsofJoin.asof(left, right, "k", "ts")
+      .select("k", "ts", "lid", "rid")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (1L, 10L, 100L, Some(901L)), // latest of {5, 9} <= 10
+      (1L, 5L, 101L, Some(900L)),  // equal timestamps match (inclusive)
+      (2L, 7L, 102L, None)))       // right row at 8 is in the future
+  }
+
+  test("asof: every left row survives exactly once (left-outer cardinality)") {
+    val left = (0L until 50L).map(i => (i % 5, i, i)).toDF("k", "ts", "lid")
+    val right = (0L until 10L).map(i => (i % 5, i * 3, i + 1000)).toDF("k", "ts", "rid")
+    val out = AsofJoin.asof(left, right, "k", "ts")
+    assert(out.count() === 50L)
+    assert(out.select("lid").distinct().count() === 50L)
+  }
+}
