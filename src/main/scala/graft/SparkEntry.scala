@@ -80,6 +80,8 @@ object SparkEntry {
     // ---- M3: windowed join -----------------------------------------------
     "q_window_join" -> ((s, d) =>
       WindowJoin.eventSliceJoin(Tables.events(s, d), "signup", "purchase", 3600L)),
+    "q_range_join" -> ((s, d) =>
+      WindowJoin.eventRangeJoin(Tables.events(s, d), "signup", "purchase", 1800L)),
     // ---- M4: TopSpeed stateful op (batch/oracle reformulation) ------------
     "q_topspeed_bucket" -> ((s, d) =>
       TopSpeed.topSpeedBuckets(Tables.events(s, d), 10, 50.0)),
@@ -538,6 +540,14 @@ object SparkEntry {
         |           FROM events WHERE event_type = 'purchase')
         |SELECT a.user_id, a.wstart_sec, a_id, b_id, grade, salary
         |FROM a JOIN b ON a.user_id = b.user_id AND a.wstart_sec = b.wstart_sec""".stripMargin,
+    "q_range_join" ->
+      """SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+        |       epoch_ns(a.ts) // 1000000000 AS a_ts,
+        |       epoch_ns(b.ts) // 1000000000 AS b_ts
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND abs(epoch_ns(a.ts) // 1000000000 - epoch_ns(b.ts) // 1000000000) <= 1800
+        |WHERE a.event_type = 'signup' AND b.event_type = 'purchase'""".stripMargin,
     "q_topspeed_bucket" ->
       """WITH ce AS (SELECT cast(user_id % 10 AS int) AS car_id, value AS speed,
         |                   epoch_ns(ts) // 1000 AS ts_us, event_id

@@ -39,4 +39,36 @@ object WindowJoin {
       .select(col("user_id"), col("wb").as("wstart_sec"),
         col("a_id"), col("b_id"), col("grade"), col("salary"))
   }
+
+  /** RANGE join: pairs of A/B events for the same key within
+    * `maxGapSec` of each other (|ts_a − ts_b| <= gap) — the "what
+    * happened near this event" join a naive formulation computes as a
+    * per-key cross product with a non-equi filter (Spark plans that as
+    * BroadcastNestedLoop or a full key-group cross — quadratic in hot
+    * keys).
+    *
+    * Scale formulation: bucket time into `maxGapSec`-wide slots; a pair
+    * within the gap is at most one slot apart, so replicating the B side
+    * into its slot and both neighbors turns the range predicate into an
+    * EQUI join on (key, slot) + an exact residual filter. Replication
+    * factor 3 instead of a cross product; each qualifying pair matches
+    * exactly once (A keeps its single slot, B's three replicas are
+    * distinct slots). The residual keeps only |Δts| <= gap. */
+  def eventRangeJoin(events: DataFrame, typeA: String, typeB: String,
+                     maxGapSec: Long): DataFrame = {
+    val slot = (c: org.apache.spark.sql.Column) => (c / maxGapSec).cast("bigint")
+    val a = events.filter(col("event_type") === typeA)
+      .select(col("user_id"), col("ts_sec").as("a_ts"),
+        col("event_id").as("a_id"), slot(col("ts_sec")).as("slot"))
+    val b0 = events.filter(col("event_type") === typeB)
+      .select(col("user_id").as("b_user_id"), col("ts_sec").as("b_ts"),
+        col("event_id").as("b_id"))
+    val b = b0.select(col("b_user_id"), col("b_ts"), col("b_id"),
+      explode(array(slot(col("b_ts")) - 1, slot(col("b_ts")),
+        slot(col("b_ts")) + 1)).as("slot"))
+    a.join(b, a("user_id") === b("b_user_id") && a("slot") === b("slot"))
+      .filter(abs(col("a_ts") - col("b_ts")) <= maxGapSec)
+      .select(col("user_id"), col("a_id"), col("b_id"),
+        col("a_ts"), col("b_ts"))
+  }
 }

@@ -36,4 +36,17 @@ class WindowJoinSpec extends SparkSuite {
       (2L, 2L, "purchase", 10.0, 200L))
     assert(WindowJoin.eventSliceJoin(df, "signup", "purchase", 3600L).count() === 0L)
   }
+
+  test("range join: pairs within the gap match exactly once, incl. across slots") {
+    val df = ev(
+      (1L, 1L, "signup", 0.0, 1000L),
+      (2L, 1L, "purchase", 0.0, 1500L),   // |Δ| = 500  <= 1800 (same slot 0)
+      (3L, 1L, "purchase", 0.0, 2000L),   // |Δ| = 1000 <= 1800 (slot 1 vs 0)
+      (4L, 1L, "purchase", 0.0, 2800L),   // |Δ| = 1800 == gap, inclusive
+      (5L, 1L, "purchase", 0.0, 2801L),   // |Δ| = 1801 — out
+      (6L, 2L, "purchase", 0.0, 1000L))   // other key — out
+    val out = WindowJoin.eventRangeJoin(df, "signup", "purchase", 1800L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, 2L), (1L, 3L), (1L, 4L))) // each pair exactly once
+  }
 }
