@@ -115,6 +115,7 @@ object SparkEntry {
     "q_tpch_q19" -> Relational.q19 _,
     "q_tpch_q4" -> Relational.q4 _,
     "q_tpch_q13" -> Relational.q13 _,
+    "q_tpch_q14" -> Relational.q14 _,
     // as-of join: each purchase picks up the latest prior (or same-µs)
     // view per user; the right side is deduped to one row per (user, ts)
     "q_asof_join" -> ((s, d) => {
@@ -677,6 +678,15 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_tpch_q14" ->
+      """SELECT cast(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2))) END) AS double)
+        |       * 100.0
+        |       / cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS promo_revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
     "q_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -178,6 +178,21 @@ object Relational {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** TPC-H Q14 promotion-effect ratio: one month's revenue share from
+    * PROMO parts. Both the numerator (conditional sum) and denominator
+    * are EXACT decimal sums cast to double before the single division,
+    * so the ratio is bit-identical across engines; part is broadcast. */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg((sum(when(col("p_type") === "PROMO", discPrice)).cast("double") *
+        lit(100.0) / sum(discPrice).cast("double")).as("promo_revenue"))
+  }
+
   /** TPC-H Q19-shaped discounted revenue: an OR of three
     * (brand ∧ size-range ∧ quantity-range) conjuncts spanning BOTH join
     * sides — the disjunctive-predicate shape. Catalyst cannot push the
