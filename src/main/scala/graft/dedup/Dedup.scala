@@ -49,14 +49,18 @@ object Dedup {
     * Guarded for docs shorter than n tokens: Spark's `sequence(1, 0)` is
     * DESCENDING `[1, 0]` (not empty like SQL generate_series) and
     * `element_at(tk, 0)` throws under ANSI mode — so short docs
-    * short-circuit to an empty array. */
-  def shinglesOf(tk: Column, n: Int): Column =
-    if (n == 1) array_distinct(tk)
+    * short-circuit to an empty array. `distinct = false` keeps every
+    * OCCURRENCE (frequency consumers like repetitionScore); the default
+    * dedups per doc (set-semantics consumers: MinHash, Jaccard). */
+  def shinglesOf(tk: Column, n: Int, distinct: Boolean = true): Column = {
+    def dedup(c: Column) = if (distinct) array_distinct(c) else c
+    if (n == 1) dedup(tk)
     else when(size(tk) >= n,
-      array_distinct(transform(
+      dedup(transform(
         sequence(lit(1), size(tk) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*))))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** (doc_id, shingle) — one row per DISTINCT shingle per doc. */
   def docShingles(df: DataFrame, n: Int): DataFrame =

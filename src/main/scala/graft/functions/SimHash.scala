@@ -195,16 +195,22 @@ case class MinHashSig(child: Expression, k: Int)
   * oracle's list_reduce, at JIT speed instead of ~1 µs/lambda
   * interpretation. Assumes equal-length inputs (the embedding schema). */
 object CosineImpl {
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  /** Returns null exactly where the HOF formulation returned NULL: when
+    * the lengths differ (zip_with pads the shorter side with null) or
+    * when any element is null (null propagates through every fold) —
+    * never reads past either array. */
+  def computeOrNull(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
+    if (b.numElements() != n) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val x = a.getDouble(i); val y = b.getDouble(i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
   }
 }
 
@@ -227,13 +233,20 @@ case class CosineSim(left: Expression, right: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
   override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    CosineImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    CosineImpl.computeOrNull(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.CosineImpl.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Double ${ev.value}Tmp = graft.functions.CosineImpl.computeOrNull($a, $b);
+      |if (${ev.value}Tmp == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}Tmp.doubleValue();
+      |}
+      |""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSim =

@@ -32,20 +32,29 @@ object AsofJoin {
     val rNames = right.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
     require(lNames.intersect(rNames).isEmpty,
       s"payload columns must be disjoint: ${lNames.intersect(rNames)}")
+    // The right payload travels as ONE struct, carried forward as a unit:
+    // per-column carry-forward would stitch together values from
+    // DIFFERENT right rows whenever a matched row holds a NULL field
+    // (and make "matched, field was NULL" indistinguishable from "no
+    // match"). The struct itself is never null for a real right row, so
+    // last(ignoreNulls) picks exactly the latest whole row.
+    val rpType = org.apache.spark.sql.types.StructType(
+      rNames.map(c => right.schema(right.schema.fieldIndex(c))))
     val lAligned = left.select(
       Seq(col(keyCol), col(tsCol), lit(1).as("__side")) ++
-        lNames.map(col) ++
-        rNames.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+        lNames.map(col) :+
+        lit(null).cast(rpType).as("__rp"): _*)
     val rAligned = right.select(
       Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
-        lNames.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rNames.map(col): _*)
+        lNames.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rNames.map(col): _*).as("__rp"): _*)
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rNames.foldLeft(lAligned.unionByName(rAligned)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__side")
+    lAligned.unionByName(rAligned)
+      .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(Seq(col(keyCol), col(tsCol)) ++ lNames.map(col) ++
+        rNames.map(c => col(s"__rp.$c").as(c)): _*)
   }
 }

@@ -56,16 +56,18 @@ object WindowJoin {
     * distinct slots). The residual keeps only |Δts| <= gap. */
   def eventRangeJoin(events: DataFrame, typeA: String, typeB: String,
                      maxGapSec: Long): DataFrame = {
-    val slot = (c: org.apache.spark.sql.Column) => (c / maxGapSec).cast("bigint")
+    // integer `div`, like every other time bucket in this engine — the
+    // slot-adjacency argument should rest on exact arithmetic, not on
+    // double truncation behaving like floor
+    val slot = (c: String) => expr(s"$c div $maxGapSec")
     val a = events.filter(col("event_type") === typeA)
       .select(col("user_id"), col("ts_sec").as("a_ts"),
-        col("event_id").as("a_id"), slot(col("ts_sec")).as("slot"))
+        col("event_id").as("a_id"), slot("ts_sec").as("slot"))
     val b0 = events.filter(col("event_type") === typeB)
       .select(col("user_id").as("b_user_id"), col("ts_sec").as("b_ts"),
         col("event_id").as("b_id"))
     val b = b0.select(col("b_user_id"), col("b_ts"), col("b_id"),
-      explode(array(slot(col("b_ts")) - 1, slot(col("b_ts")),
-        slot(col("b_ts")) + 1)).as("slot"))
+      explode(array(slot("b_ts") - 1, slot("b_ts"), slot("b_ts") + 1)).as("slot"))
     a.join(b, a("user_id") === b("b_user_id") && a("slot") === b("slot"))
       .filter(abs(col("a_ts") - col("b_ts")) <= maxGapSec)
       .select(col("user_id"), col("a_id"), col("b_id"),

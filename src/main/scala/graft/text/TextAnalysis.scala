@@ -85,13 +85,10 @@ object TextAnalysis {
     * Docs with <2 tokens survive via the left join with 0 bigrams.
     * Integer counts ratioed once, so the double is engine-exact. */
   def repetitionScore(df: DataFrame, threshold: Double = 0.2): DataFrame = {
-    val tk = col("tk")
-    // NON-distinct bigrams (occurrences, unlike Dedup.shinglesOf —
-    // frequency is the whole point)
-    val bigrams = when(size(tk) >= 2,
-      transform(sequence(lit(1), size(tk) - 1),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // NON-distinct bigrams (occurrences — frequency is the whole point),
+    // via the ONE shingle builder so the short-doc/ANSI guard lives in
+    // a single place
+    val bigrams = graft.dedup.Dedup.shinglesOf(col("tk"), 2, distinct = false)
     val perDoc = df.select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), explode(bigrams).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))

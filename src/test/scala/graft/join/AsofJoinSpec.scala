@@ -19,6 +19,19 @@ class AsofJoinSpec extends SparkSuite {
       (2L, 7L, 102L, None)))       // right row at 8 is in the future
   }
 
+  test("asof: a matched right row with a NULL field is taken WHOLE, not stitched") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 5L, Option(10.0), 2L), (1L, 9L, Option.empty[Double], 7L))
+      .toDF("k", "ts", "price", "qty")
+    val got = AsofJoin.asof(left, right, "k", "ts")
+      .select("lid", "price", "qty")
+      .as[(Long, Option[Double], Option[Long])].collect().toSeq
+    // the ts=9 row wins entirely: price NULL from THAT row, not 10.0
+    // carried over from ts=5 (per-column fill would fabricate a row
+    // that never existed)
+    assert(got === Seq((100L, None, Some(7L))))
+  }
+
   test("asof: every left row survives exactly once (left-outer cardinality)") {
     val left = (0L until 50L).map(i => (i % 5, i, i)).toDF("k", "ts", "lid")
     val right = (0L until 10L).map(i => (i % 5, i * 3, i + 1000)).toDF("k", "ts", "rid")

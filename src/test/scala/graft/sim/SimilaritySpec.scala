@@ -17,6 +17,17 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(pairs.head._3 - 1.0) < 1e-12)
   }
 
+  test("cosine_sim: NULL on length mismatch or null elements, like the HOF folds") {
+    import org.apache.spark.sql.functions._
+    val df = spark.sql(
+      """SELECT cosine_sim(array(1.0d, 2.0d), array(1.0d)) AS mismatch,
+        |       cosine_sim(array(1.0d, cast(null AS double)), array(1.0d, 2.0d)) AS nullelem,
+        |       cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS same""".stripMargin)
+    val r = df.collect().head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getDouble(2) === 1.0)
+  }
+
   test("cosine_sim expression is bit-identical to the HOF fold formulation") {
     import org.apache.spark.sql.functions._
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
