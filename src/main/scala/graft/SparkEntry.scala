@@ -116,6 +116,7 @@ object SparkEntry {
     "q_tpch_q4" -> Relational.q4 _,
     "q_tpch_q13" -> Relational.q13 _,
     "q_tpch_q14" -> Relational.q14 _,
+    "q_tpch_q7" -> Relational.q7 _,
     // as-of join: each purchase picks up the latest prior (or same-µs)
     // view per user; the right side is deduped to one row per (user, ts)
     "q_asof_join" -> ((s, d) => {
@@ -678,6 +679,20 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+        |  AND n2.n_name IN ('NATION_0', 'NATION_1')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_tpch_q14" ->
       """SELECT cast(sum(CASE WHEN p_type = 'PROMO'
         |                     THEN cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2))) END) AS double)

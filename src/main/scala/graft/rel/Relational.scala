@@ -178,6 +178,34 @@ object Relational {
       .agg(count(lit(1)).as("custdist"))
   }
 
+  /** TPC-H Q7-shaped volume shipping: revenue between two nations per
+    * ship-year, in both directions — the dual-dimension join (supplier
+    * nation × customer nation) + date-part grouping shape. Both nation
+    * lookups broadcast; the fact chain shuffles once per join key. */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val nations = Seq("NATION_0", "NATION_1")
+    val n1 = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(spark, dir)
+      .filter(col("n_name").isin(nations: _*))
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation")))
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nkey"))
+      .join(n2, col("c_nationkey") === col("c_nkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(discPrice).cast("double").as("revenue"))
+  }
+
   /** TPC-H Q14 promotion-effect ratio: one month's revenue share from
     * PROMO parts. Both the numerator (conditional sum) and denominator
     * are EXACT decimal sums cast to double before the single division,
