@@ -15,8 +15,10 @@ import graft.text.TextAnalysis
   *   documents
   *     → language filter (map-side)
   *     → quality filter (map-side)
+  *     → repetition filter (2 partial-agg shuffles)
   *     → exact dedup (1 shuffle on content hash)
   *     → near-dup dedup: MinHash-LSH pairs → clusters → keep canonical
+  *     → benchmark decontamination (broadcast anti-flag)
   *     → deterministic train/test split (map-side)
   *     → parquet out (partitioned by split)
   *
@@ -24,22 +26,34 @@ import graft.text.TextAnalysis
   */
 object PipelineMain {
 
-  /** The pipeline as a pure function: documents in, labeled keepers out. */
-  def run(docs: DataFrame, testFraction: Double): DataFrame = {
+  /** The pipeline as a pure function: documents in (plus an optional
+    * eval set to decontaminate against), labeled keepers out. */
+  def run(docs: DataFrame, testFraction: Double,
+          benchDocs: Option[DataFrame] = None): DataFrame = {
     val lang = TextAnalysis.langId(docs).filter(col("lang_pred") === "en")
       .select("doc_id")
     val quality = TextAnalysis.qualityScore(docs).filter(col("keep"))
       .select("doc_id")
+    val repetition = TextAnalysis.repetitionScore(docs).filter(col("keep"))
+      .select("doc_id")
     val filtered = docs
       .join(lang, "doc_id")
       .join(quality, "doc_id")
+      .join(repetition, "doc_id")
     val exactKeep = Dedup.exact(filtered).select(col("keep_id").as("doc_id"))
     val exactDocs = filtered.join(exactKeep, "doc_id")
     val nearKeep = Dedup.applyClusters(exactDocs,
       Dedup.connectedComponents(
         Dedup.minhashLshPairs(exactDocs, n = 2, k = 6, rowsPerBand = 2)))
       .filter(col("keep")).select("doc_id")
-    Sampling.trainTestSplit(exactDocs.join(nearKeep, "doc_id"), "doc_id", testFraction)
+    val deduped = exactDocs.join(nearKeep, "doc_id")
+    val clean = benchDocs match {
+      case Some(bench) =>
+        deduped.join(Dedup.decontaminate(deduped, bench, n = 2)
+          .filter(col("keep")).select("doc_id"), "doc_id")
+      case None => deduped
+    }
+    Sampling.trainTestSplit(clean, "doc_id", testFraction)
   }
 
   def main(args: Array[String]): Unit = {

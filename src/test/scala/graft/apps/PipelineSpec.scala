@@ -26,4 +26,16 @@ class PipelineSpec extends SparkSuite {
       .select("doc_id", "split").as[(Long, String)].collect()
     assert(rows.sorted.toSeq === again.sorted.toSeq)
   }
+
+  test("pipeline with decontamination: bench-overlapping docs are gone") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val bench = docs.filter(col("doc_id") < 5)
+    val out = PipelineMain.run(docs, testFraction = 0.2, benchDocs = Some(bench))
+      .select("doc_id").as[Long].collect().toSet
+    val base = PipelineMain.run(docs, testFraction = 0.2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.subsetOf(base)) // decontamination only removes
+    // every bench doc that survived the other filters is removed
+    assert(out.intersect((0L until 5L).toSet).isEmpty)
+  }
 }
