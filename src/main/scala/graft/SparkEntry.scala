@@ -653,8 +653,8 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, c_acctbal, n_name""".stripMargin,
     "q_tpch_q12" ->
       """SELECT l_returnflag,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        |       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+        |       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS bigint) AS low_line_count
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -837,7 +837,7 @@ object SparkEntry {
          |a AS (SELECT doc_id, sum(c) AS n_bigrams, max(c) AS max_rep
          |      FROM c GROUP BY doc_id)
          |SELECT d.doc_id,
-         |       coalesce(n_bigrams, 0) AS n_bigrams,
+         |       cast(coalesce(n_bigrams, 0) AS bigint) AS n_bigrams,
          |       coalesce(max_rep, 0) AS max_rep,
          |       CASE WHEN coalesce(n_bigrams, 0) > 0
          |            THEN cast(max_rep AS double) / n_bigrams ELSE 0.0 END AS rep_ratio,
@@ -860,7 +860,7 @@ object SparkEntry {
          |c AS (SELECT *, sum(n_chars) OVER (PARTITION BY shard ORDER BY doc_id
          |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_size
          |      FROM s)
-         |SELECT doc_id, shard, cum_size,
+         |SELECT doc_id, shard, cast(cum_size AS bigint) AS cum_size,
          |       cast((cum_size - n_chars) // $PackBudget AS bigint) AS bin
          |FROM c""".stripMargin,
     "q_simhash" -> simhashOracle,

@@ -48,6 +48,16 @@ def main(sf_dir, out_dir):
             drows = duck_res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}"); fails += 1; continue
+        # Driver-side compare goes through pandas, where DuckDB HUGEINT
+        # (e.g. sum(BIGINT)) coerces to float64 and formats "123.0" vs
+        # Spark's "123" -> hash mismatch. Lint: oracle must cast such sums.
+        rel = con.sql(sql)
+        hug = [c for c, t in zip(rel.columns, rel.types)
+               if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+        if hug:
+            print(f"FAIL {name}: oracle emits HUGEINT cols {hug} "
+                  f"(driver pandas coerces to float64; cast to bigint)")
+            fails += 1; continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
             fails += 1; continue
