@@ -98,8 +98,17 @@ object Aggregations {
     // NULL measures are excluded like `percentile` excluded them — and a
     // NULL bin would sort first in Spark's window but LAST in the
     // oracle's, silently skewing every cumulative count
+    // loud-failure guard for the binning contract: the histogram is only
+    // EXACT when every measure has <= 2 fractional digits (bin = value).
+    // A general double would silently get binned percentiles, so assert
+    // per row inside the scan (assert_true returns NULL when the
+    // predicate holds, so the isNull keeps it in the plan for free).
+    val exact2dp = round(col(measure) * 100) / 100 === col(measure)
     val hist = df
-      .filter(col(measure).isNotNull)
+      .filter(col(measure).isNotNull &&
+        assert_true(exact2dp, lit(s"valueStats requires '$measure' values " +
+          "with <= 2 fractional digits (exact fixed-bin histogram contract)"))
+          .isNull)
       .groupBy(col(key), round(col(measure) * 100).cast("bigint").as("bin"))
       .agg(count(lit(1)).as("cnt"), min(col(measure)).as("measure_min"))
     val wCum = Window.partitionBy(col(key)).orderBy(col("bin"))

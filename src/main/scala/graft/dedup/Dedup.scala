@@ -275,7 +275,11 @@ object Dedup {
         .map { case (root, (node, lbl)) => (node, lbl.getOrElse(root)) }
     }
 
-    val out = labels.persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint, not a bare persist: it truncates the composed
+    // join lineage AND its blocks are ContextCleaner-managed, so
+    // repeated invocations (q_dedup_clusters, q_dedup_keep, pipeline
+    // runs) don't accumulate caller-unreachable cached blocks
+    val out = labels.localCheckpoint()
     out.count()
     cached.foreach(_.unpersist())
     out.toDF("doc_id", "cluster_id")

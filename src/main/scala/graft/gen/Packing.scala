@@ -29,7 +29,11 @@ object Packing {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), col(sizeCol),
-        pmod(col(idCol), lit(shards)).cast("int").as("shard"))
+        // truncated `%` (sign of dividend), NOT pmod: the DuckDB oracle
+      // computes `id % shards` and the two diverge on negative ids —
+      // bit parity has to hold over the full id domain, not just the
+      // non-negative testdata
+      (col(idCol) % lit(shards)).cast("int").as("shard"))
       .withColumn("cum_size", sum(col(sizeCol)).over(w))
       .withColumn("bin",
         expr(s"(cum_size - $sizeCol) div $budget").cast("bigint"))

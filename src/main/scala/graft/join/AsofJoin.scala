@@ -48,8 +48,14 @@ object AsofJoin {
       Seq(col(keyCol), col(tsCol), lit(0).as("__side")) ++
         lNames.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
         struct(rNames.map(col): _*).as("__rp"): _*)
+    // xxhash64(__rp) as the final sort key: the right side is CONTRACTED
+    // to be unique per (key, ts), but if a caller violates that, the
+    // winner among tied right rows would otherwise be partition-order
+    // dependent — a silently flaky payload. The hash makes the violation
+    // deterministic (max-hash row wins) instead of run-dependent; for
+    // contract-abiding inputs it never breaks a tie (no ties exist).
     val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(tsCol), col("__side"))
+      .orderBy(col(tsCol), col("__side"), xxhash64(col("__rp")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lAligned.unionByName(rAligned)
       .withColumn("__rp", last(col("__rp"), ignoreNulls = true).over(w))

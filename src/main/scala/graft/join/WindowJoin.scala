@@ -56,10 +56,13 @@ object WindowJoin {
     * distinct slots). The residual keeps only |Δts| <= gap. */
   def eventRangeJoin(events: DataFrame, typeA: String, typeB: String,
                      maxGapSec: Long): DataFrame = {
-    // integer `div`, like every other time bucket in this engine — the
-    // slot-adjacency argument should rest on exact arithmetic, not on
-    // double truncation behaving like floor
-    val slot = (c: String) => expr(s"$c div $maxGapSec")
+    // exact integer FLOOR division, not `div`: `div` truncates toward
+    // zero, so slots -1 and 0 would each span ~2 gap widths around t=0
+    // and the one-slot-adjacency argument (hence recall) breaks for
+    // negative timestamps. x - pmod(x, g) is exactly divisible by g, so
+    // the `div` afterwards is exact division — no doubles involved.
+    val slot = (c: String) =>
+      expr(s"($c - ($c % $maxGapSec + $maxGapSec) % $maxGapSec) div $maxGapSec")
     val a = events.filter(col("event_type") === typeA)
       .select(col("user_id"), col("ts_sec").as("a_ts"),
         col("event_id").as("a_id"), slot("ts_sec").as("slot"))

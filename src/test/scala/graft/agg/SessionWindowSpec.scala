@@ -34,4 +34,14 @@ class SessionWindowSpec extends SparkSuite {
     // sorted [1..5]: p50 idx=2 -> 3.0; p90 idx=3.6 -> 4 + 0.6*(5-4) = 4.6
     assert(r === (("a", 1.0, 3.0, 4.6)))
   }
+
+  test("valueStats: >2 fractional digits fails loudly, not silently binned") {
+    val df = Seq(("a", 1.001), ("a", 2.0)).toDF("k", "v")
+    val ex = intercept[Exception] {
+      Aggregations.valueStats(df, "k", "v", Seq(0.5)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("2 fractional digits")))
+  }
 }

@@ -24,4 +24,13 @@ class PackingSpec extends SparkSuite {
     assert(a.map(_._2).distinct.sorted.toSeq === Seq(0, 1, 2, 3))
     assert(a.forall(r => r._2 === (r._1 % 4).toInt))
   }
+
+  test("negative ids shard with truncated % (sign of dividend), matching SQL") {
+    // pmod(-3, 8) = 5 but the oracle's `-3 % 8` = -3; the Spark side must
+    // use the same truncated semantics or negative-id corpora diverge
+    val docs = Seq((-3L, 10L), (-11L, 10L), (5L, 10L)).toDF("doc_id", "n")
+    val shards = Packing.packSequences(docs, "doc_id", "n", 100L, 8)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(shards === Map(-3L -> -3, -11L -> -3, 5L -> 5))
+  }
 }

@@ -39,4 +39,17 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.count() === 50L)
     assert(out.select("lid").distinct().count() === 50L)
   }
+
+  test("asof: contract-violating right ties resolve deterministically, not by partition order") {
+    // two right rows at the SAME (key, ts) violate the uniqueness
+    // contract; the xxhash64 tie-break must pick the same winner
+    // regardless of input partitioning
+    val left = Seq((1L, 10L, 100L)).toDF("k", "ts", "lid")
+    val right = Seq((1L, 5L, 7L), (1L, 5L, 9L)).toDF("k", "ts", "rid")
+    val picks = (1 to 8).map { n =>
+      AsofJoin.asof(left, right.repartition(n), "k", "ts")
+        .select("rid").as[Long].collect().head
+    }
+    assert(picks.distinct.size === 1)
+  }
 }

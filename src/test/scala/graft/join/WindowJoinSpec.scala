@@ -49,4 +49,21 @@ class WindowJoinSpec extends SparkSuite {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
     assert(out === Seq((1L, 2L), (1L, 3L), (1L, 4L))) // each pair exactly once
   }
+
+  test("range join: negative timestamps bucket by floor division (pairs straddling t=0)") {
+    // with truncate-toward-zero slots, -100 and 1700 would land in slots
+    // 0 and 0 but -1900 vs -200 (|Δ|=1700) would land in slots -1 and 0
+    // with slot -1 spanning [-3599, -1] — adjacency still holds there, but
+    // -3700 vs -1900 (|Δ|=1800, slots -2 and -1 under floor) breaks under
+    // truncation (slots -2..0 collapse); assert against the direct filter
+    val df = ev(
+      (1L, 1L, "signup", 0.0, -100L),
+      (2L, 1L, "purchase", 0.0, 1700L),    // |Δ| = 1800, inclusive, straddles 0
+      (3L, 1L, "purchase", 0.0, -1900L),   // |Δ| = 1800, inclusive, both negative
+      (4L, 1L, "purchase", 0.0, -1901L),   // vs 1: |Δ| = 1801 — out
+      (5L, 1L, "signup", 0.0, -3700L))     // vs 3: |Δ|=1800 in; vs 4: |Δ|=1799 in
+    val out = WindowJoin.eventRangeJoin(df, "signup", "purchase", 1800L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(out === Seq((1L, 2L), (1L, 3L), (5L, 3L), (5L, 4L)))
+  }
 }
