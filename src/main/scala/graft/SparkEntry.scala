@@ -117,6 +117,16 @@ object SparkEntry {
     "q_tpch_q13" -> Relational.q13 _,
     "q_tpch_q14" -> Relational.q14 _,
     "q_tpch_q7" -> Relational.q7 _,
+    "q_tpch_q2" -> Relational.q2 _,
+    "q_tpch_q8" -> Relational.q8 _,
+    "q_tpch_q9" -> Relational.q9 _,
+    "q_tpch_q11" -> Relational.q11 _,
+    "q_tpch_q15" -> Relational.q15 _,
+    "q_tpch_q16" -> Relational.q16 _,
+    "q_tpch_q17" -> Relational.q17 _,
+    "q_tpch_q20" -> Relational.q20 _,
+    "q_tpch_q21" -> Relational.q21 _,
+    "q_tpch_q22" -> Relational.q22 _,
     // as-of join: each purchase picks up the latest prior (or same-µs)
     // view per user; the right side is deduped to one row per (user, ts)
     "q_asof_join" -> ((s, d) => {
@@ -292,6 +302,11 @@ object SparkEntry {
   }
 
   /** DuckDB token-list fragment shared by the text/dedup oracles. */
+  /** Oracle-side `l_extendedprice * (1 - l_discount)` in exact decimal —
+    * the SQL twin of Relational.discPrice. */
+  private val DuckDisc =
+    "cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))"
+
   private val DuckToks =
     "list_filter(string_split(text, ' '), x -> len(x) > 0)"
 
@@ -702,6 +717,119 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q_tpch_q2" ->
+      s"""WITH eur AS (SELECT n_nationkey, n_name FROM nation
+         |             JOIN region ON n_regionkey = r_regionkey
+         |             WHERE r_name = 'EUROPE'),
+         |o AS (SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+         |             min(cast(l_extendedprice AS decimal(18,2))) AS offer
+         |      FROM lineitem
+         |      JOIN part ON l_partkey = p_partkey
+         |      JOIN supplier ON l_suppkey = s_suppkey
+         |      JOIN eur ON s_nationkey = n_nationkey
+         |      WHERE p_size <= 10 AND p_type = 'LARGE'
+         |      GROUP BY 1, 2, 3, 4, 5, 6),
+         |m AS (SELECT p_partkey AS mo_partkey, min(offer) AS min_offer FROM o GROUP BY 1)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cast(offer AS double) AS offer
+         |FROM o JOIN m ON p_partkey = mo_partkey AND offer = min_offer""".stripMargin,
+    "q_tpch_q8" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |       cast(sum(CASE WHEN n2.n_name = 'NATION_3' THEN $DuckDisc
+         |                     ELSE cast(0 AS decimal(18,2)) END) AS double)
+         |       / cast(sum($DuckDisc) AS double) AS mkt_share
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |JOIN region ON n1.n_regionkey = r_regionkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1""".stripMargin,
+    "q_tpch_q9" ->
+      s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         |       cast(sum($DuckDisc - cast(p_retailprice AS decimal(18,2)) * cast(l_quantity AS decimal(18,2))) AS double) AS sum_profit
+         |FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |WHERE p_type = 'ECONOMY'
+         |GROUP BY 1, 2""".stripMargin,
+    "q_tpch_q11" ->
+      s"""WITH pv AS (SELECT l_partkey, sum($DuckDisc) AS value FROM lineitem GROUP BY 1),
+         |t AS (SELECT sum(value) AS total, count(*) AS nparts FROM pv)
+         |SELECT l_partkey, cast(value AS double) AS value
+         |FROM pv, t WHERE value * nparts * 10 > total * 15""".stripMargin,
+    "q_tpch_q15" ->
+      s"""WITH rev AS (SELECT l_suppkey, sum($DuckDisc) AS total_revenue
+         |             FROM lineitem
+         |             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+         |               AND l_shipdate < TIMESTAMP '1997-04-01'
+         |             GROUP BY 1),
+         |m AS (SELECT max(total_revenue) AS max_revenue FROM rev)
+         |SELECT s_suppkey, s_name, cast(total_revenue AS double) AS total_revenue
+         |FROM rev JOIN supplier ON l_suppkey = s_suppkey, m
+         |WHERE total_revenue = max_revenue""".stripMargin,
+    "q_tpch_q16" ->
+      """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH pa AS (SELECT l_partkey AS pa_partkey, count(*) AS cnt,
+        |                   sum(cast(l_quantity AS decimal(18,2))) AS sumq
+        |            FROM lineitem GROUP BY 1)
+        |SELECT cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) / 7.0 AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN pa ON l_partkey = pa_partkey
+        |WHERE p_brand = 'Brand#23'
+        |  AND cast(l_quantity AS decimal(18,2)) * 5 * cnt < sumq""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+        |shipped AS (SELECT l_suppkey, sum(cast(l_quantity AS decimal(18,2))) AS shipped_qty
+        |            FROM lineitem JOIN promo ON l_partkey = p_partkey
+        |            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |              AND l_shipdate < TIMESTAMP '1998-01-01'
+        |            GROUP BY 1),
+        |eur AS (SELECT n_nationkey, n_name FROM nation
+        |        JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE')
+        |SELECT s_name, n_name
+        |FROM supplier JOIN eur ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM shipped WHERE shipped_qty > 100)""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH lo AS (SELECT o_orderkey, l_suppkey,
+        |                   l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE o_orderstatus = 'F'),
+        |per AS (SELECT o_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+        |               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+        |               min(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |        FROM lo GROUP BY 1)
+        |SELECT s_name, count(*) AS numwait
+        |FROM per JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY 1""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH sel AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        |             WHERE c_nationkey IN (0, 5, 10, 15, 20)),
+        |st AS (SELECT sum(cast(c_acctbal AS decimal(18,2))) AS tot, count(*) AS cnt
+        |       FROM sel WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+        |       cast(sum(cast(c_acctbal AS decimal(18,2))) AS double) AS totacctbal
+        |FROM sel, st
+        |WHERE cast(c_acctbal AS decimal(18,2)) * cnt > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1""".stripMargin,
     "q_tpch_q13" ->
       """SELECT c_count, count(*) AS custdist
         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count

@@ -271,4 +271,242 @@ object Relational {
       .groupBy(col("n_name"))
       .agg(sum(discPrice).cast("double").as("revenue"))
   }
+
+  /** nation⋈region pruned to one region and broadcast — the 25/5-row
+    * dimension chain every regional query shares. */
+  private def regionNations(spark: SparkSession, dir: String, rName: String) =
+    broadcast(Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === rName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name"))
+
+  /** TPC-H Q2-shaped minimum-cost supplier (no partsupp table in the
+    * synthetic schema, so "cost" is the minimum observed lineitem price
+    * per (part, supplier)): for small LARGE parts, the EUROPE suppliers
+    * whose best offer ties the part's global minimum — the correlated-
+    * scalar-min shape. The min frame is a second agg on the offers
+    * themselves (no re-scan) and joins back on (part, exact decimal). */
+  def q2(spark: SparkSession, dir: String): DataFrame = {
+    val eur = regionNations(spark, dir, "EUROPE")
+    val supp = Tables.supplier(spark, dir)
+      .select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+      .join(eur, col("s_nationkey") === col("n_nationkey"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+      .select("p_partkey", "p_name")
+    val offers = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"), col("n_name"))
+      .agg(min(dec(col("l_extendedprice"))).as("offer"))
+    val minOffer = offers.groupBy(col("p_partkey").as("mo_partkey"))
+      .agg(min(col("offer")).as("min_offer"))
+    offers.join(minOffer,
+        col("p_partkey") === col("mo_partkey") && col("offer") === col("min_offer"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("offer").cast("double").as("offer"))
+  }
+
+  /** TPC-H Q8 national market share: NATION_3 suppliers' slice of ASIA
+    * customers' STANDARD-part revenue per order year. Numerator and
+    * denominator are one pass of EXACT decimal conditional sums; the
+    * single double division happens after aggregation. */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val asia = regionNations(spark, dir, "ASIA").select(col("n_nationkey").as("c_nkey"))
+    val suppN = broadcast(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val zero = lit(0).cast("decimal(18,2)")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(asia, col("c_nationkey") === col("c_nkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(suppN, col("s_nationkey") === col("s_nkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg((sum(when(col("supp_nation") === "NATION_3", discPrice).otherwise(zero))
+        .cast("double") / sum(discPrice).cast("double")).as("mkt_share"))
+  }
+
+  /** TPC-H Q9-shaped product-type profit (no partsupp → supply cost is
+    * the stand-in `p_retailprice * l_quantity`): profit by supplier
+    * nation and order year for ECONOMY parts. The profit term stays in
+    * exact decimal until the final cast. */
+  def q9(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "ECONOMY").select("p_partkey", "p_retailprice")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+    val supp = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val nat = broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name"))
+    val amount = discPrice - dec(col("p_retailprice")) * dec(col("l_quantity"))
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+  }
+
+  /** TPC-H Q11-shaped important parts: parts whose revenue share exceeds
+    * 1.5× the average part's — the HAVING-against-global-scalar shape.
+    * The threshold is value·nparts·10 > total·15 in EXACT decimal/integer
+    * arithmetic (SF-independent, unlike Q11's literal fraction), and the
+    * one-row global total broadcasts to the per-part frame. */
+  def q11(spark: SparkSession, dir: String): DataFrame = {
+    val pv = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .groupBy(col("l_partkey"))
+      .agg(sum(discPrice).as("value"))
+    val total = pv.agg(sum(col("value")).as("total"), count(lit(1)).as("nparts"))
+    pv.crossJoin(broadcast(total))
+      .filter(col("value") * col("nparts") * 10 > col("total") * 15)
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+  }
+
+  /** TPC-H Q15 top supplier: the max-over-an-aggregated-view shape — one
+    * quarter's revenue per supplier, then the supplier(s) attaining the
+    * maximum. The decimal equality join against the one-row max is
+    * exact, so ties (all of them) surface identically on any engine. */
+  def q15(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .select("l_suppkey", "l_extendedprice", "l_discount")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(discPrice).as("total_revenue"))
+    val maxr = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.crossJoin(broadcast(maxr))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q16-shaped parts/supplier relationship: distinct suppliers
+    * per (brand, type, size) bucket, excluding "problem" suppliers
+    * (negative balance — the synthetic stand-in for the comment filter).
+    * The NOT-IN becomes a left-anti against a tiny broadcast frame; the
+    * distinct-agg is the real shuffle and carries 4 narrow columns. */
+  def q16(spark: SparkSession, dir: String): DataFrame = {
+    val excl = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey").as("excl_suppkey"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excl), col("l_suppkey") === col("excl_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
+  /** TPC-H Q17 small-quantity-order revenue: lineitems of one brand
+    * whose quantity is below 20% of that part's average — the
+    * correlated-average shape. The comparison is kept EXACT by clearing
+    * the division: q < 0.2·(sumq/cnt) ⟺ q·5·cnt < sumq, all in
+    * decimal×integer space, so no engine's rounding can flip a row. */
+  def q17(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity")
+      .groupBy(col("l_partkey").as("pa_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sumq"))
+    val brand = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .join(pa, col("l_partkey") === col("pa_partkey"))
+      .filter(dec(col("l_quantity")) * lit(5) * col("cnt") < col("sumq"))
+      .agg((sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  /** TPC-H Q20-shaped part promotion: EUROPE suppliers who shipped over
+    * 100 units of PROMO parts in one year — the nested-IN shape as a
+    * left-semi against a HAVING-filtered aggregate. */
+  def q20(spark: SparkSession, dir: String): DataFrame = {
+    val promo = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+    val shipped = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("shipped_qty"))
+      .filter(col("shipped_qty") > 100)
+    val eur = regionNations(spark, dir, "EUROPE")
+    Tables.supplier(spark, dir).select("s_suppkey", "s_name", "s_nationkey")
+      .join(eur, col("s_nationkey") === col("n_nationkey"))
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_name", "n_name")
+  }
+
+  /** TPC-H Q21-shaped suppliers who kept orders waiting: in finished
+    * multi-supplier orders, the supplier who was the ONLY late one
+    * (shipped > 60 days after the order date — the synthetic stand-in
+    * for receipt > commit). The classic EXISTS + NOT-EXISTS double
+    * correlation collapses to ONE per-order aggregate: distinct
+    * suppliers, distinct late suppliers, and (when unique) the late
+    * supplier itself — one shuffle instead of three self-joins of the
+    * fact table, which is the difference between n and 3n exchange
+    * volume at 100 TB. */
+  def q21(spark: SparkSession, dir: String): DataFrame = {
+    val ordF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val lo = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val per = lo.groupBy(col("o_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+    per.filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+  }
+
+  /** TPC-H Q22-shaped global sales opportunity: in a 5-nation slice,
+    * customers with above-(positive-)average balance and no order since
+    * 2000 ("no orders at all" selects nobody in data where every
+    * customer averages ten) — the scalar-average + NOT-EXISTS anti-join
+    * shape, grouped by nation as the country code. The average
+    * comparison clears the division (bal·cnt > tot, exact decimal). */
+  def q22(spark: SparkSession, dir: String): DataFrame = {
+    val sel = Tables.customer(spark, dir)
+      .filter(col("c_nationkey").isin(0, 5, 10, 15, 20))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val st = sel.filter(col("c_acctbal") > 0.0)
+      .agg(sum(dec(col("c_acctbal"))).as("tot"), count(lit(1)).as("cnt"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    sel.crossJoin(broadcast(st))
+      .filter(dec(col("c_acctbal")) * col("cnt") > col("tot"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+  }
 }
