@@ -154,6 +154,23 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(Tables.documents(s, d), threshold = RepThreshold)),
+    "q_truncate_tokens" -> ((s, d) =>
+      TextAnalysis.truncateTokens(Tables.documents(s, d), budget = TruncBudget)),
+    // PII redaction: the corpus carries no natural PII, so each doc gets a
+    // deterministic synthetic contact line (same construction mirrored in
+    // the oracle) and the redactor masks it back out
+    "q_pii_redact" -> ((s, d) => {
+      val withPii = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("user"), col("doc_id"), lit("@mail.example.com called +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (col("doc_id") % 200).cast("string"), lit(".0.1 re: "),
+          substring(col("text"), 1, 64)).as("text"))
+      TextAnalysis.redactPii(withPii, "text")
+    }),
+    // sub-document dedup: first global occurrence of each 10-token chunk
+    // survives; docs reassembled from surviving chunks
+    "q_chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedup(Tables.documents(s, d), k = ChunkK)),
     // decontamination: docs sharing any bigram with the "benchmark" slice
     // (doc_id < 20 as the stand-in eval set) are dropped
     "q_decontaminate" -> ((s, d) => {
@@ -269,6 +286,9 @@ object SparkEntry {
 
   /** q_repetition / q_decontaminate knobs, interpolated into both sides. */
   private val RepThreshold = 0.2
+  /** q_truncate_tokens / q_chunk_dedup knobs, interpolated into both sides. */
+  private val TruncBudget = 32
+  private val ChunkK = 10
   private val BenchSetSize = 20L
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
@@ -972,6 +992,48 @@ object SparkEntry {
          |       (CASE WHEN coalesce(n_bigrams, 0) > 0
          |             THEN cast(max_rep AS double) / n_bigrams ELSE 0.0 END) < $RepThreshold AS keep
          |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+    "q_truncate_tokens" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+         |SELECT doc_id, len(tk) AS n_tokens,
+         |       least(len(tk), $TruncBudget) AS n_kept,
+         |       array_to_string(tk[1:$TruncBudget], ' ') AS text_trunc
+         |FROM t""".stripMargin,
+    "q_pii_redact" -> {
+      import graft.text.TextAnalysis.{EmailRe, PhoneRe, IpRe}
+      s"""WITH p AS (SELECT doc_id,
+         |             concat('user', doc_id, '@mail.example.com called +1-555-',
+         |                    lpad(cast(doc_id % 10000 AS varchar), 4, '0'),
+         |                    ' from 10.', cast(doc_id % 200 AS varchar), '.0.1 re: ',
+         |                    substring(text, 1, 64)) AS text
+         |           FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(regexp_replace(text,
+         |         '$EmailRe', '<EMAIL>', 'g'),
+         |         '$PhoneRe', '<PHONE>', 'g'),
+         |         '$IpRe', '<IP>', 'g') AS text_redacted,
+         |       len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |       len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+         |       len(regexp_extract_all(text, '$IpRe')) AS n_ips
+         |FROM p""".stripMargin
+    },
+    "q_chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |ci AS (SELECT doc_id, tk,
+         |              unnest(generate_series(1, ((len(tk)-1)//$ChunkK)+1)) AS i
+         |       FROM t),
+         |ch AS (SELECT doc_id, i-1 AS idx,
+         |              array_to_string(tk[(i-1)*$ChunkK+1 : i*$ChunkK], ' ') AS chunk
+         |       FROM ci),
+         |keep AS (SELECT doc_id, idx, chunk,
+         |                row_number() OVER (PARTITION BY chunk
+         |                                   ORDER BY doc_id, idx) AS rn
+         |         FROM ch),
+         |tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY 1)
+         |SELECT k.doc_id, t2.n_chunks, count(*) AS n_kept,
+         |       string_agg(k.chunk, ' ' ORDER BY k.idx) AS text_dedup
+         |FROM keep k JOIN tot t2 USING (doc_id)
+         |WHERE rn = 1
+         |GROUP BY 1, 2""".stripMargin,
     "q_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),

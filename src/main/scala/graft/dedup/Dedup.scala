@@ -440,4 +440,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Sub-document (line/paragraph-level) dedup — the CCNet/RefinedWeb
+    * step that removes boilerplate REPEATED ACROSS documents while
+    * keeping each document's unique content. The corpus has no newline
+    * structure, so the "paragraph" unit is a deterministic chunker:
+    * consecutive `k`-token windows. Every chunk keeps only its FIRST
+    * global occurrence (min (doc_id, idx) — a total order, so the result
+    * is partitioning-independent), and each document is reassembled from
+    * its surviving chunks in original order.
+    *
+    * Scale shape: explode to one row per chunk, ONE shuffle on the chunk
+    * text for the min-occurrence agg (partial min runs map-side; no
+    * row_number window, which would sort every group), join back on the
+    * same key (no new exchange on the agg side), then one shuffle on
+    * doc_id to reassemble. Documents whose every chunk is owned
+    * elsewhere drop out (fully-boilerplate docs). */
+  def chunkDedup(df: DataFrame, k: Int): DataFrame = {
+    require(k > 0)
+    val chunks = df
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, (size(tk)-1) div $k), " +
+          s"i -> array_join(slice(tk, i*$k+1, $k), ' '))")))
+      .toDF("doc_id", "idx", "chunk")
+    val tot = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val firsts = chunks.groupBy(col("chunk"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
+    chunks.join(firsts, "chunk")
+      .filter(col("doc_id") === col("keeper.doc_id") &&
+        col("idx") === col("keeper.idx"))
+      .join(tot, "doc_id")
+      .groupBy(col("doc_id"), col("n_chunks"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("chunk")))).as("cs"))
+      .select(col("doc_id"), col("n_chunks"),
+        expr("size(cs)").cast("bigint").as("n_kept"),
+        expr("array_join(transform(cs, c -> c.chunk), ' ')").as("text_dedup"))
+  }
 }

@@ -156,4 +156,47 @@ object TextAnalysis {
         col("doc_id"),
         array_min(transform(bigrams, s => md5(s))).as("fingerprint"))
   }
+
+  /** PII-redaction regexes — deliberately restricted to syntax whose
+    * semantics are identical in Java regex (Spark codegen) and RE2
+    * (DuckDB oracle): character classes, bounded repetition, \b. The
+    * SAME strings are interpolated into the oracle SQL. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII redaction: mask emails, phone numbers and IPv4 addresses with
+    * typed placeholder tokens, and count each class BEFORE masking (the
+    * audit trail a compliance pipeline wants). Pure map-side regex work
+    * inside whole-stage codegen — zero shuffle at any scale. Replacement
+    * ORDER matters (an email contains no phone/IP substring under these
+    * anchored patterns, but the discipline is: count first, then
+    * email → phone → ip) and is mirrored in the oracle. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"),
+        IpRe, "<IP>").as("text_redacted"),
+      regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
+      regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
+      regexp_count(col(textCol), lit(IpRe)).as("n_ips"))
+
+  /** Token-budget truncation: keep the first `budget` whitespace tokens
+    * of each document — the context-window clamp before packing. RAW
+    * single-space split (not the empty-filtered tokenizer) so the
+    * reconstruction `array_join(slice(...), " ")` is the exact prefix of
+    * the original text; map-side only. */
+  def truncateTokens(df: DataFrame, budget: Int): DataFrame = {
+    require(budget > 0)
+    val tk = split(col("text"), " ")
+    df.select(col("doc_id"), tk.as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        least(size(col("tk")), lit(budget)).as("n_kept"),
+        array_join(slice(col("tk"), 1, budget), " ").as("text_trunc"))
+  }
 }

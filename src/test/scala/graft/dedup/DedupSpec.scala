@@ -146,4 +146,25 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(r === Seq((0L, 1L, 1.0))) // capped universe: both docs = {"u v"}
   }
+
+  test("chunkDedup: first global occurrence survives, docs reassemble in order, " +
+    "fully-boilerplate docs drop out") {
+    // k=2 chunks: doc0 = ["a b","c d"], doc1 = ["a b","e f"], doc2 = ["c d"]
+    val d = docs("a b c d", "a b e f", "c d")
+    val r = Dedup.chunkDedup(d, k = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // doc0 owns "a b" and "c d"; doc1 keeps only "e f"; doc2 loses its
+    // single chunk to doc0 and disappears
+    assert(r.toSeq === Seq((0L, 2L, 2L, "a b c d"), (1L, 2L, 1L, "e f")))
+  }
+
+  test("chunkDedup: ragged tail chunk is its own unit and result is partition-independent") {
+    val d = docs("p q r s t", "p q r s t")  // k=2 → ["p q","r s","t"]
+    val r1 = Dedup.chunkDedup(d, k = 2).as[(Long, Long, Long, String)]
+      .collect().sortBy(_._1)
+    assert(r1.toSeq === Seq((0L, 3L, 3L, "p q r s t")))
+    val r2 = Dedup.chunkDedup(d.repartition(7), k = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r2.toSeq === r1.toSeq)
+  }
 }

@@ -66,6 +66,23 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(2) === ((2L, 0L, 0L, 0.0, true)))
   }
 
+  test("redactPii: masks email, phone and IP; counts taken before masking") {
+    val df = Seq((0L, "mail bob.smith+x@corp.example.org or +1-555-0042 at 192.168.0.1 done"),
+      (1L, "nothing here")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "text")
+      .as[(Long, String, Int, Int, Int)].collect().sortBy(_._1)
+    assert(r(0) === ((0L, "mail <EMAIL> or <PHONE> at <IP> done", 1, 1, 1)))
+    assert(r(1) === ((1L, "nothing here", 0, 0, 0)))
+  }
+
+  test("truncateTokens: exact prefix when over budget, identity when under") {
+    val df = Seq((0L, "a b c d e"), (1L, "x y")).toDF("doc_id", "text")
+    val r = TextAnalysis.truncateTokens(df, budget = 3)
+      .as[(Long, Int, Int, String)].collect().sortBy(_._1)
+    assert(r(0) === ((0L, 5, 3, "a b c")))
+    assert(r(1) === ((1L, 2, 2, "x y")))
+  }
+
   test("fingerprint: <2 tokens yields null, equal shingle sets share a fingerprint") {
     val rows = TextAnalysis.fingerprint(docs("solo", "a b c", "a b c"))
       .as[(Long, Option[String])].collect().sortBy(_._1)
