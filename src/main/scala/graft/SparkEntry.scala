@@ -249,6 +249,17 @@ object SparkEntry {
       Similarity.annRecall(
         Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5),
         Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, planes = 4))),
+    // recall@k as a function of the IVF nprobe knob — the accuracy/cost
+    // curve an ANN deployment is tuned on, measured not guessed
+    "q_recall_sweep" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val gt = Similarity.bruteForceTopK(emb, nQueries = 10, k = 5)
+      SweepProbes.map { np =>
+        Similarity.annRecall(gt,
+            Similarity.ivfTopK(emb, nQueries = 10, k = 5, nlist = 16, nprobe = np))
+          .withColumn("nprobe", lit(np))
+      }.reduce(_ unionByName _).select("query_id", "nprobe", "recall")
+    }),
     // threshold 0.4 is this synthetic corpus's near-dup operating point
     // (max pairwise cosine ~0.51); production near-dup uses 0.9+.
     "q_embed_neardup" -> ((s, d) =>
@@ -289,6 +300,8 @@ object SparkEntry {
   /** q_truncate_tokens / q_chunk_dedup knobs, interpolated into both sides. */
   private val TruncBudget = 32
   private val ChunkK = 10
+  /** q_recall_sweep nprobe grid, interpolated into both sides. */
+  private val SweepProbes = Seq(1, 2, 4)
   private val BenchSetSize = 20L
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
@@ -1146,6 +1159,36 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (
          |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
          |WHERE rn <= 5""".stripMargin,
+    "q_recall_sweep" -> {
+      val branches = SweepProbes.map { np =>
+        s"""q$np AS (SELECT vec_id AS query_id, v AS qv, cid AS list FROM r
+           |      WHERE vec_id < 10 AND rn <= $np),
+           |s$np AS (SELECT query_id, corpus.vec_id AS neighbor_id,
+           |              ${duckCos("qv", "corpus.v")} AS cos_sim
+           |       FROM corpus JOIN q$np USING (list) WHERE corpus.vec_id <> query_id),
+           |t$np AS (SELECT query_id, neighbor_id
+           |       FROM (SELECT *, row_number() OVER (
+           |               PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn2
+           |             FROM s$np) z WHERE rn2 <= 5),
+           |rec$np AS (SELECT b.query_id, $np AS nprobe,
+           |                cast(count(a.neighbor_id) AS double) / count(*) AS recall
+           |         FROM brute b LEFT JOIN t$np a
+           |           ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+           |         GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val union = SweepProbes.map(np => s"SELECT * FROM rec$np").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |a0 AS (SELECT e.vec_id, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS csim
+         |       FROM e CROSS JOIN c),
+         |r AS (SELECT vec_id, v, cid, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM a0),
+         |corpus AS (SELECT vec_id, v, cid AS list FROM r WHERE rn = 1),
+         |brute AS ($duckBruteTopK),
+         |$branches
+         |$union""".stripMargin
+    },
     "q_embed_neardup" -> {
       // dot as an index fold (same left-assoc bracketing as Spark's flat
       // 64-term tree); norms materialized once per vector, like the plan.
