@@ -25,6 +25,17 @@ object Sources {
   def readTextStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.text(dir)
 
+  /** S3/S8 combined: file tail with a per-micro-batch file cap — the
+    * bounded-ingest knob for a 100 TB backfill (without it the first
+    * trigger plans EVERY backlog file into one giant batch; with it the
+    * stream drains the directory at a steady, checkpointable cadence —
+    * the ThrottledIterator idea applied to file ingest). */
+  def readTextStreamThrottled(spark: SparkSession, dir: String,
+                              maxFilesPerTrigger: Int): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+
   /** S4: unbounded socket line source (`SocketWindowWordCount.scala:58`). */
   def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
     spark.readStream.format("socket")

@@ -50,6 +50,24 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("S3/S8 throttled file source drains a backlog one file per micro-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-throttle-text").toString
+    // backlog exists BEFORE the stream starts — the backfill case
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.writeString(java.nio.file.Path.of(dir, s"f$i.txt"), s"line$i\n")
+    }
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = Sources.readTextStreamThrottled(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batchSizes.synchronized { batchSizes += b.count() }; ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      // every micro-batch saw exactly one file's rows; nothing lost
+      assert(batchSizes.synchronized(batchSizes.toSeq) === Seq.fill(5)(1L))
+    } finally q.stop()
+  }
+
   test("S8/S9 rate-micro-batch through the generator mapping == batch generator") {
     val gen = SampleData.withGradeSalary(Sources.rateMicroBatch(spark, 10), "value")
       .select($"value".as("seq"), $"name", $"grade", $"salary")
