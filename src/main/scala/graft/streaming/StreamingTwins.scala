@@ -85,4 +85,24 @@ object StreamingTwins {
       .select(col(keyCol), col("gw.start").as("wstart"),
         col("g_id"), col("s_id"), col("grade"), col("salary"))
   }
+
+  /** FULL OUTER windowed stream-stream join (extension beyond the
+    * reference's inner join, like [[windowedLeftJoin]]): unmatched rows
+    * of EITHER side are emitted with NULLs once both watermarks pass
+    * their window — bounded state, symmetric NULL-fill. The output key
+    * is coalesced from whichever side exists. */
+  def windowedFullJoin(grades: DataFrame, salaries: DataFrame,
+                       tsCol: String, keyCol: String, windowSize: String,
+                       watermarkDelay: String = "0 seconds"): DataFrame = {
+    val g = grades.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("g_key"), window(col(tsCol), windowSize).as("gw"),
+        col("grade"), col("g_id"))
+    val s = salaries.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("s_key"), window(col(tsCol), windowSize).as("sw"),
+        col("salary"), col("s_id"))
+    g.join(s, col("g_key") === col("s_key") && col("gw") === col("sw"), "full_outer")
+      .select(coalesce(col("g_key"), col("s_key")).as(keyCol),
+        coalesce(col("gw.start"), col("sw.start")).as("wstart"),
+        col("g_id"), col("s_id"), col("grade"), col("salary"))
+  }
 }

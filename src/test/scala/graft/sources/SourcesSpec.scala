@@ -68,6 +68,25 @@ class SourcesSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the whole backlog in throttled batches, then self-terminates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-anow-text").toString
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.writeString(java.nio.file.Path.of(dir, s"f$i.txt"), s"line$i\n")
+    }
+    val q = Sources.readTextStreamThrottled(spark, dir, maxFilesPerTrigger = 2)
+      .writeStream.format("memory").queryName("anow")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append").start()
+    try {
+      // the bounded-drain trigger: processes everything that existed at
+      // start (still respecting the per-batch cap), then STOPS — the
+      // "catch up, then hand back the cluster" backfill mode
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+      assert(spark.table("anow").as[String].collect().toSet ===
+        (0 until 5).map(i => s"line$i").toSet)
+    } finally q.stop()
+  }
+
   test("S8/S9 rate-micro-batch through the generator mapping == batch generator") {
     val gen = SampleData.withGradeSalary(Sources.rateMicroBatch(spark, 10), "value")
       .select($"value".as("seq"), $"name", $"grade", $"salary")

@@ -109,6 +109,43 @@ class StreamingSpec extends SparkSuite {
       Seq("a" -> 1L, "b" -> 1L, "a" -> 2L, "a" -> 3L))
   }
 
+  test("full-outer windowed join: unmatched rows of BOTH sides emit NULLs after the watermark") {
+    val gRows = Seq((0L, "tom", 3, 1L), (0L, "bob", 1, 3L))  // bob has no salary
+    val sRows = Seq((1L, "tom", 100, 11L), (1L, "eve", 50, 12L)) // eve has no grade
+    def gShape(df: DataFrame) = df.select(timestamp_seconds(col("_1")).as("ts"),
+      col("_2").as("name"), col("_3").as("grade"), col("_4").as("g_id"))
+    def sShape(df: DataFrame) = df.select(timestamp_seconds(col("_1")).as("ts"),
+      col("_2").as("name"), col("_3").as("salary"), col("_4").as("s_id"))
+    val batch = StreamingTwins.windowedFullJoin(
+      gShape(gRows.toDF()), sShape(sRows.toDF()), "ts", "name", "2 seconds")
+      .select(col("name"), col("g_id"), col("s_id"))
+      .as[(String, Option[Long], Option[Long])].collect().toSet
+    assert(batch === Set(("tom", Some(1L), Some(11L)),
+      ("bob", Some(3L), None), ("eve", None, Some(12L))))
+
+    val gm = mem[(Long, String, Int, Long)]
+    val sm = mem[(Long, String, Int, Long)]
+    val joined = StreamingTwins.windowedFullJoin(
+      gShape(gm.toDF()), sShape(sm.toDF()), "ts", "name", "2 seconds")
+    val q = joined.writeStream.format("memory").queryName("sfjoin")
+      .outputMode("append").start()
+    withQuery(q) {
+      gm.addData(gRows: _*); sm.addData(sRows: _*); q.processAllAvailable()
+      // advance both watermarks past the window so BOTH unmatched sides
+      // finalize (two steps: NULL-side emission lags one batch)
+      gm.addData((100L, "zz", 0, 99L)); sm.addData((100L, "zz", 0, 98L))
+      q.processAllAvailable()
+      gm.addData((200L, "zz", 0, 97L)); sm.addData((200L, "zz", 0, 96L))
+      q.processAllAvailable()
+      val got = spark.table("sfjoin")
+        .filter((col("g_id").isNull || col("g_id") < 90) &&
+          (col("s_id").isNull || col("s_id") < 90)) // drop sentinel rows
+        .select(col("name"), col("g_id"), col("s_id"))
+        .as[(String, Option[Long], Option[Long])].collect().toSet
+      assert(got === batch)
+    }
+  }
+
   test("left-outer windowed join: unmatched left rows emit NULLs after the watermark") {
     val gRows = Seq((0L, "tom", 3, 1L), (0L, "bob", 1, 3L)) // bob has no salary
     val sRows = Seq((1L, "tom", 100, 11L))
