@@ -38,4 +38,18 @@ class PipelineSpec extends SparkSuite {
     // every bench doc that survived the other filters is removed
     assert(out.intersect((0L until 5L).toSet).isEmpty)
   }
+
+  test("funnel audit: one-pass counts are monotone and end at the output size") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (out, audit) = PipelineMain.runAudited(docs, testFraction = 0.2,
+      benchDocs = Some(docs.filter(col("doc_id") < 5)))
+    val fun = PipelineMain.funnel(audit)
+    assert(fun.map(_._1) === Seq("docs_in", "lang", "quality", "repetition",
+      "exact_dedup", "near_dedup", "decontaminate"))
+    // keep-sets are nested, so the funnel never grows
+    assert(fun.sliding(2).forall { case Seq(a, b) => b._2 <= a._2 })
+    assert(fun.head._2 === docs.count())
+    // the last stage's survivor count IS the pipeline output size
+    assert(fun.last._2 === out.count())
+  }
 }
