@@ -60,6 +60,25 @@ class PlanSpec extends SparkSuite {
       "histogram agg lost its map-side combine")
   }
 
+  test("new TPC-H shapes: exchange counts stay at their audited bounds") {
+    // locks in the round-4 plan audit (apps/PlanDump at sf0.01): q8 and
+    // q17 are single-exchange with every dimension broadcast; q11/q15
+    // two (agg + scalar reuse); q21 three (join + countDistinct expand +
+    // final agg). Upper bounds, not equalities: AQE may broadcast MORE
+    // at tiny SF, never less.
+    val bounds = Seq[(String, org.apache.spark.sql.DataFrame, Int)](
+      ("q8", Relational.q8(spark, sf), 1),
+      ("q17", Relational.q17(spark, sf), 1),
+      ("q11", Relational.q11(spark, sf), 2),
+      ("q15", Relational.q15(spark, sf), 2),
+      ("q21", Relational.q21(spark, sf), 3))
+    for ((name, df, maxEx) <- bounds) {
+      val plan = executed(df).split("== Initial Plan ==").head
+      val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(ex <= maxEx, s"$name grew to $ex exchanges (bound $maxEx):\n$plan")
+    }
+  }
+
   test("TPC-H q18: having-subquery aggregates partially; join with the survivors") {
     val plan = executed(Relational.q18(spark, sf))
     assert(plan.contains("partial_sum"), "quantity sums lost map-side combine")

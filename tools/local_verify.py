@@ -52,11 +52,18 @@ def main(sf_dir, out_dir):
         # (e.g. sum(BIGINT)) coerces to float64 and formats "123.0" vs
         # Spark's "123" -> hash mismatch. Lint: oracle must cast such sums.
         rel = con.sql(sql)
-        hug = [c for c, t in zip(rel.columns, rel.types)
-               if str(t).upper() in ("HUGEINT", "UHUGEINT")]
-        if hug:
-            print(f"FAIL {name}: oracle emits HUGEINT cols {hug} "
-                  f"(driver pandas coerces to float64; cast to bigint)")
+        # pandas-coercion lint: the driver's compare goes through pandas,
+        # where HUGEINT (e.g. sum(BIGINT)) and DECIMAL become float64 and
+        # format "123.0" vs Spark's "123"/exact — oracles must cast such
+        # columns (bigint / double) explicitly. TIMESTAMP WITH TIME ZONE
+        # formats with an offset suffix Spark never emits.
+        bad = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+               if str(t).upper() in ("HUGEINT", "UHUGEINT")
+               or str(t).upper().startswith("DECIMAL")
+               or "TIME ZONE" in str(t).upper()]
+        if bad:
+            print(f"FAIL {name}: oracle emits pandas-coercion-risky cols {bad} "
+                  f"(cast to bigint/double in the oracle SQL)")
             fails += 1; continue
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: schema {sorted(scols)} vs {sorted(dcols)}")
