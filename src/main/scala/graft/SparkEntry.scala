@@ -209,6 +209,12 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.documents(s, d)
         .select("doc_id", "source", "n_chars"), "source", "doc_id",
         StratifiedRates, defaultRate = 0.1)),
+    // training-mix epoch expansion: per-source weights, deterministic
+    // fractional epochs, one row per (doc, epoch)
+    "q_mix_epochs" -> ((s, d) =>
+      Sampling.mixEpochs(Tables.documents(s, d)
+        .select("doc_id", "source", "n_chars"), "source", "doc_id",
+        MixWeights, defaultWeight = 1.0)),
     // pretraining sequence packing (char-budget over n_chars)
     "q_pack_sequences" -> ((s, d) =>
       graft.gen.Packing.packSequences(Tables.documents(s, d)
@@ -290,6 +296,8 @@ object SparkEntry {
   /** Per-source keep rates for q_stratified_sample — one definition, hex
     * thresholds interpolated into the oracle via Sampling.thresholdHex. */
   private val StratifiedRates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25)
+  /** q_mix_epochs per-source weights (upsample, identity, downsample). */
+  private val MixWeights = Map("src0" -> 2.3, "src1" -> 1.0, "src2" -> 0.5)
 
   /** q_pack_sequences knobs, interpolated into both sides. */
   private val PackBudget = 2048L
@@ -1057,6 +1065,28 @@ object SparkEntry {
          |       coalesce(n_contaminated, 0) AS n_contaminated,
          |       n_contaminated IS NULL AS keep
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin,
+    "q_mix_epochs" -> {
+      def baseOf(w: Double): Long = math.floor(w).toLong
+      val sorted = MixWeights.toSeq.sortBy(_._1)
+      val baseCase = sorted.map { case (k, w) => s"WHEN '$k' THEN ${baseOf(w)}" }
+        .mkString(" ")
+      val thrCase = sorted.map { case (k, w) =>
+        s"WHEN '$k' THEN '${Sampling.stratumThreshold(w - baseOf(w))}'"
+      }.mkString(" ")
+      val dfltBase = baseOf(1.0)
+      val dfltThr = Sampling.stratumThreshold(1.0 - baseOf(1.0))
+      s"""WITH w AS (SELECT doc_id, source, n_chars,
+         |             CASE source $baseCase ELSE $dfltBase END AS base,
+         |             CASE source $thrCase ELSE '$dfltThr' END AS thr
+         |           FROM documents),
+         |e AS (SELECT doc_id, source, n_chars,
+         |             cast(base + CASE WHEN substring(md5(cast(doc_id AS varchar)), 1, 8) < thr
+         |                              THEN 1 ELSE 0 END AS bigint) AS n_epochs
+         |      FROM w)
+         |SELECT doc_id, source, n_chars, n_epochs,
+         |       unnest(generate_series(1, n_epochs)) AS epoch
+         |FROM e WHERE n_epochs > 0""".stripMargin
+    },
     "q_pack_sequences" ->
       s"""WITH s AS (SELECT doc_id, n_chars, cast(doc_id % $PackShards AS int) AS shard
          |           FROM documents),

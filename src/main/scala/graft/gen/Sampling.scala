@@ -62,4 +62,35 @@ object Sampling {
       }
     df.filter(bucketHex(col(idCol)) < threshold)
   }
+
+  /** Training-mix epoch expansion — the "2.3 epochs of Wikipedia" knob:
+    * a per-stratum weight w emits each row floor(w) times, plus once
+    * more iff its id hash falls under frac(w), then explodes to one row
+    * per (doc, epoch). In expectation every stratum contributes w× its
+    * rows, but each individual doc's repeat count is DETERMINISTIC (same
+    * hashing as [[hashSample]]) — reproducible on any cluster shape,
+    * incrementally re-runnable, no RNG state. Pure map-side fan-out
+    * (explode), no shuffle; weights < 1 downsample (floor 0 + fractional
+    * keep), weights ≥ 1 upsample with epoch indices for curriculum or
+    * shuffling downstream. */
+  def mixEpochs(df: DataFrame, stratumCol: String, idCol: String,
+                weights: Map[String, Double],
+                defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "mix weights must be non-negative")
+    def baseOf(w: Double): Long = math.floor(w).toLong
+    val sorted = weights.toSeq.sortBy(_._1)
+    val base = sorted.foldLeft(lit(baseOf(defaultWeight)): Column) {
+      case (acc, (k, w)) => when(col(stratumCol) === k, lit(baseOf(w))).otherwise(acc)
+    }
+    val fracThr = sorted.foldLeft(
+      lit(stratumThreshold(defaultWeight - baseOf(defaultWeight))): Column) {
+      case (acc, (k, w)) =>
+        when(col(stratumCol) === k, lit(stratumThreshold(w - baseOf(w)))).otherwise(acc)
+    }
+    df.withColumn("n_epochs",
+        base + when(bucketHex(col(idCol)) < fracThr, 1L).otherwise(0L))
+      .filter(col("n_epochs") > 0)
+      .withColumn("epoch", explode(sequence(lit(1L), col("n_epochs"))))
+  }
 }

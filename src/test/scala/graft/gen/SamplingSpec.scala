@@ -48,4 +48,27 @@ class SamplingSpec extends SparkSuite {
     assert(out("s0") === s0 && out("s1") === s1)
     assert(s0.nonEmpty && s1.nonEmpty && s1.size < s0.size)
   }
+
+  test("mixEpochs: integer weights repeat exactly; fractional part == hashSample keep set") {
+    val docs = (1L to 600L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val out = Sampling.mixEpochs(docs, "source", "doc_id",
+      Map("s0" -> 2.0, "s1" -> 1.5, "s2" -> 0.0), defaultWeight = 1.0)
+      .as[(Long, String, Long, Long)].collect()
+    val byDoc = out.groupBy(_._1).view.mapValues(_.map(_._4).sorted.toSeq).toMap
+    // w=2.0: every s0 doc exactly epochs [1, 2]
+    assert(docs.filter($"source" === "s0").as[(Long, String)].collect()
+      .forall { case (id, _) => byDoc(id) === Seq(1L, 2L) })
+    // w=0.0 drops the stratum entirely
+    assert(out.forall(_._2 !== "s2"))
+    // w=1.5: docs with 2 epochs are EXACTLY the hashSample(0.5) keep set
+    val two = out.filter(r => r._2 === "s1" && r._3 === 2L).map(_._1).toSet
+    val expect = Sampling.hashSample(docs.filter($"source" === "s1"), "doc_id", 0.5)
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(two === expect && two.nonEmpty)
+    // deterministic under repartitioning
+    val again = Sampling.mixEpochs(docs.repartition(13), "source", "doc_id",
+      Map("s0" -> 2.0, "s1" -> 1.5, "s2" -> 0.0), defaultWeight = 1.0)
+      .as[(Long, String, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._4)).toSeq === out.sortBy(r => (r._1, r._4)).toSeq)
+  }
 }
