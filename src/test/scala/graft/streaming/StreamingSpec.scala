@@ -76,10 +76,16 @@ class StreamingSpec extends SparkSuite {
       CarEvent(0, 20, 110.0, 4000L, 4000L), CarEvent(1, 10, 60.0, 0L, 0L))
     val batch = TopSpeed.run(events.toDS()).collect().toSeq
       .sortBy(e => (e.carId, e.time))
-    // the v2 state API requires the RocksDB provider when streaming
+    // the v2 state API requires the RocksDB provider when streaming;
+    // changelog checkpointing is the at-scale companion (per-batch
+    // checkpoint uploads become incremental deltas instead of full
+    // SST snapshots — the difference between O(changed keys) and
+    // O(total state) per commit on a 100 TB keyspace)
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val ms = mem[CarEvent]
       val q = TopSpeed.runTws(ms.toDS()).writeStream.format("memory")
