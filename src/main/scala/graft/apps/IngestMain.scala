@@ -31,24 +31,30 @@ import graft.text.TextAnalysis
 object IngestMain {
 
   /** The transform between source and sink, shared with the spec: lines
-    * `id<TAB>text` → quality-gated, redacted, deduped documents. */
-  def transform(lines: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val parsed = lines
+    * `id<TAB>text` → quality-gated, redacted, deduped documents.
+    *
+    * Everything before the dedup is STATELESS column work (the gate and
+    * the redaction are inline expressions, not the batch helpers — those
+    * project away the other columns and re-attaching them would turn
+    * each stage into a stream-stream self-join with unbounded state).
+    * The only stateful operator is the watermarked dedup. */
+  def transform(lines: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lines
       .withColumn("doc_id", split(col("value"), "\t").getItem(0).cast("long"))
       .withColumn("text", split(col("value"), "\t").getItem(1))
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
-      .withColumn("ingest_ts", current_timestamp())
-    val gated = TextAnalysis.qualityScore(parsed.select("doc_id", "text"))
-      .filter(col("keep")).select("doc_id")
-    parsed.join(gated, "doc_id")
-      .select(col("doc_id"), col("text"), col("ingest_ts"))
-      .transform(d => TextAnalysis.redactPii(d, "text")
-        .join(d.select("doc_id", "ingest_ts"), "doc_id"))
+      // tokens in their own projection (HOF re-evaluation trap)
+      .withColumn("tk", TextAnalysis.toksCol(col("text")))
+      .filter(TextAnalysis.qualityKeep(col("tk")))
+      .select(
+        col("doc_id"),
+        TextAnalysis.redacted(col("text")).as("text_redacted"),
+        regexp_count(col("text"), lit(TextAnalysis.EmailRe)).as("n_emails"),
+        current_timestamp().as("ingest_ts"))
       // bounded state: a duplicate doc_id arriving within the watermark
       // horizon is dropped; state for older ids is evicted
       .withWatermark("ingest_ts", "1 minute")
       .dropDuplicatesWithinWatermark("doc_id")
-  }
 
   def main(args: Array[String]): Unit = {
     val a = Args(args)

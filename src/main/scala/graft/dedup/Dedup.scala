@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -450,27 +451,30 @@ object Dedup {
     * is partitioning-independent), and each document is reassembled from
     * its surviving chunks in original order.
     *
-    * Scale shape: explode to one row per chunk, ONE shuffle on the chunk
-    * text for the min-occurrence agg (partial min runs map-side; no
-    * row_number window, which would sort every group), join back on the
-    * same key (no new exchange on the agg side), then one shuffle on
-    * doc_id to reassemble. Documents whose every chunk is owned
-    * elsewhere drop out (fully-boilerplate docs). */
+    * Scale shape: ONE corpus scan, one shuffle on the chunk text, one
+    * shuffle on doc_id to reassemble. First-occurrence selection is
+    * `row_number() over (partition by chunk order by doc_id, idx) = 1`
+    * ON PURPOSE: Catalyst's WindowGroupLimit rewrite pushes the rank
+    * filter below the exchange (a map-side top-1 per chunk), so the
+    * shuffle carries at most one candidate per (chunk, input partition) —
+    * strictly less data than the groupBy-min + join-back formulation,
+    * which also re-scans the corpus for the join side. The per-doc chunk
+    * count is computed from the token array BEFORE the explode (no
+    * second scan). Documents whose every chunk is owned elsewhere drop
+    * out (fully-boilerplate docs). */
   def chunkDedup(df: DataFrame, k: Int): DataFrame = {
     require(k > 0)
     val chunks = df
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(0, (size(tk)-1) div $k), " +
-          s"i -> array_join(slice(tk, i*$k+1, $k), ' '))")))
-      .toDF("doc_id", "idx", "chunk")
-    val tot = chunks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
-    val firsts = chunks.groupBy(col("chunk"))
-      .agg(min(struct(col("doc_id"), col("idx"))).as("keeper"))
-    chunks.join(firsts, "chunk")
-      .filter(col("doc_id") === col("keeper.doc_id") &&
-        col("idx") === col("keeper.idx"))
-      .join(tot, "doc_id")
+      .select(col("doc_id"),
+        expr(s"((size(tk)-1) div $k) + 1").cast("bigint").as("n_chunks"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(tk)-1) div $k), " +
+            s"i -> array_join(slice(tk, i*$k+1, $k), ' '))")))
+      .toDF("doc_id", "n_chunks", "idx", "chunk")
+    val w = Window.partitionBy(col("chunk")).orderBy(col("doc_id"), col("idx"))
+    chunks.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
       .groupBy(col("doc_id"), col("n_chunks"))
       .agg(sort_array(collect_list(struct(col("idx"), col("chunk")))).as("cs"))
       .select(col("doc_id"), col("n_chunks"),

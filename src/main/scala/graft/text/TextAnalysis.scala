@@ -63,6 +63,21 @@ object TextAnalysis {
         (n >= 10 && dRatio >= 0.2).as("keep"))
   }
 
+  /** [[qualityScore]]'s keep predicate as an inline Column over a
+    * MATERIALIZED token-array column — for pipelines that must keep
+    * their other columns (a streaming ingest can't afford the self-join
+    * that re-attaching them would cost). Pass `toksCol(text)` projected
+    * in its own select first (HOF re-evaluation trap, see above). */
+  def qualityKeep(tk: Column): Column = {
+    val n = size(tk)
+    val dRatio = when(n > 0,
+      size(array_distinct(tk)).cast("double") / n).otherwise(lit(0.0))
+    n >= 10 && dRatio >= 0.2
+  }
+
+  /** The tokenizer as a public Column, for [[qualityKeep]] callers. */
+  def toksCol(text: Column): Column = toks(text)
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (`[a-z]+` word pieces / `[0-9]+` digit runs / any other non-space
     * symbol — the shape a byte-pair pre-tokenizer uses). The pattern is
@@ -175,14 +190,18 @@ object TextAnalysis {
   def redactPii(df: DataFrame, textCol: String): DataFrame =
     df.select(
       col("doc_id"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(col(textCol), EmailRe, "<EMAIL>"),
-          PhoneRe, "<PHONE>"),
-        IpRe, "<IP>").as("text_redacted"),
+      redacted(col(textCol)).as("text_redacted"),
       regexp_count(col(textCol), lit(EmailRe)).as("n_emails"),
       regexp_count(col(textCol), lit(PhoneRe)).as("n_phones"),
       regexp_count(col(textCol), lit(IpRe)).as("n_ips"))
+
+  /** The masking expression alone, for column-preserving callers. */
+  def redacted(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      IpRe, "<IP>")
 
   /** Token-budget truncation: keep the first `budget` whitespace tokens
     * of each document — the context-window clamp before packing. RAW

@@ -79,6 +79,17 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("chunkDedup: rank filter is pushed below the shuffle (WindowGroupLimit)") {
+    // the reason first-occurrence selection uses row_number + filter
+    // rather than groupBy-min + join-back: Catalyst rewrites rank<=1
+    // into a partial WindowGroupLimit, so each input partition ships at
+    // most ONE candidate per chunk into the exchange
+    val plan = executed(graft.dedup.Dedup.chunkDedup(
+      Tables.documents(spark, sf), k = 10))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the shuffle:\n$plan")
+  }
+
   test("TPC-H q18: having-subquery aggregates partially; join with the survivors") {
     val plan = executed(Relational.q18(spark, sf))
     assert(plan.contains("partial_sum"), "quantity sums lost map-side combine")
