@@ -67,6 +67,27 @@ object StreamingTwins {
         col("g_id"), col("s_id"), col("grade"), col("salary"))
   }
 
+  /** INTERVAL stream-stream join — the precise time-range pairing the
+    * tumbling-window join only approximates (a window join misses pairs
+    * straddling a boundary; this one applies |ts_a − ts_b| <= gap
+    * exactly, the streaming twin of `WindowJoin.eventRangeJoin`). The
+    * two-sided time-bound range condition is what lets Spark derive a
+    * state-eviction horizon from the watermarks: each side keeps only
+    * `gap + delay` of history — bounded state, no window bucketing
+    * error. Emits (key, a_id, b_id, a_ts, b_ts). */
+  def intervalJoin(a: DataFrame, b: DataFrame, tsCol: String, keyCol: String,
+                   gapSec: Long, watermarkDelay: String = "0 seconds"): DataFrame = {
+    val l = a.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol), col(tsCol).as("a_ts"), col("a_id"))
+    val r = b.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("b_key"), col(tsCol).as("b_ts"), col("b_id"))
+    l.join(r,
+        col(keyCol) === col("b_key") &&
+          col("b_ts") >= col("a_ts") - expr(s"INTERVAL $gapSec SECONDS") &&
+          col("b_ts") <= col("a_ts") + expr(s"INTERVAL $gapSec SECONDS"))
+      .select(col(keyCol), col("a_id"), col("b_id"), col("a_ts"), col("b_ts"))
+  }
+
   /** LEFT OUTER windowed stream-stream join — an extension beyond the
     * reference (Flink's example joins inner only): unmatched left rows
     * are emitted with NULL right columns once the watermark passes their

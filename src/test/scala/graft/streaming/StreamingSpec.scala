@@ -115,6 +115,36 @@ class StreamingSpec extends SparkSuite {
       Seq("a" -> 1L, "b" -> 1L, "a" -> 2L, "a" -> 3L))
   }
 
+  test("interval join: exact |Δts| <= gap pairing incl. across window boundaries, streaming == batch") {
+    // ts 9 vs 11 straddles every 10s tumbling boundary — a window join
+    // would miss it; the interval join must not. 9 vs 21 is out (Δ=12).
+    val aRows = Seq((9L, "k1", 1L), (0L, "k1", 2L), (5L, "k2", 3L))
+    val bRows = Seq((11L, "k1", 10L), (21L, "k1", 11L), (6L, "k2", 12L))
+    def aShape(df: DataFrame) = df.select(timestamp_seconds(col("_1")).as("ts"),
+      col("_2").as("k"), col("_3").as("a_id"))
+    def bShape(df: DataFrame) = df.select(timestamp_seconds(col("_1")).as("ts"),
+      col("_2").as("k"), col("_3").as("b_id"))
+    val batch = StreamingTwins.intervalJoin(
+      aShape(aRows.toDF()), bShape(bRows.toDF()), "ts", "k", gapSec = 10L)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(batch === Set((1L, 10L), (3L, 12L)))
+
+    val am = mem[(Long, String, Long)]
+    val bm = mem[(Long, String, Long)]
+    val joined = StreamingTwins.intervalJoin(
+      aShape(am.toDF()), bShape(bm.toDF()), "ts", "k", gapSec = 10L)
+    val q = joined.writeStream.format("memory").queryName("sijoin")
+      .outputMode("append").start()
+    withQuery(q) {
+      am.addData(aRows: _*); bm.addData(bRows: _*); q.processAllAvailable()
+      am.addData((500L, "zz", 99L)); bm.addData((500L, "zz", 98L))
+      q.processAllAvailable()
+      val got = spark.table("sijoin").filter(col("a_id") < 90)
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      assert(got === batch)
+    }
+  }
+
   test("full-outer windowed join: unmatched rows of BOTH sides emit NULLs after the watermark") {
     val gRows = Seq((0L, "tom", 3, 1L), (0L, "bob", 1, 3L))  // bob has no salary
     val sRows = Seq((1L, "tom", 100, 11L), (1L, "eve", 50, 12L)) // eve has no grade
