@@ -132,6 +132,24 @@ object Aggregations {
     agged.select(col(key) +: col("min_v") +: outs: _*)
   }
 
+  /** At-scale profiling for ARBITRARY doubles: approximate distinct
+    * counts (HyperLogLog++) and quantiles (GK summaries) — bounded
+    * memory, single pass, mergeable partials, any value domain. The
+    * complement to [[valueStats]], whose exactness is bought with the
+    * 2-decimal contract; this one trades bounded relative error for no
+    * contract at all. Sketches are engine-specific, so this operator is
+    * verified by error-bound specs against exact answers, not by the
+    * DuckDB hash oracle. */
+  def approxProfile(df: DataFrame, key: String, measure: String,
+                    ps: Seq[Double], relativeSD: Double = 0.02,
+                    accuracy: Int = 10000): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        count(col(measure)).as("n"),
+        approx_count_distinct(col(measure), relativeSD).as("approx_distinct"),
+        percentile_approx(col(measure),
+          array(ps.map(lit): _*), lit(accuracy)).as("approx_ps"))
+
   /** A6 `maxBy` arg-max (`TopSpeedWindowing.scala:115`): the WHOLE record
     * holding the per-key max of `measure`. Ties broken by `tieBreak`
     * descending so the result is deterministic (Flink's maxBy keeps the

@@ -1,6 +1,7 @@
 package graft.agg
 
 import graft.SparkSuite
+import org.apache.spark.sql.functions.{countDistinct, expr}
 
 class SessionWindowSpec extends SparkSuite {
   import spark.implicits._
@@ -33,6 +34,28 @@ class SessionWindowSpec extends SparkSuite {
       .as[(String, Double, Double, Double)].collect().head
     // sorted [1..5]: p50 idx=2 -> 3.0; p90 idx=3.6 -> 4 + 0.6*(5-4) = 4.6
     assert(r === (("a", 1.0, 3.0, 4.6)))
+  }
+
+  test("approxProfile: sketch answers land within their error bounds of exact") {
+    val df = graft.core.Tables.events(spark, "/root/testdata/sf0.01")
+    val got = Aggregations.approxProfile(df, "event_type", "value", Seq(0.5, 0.99))
+      .as[(String, Long, Long, Seq[Double])].collect().map(r => r._1 -> r).toMap
+    // rank-error bound: each approx percentile must land between the
+    // exact percentiles one point either side (GK guarantees far
+    // tighter at accuracy 10000, but the bracket is distribution-free)
+    val exact = df.groupBy($"event_type")
+      .agg(countDistinct($"value").as("nd"),
+        expr("percentile(value, array(0.49, 0.51, 0.98, 1.0))").as("ps"))
+      .as[(String, Long, Seq[Double])].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === exact.keySet && got.nonEmpty)
+    for ((k, (_, _, ad, aps)) <- got) {
+      val (_, nd, brackets) = exact(k)
+      assert(math.abs(ad - nd).toDouble / nd < 0.05,
+        s"$k: approx distinct $ad vs exact $nd")
+      val Seq(lo50, hi50, lo99, hi99) = brackets
+      assert(aps(0) >= lo50 && aps(0) <= hi50, s"$k: p50 ${aps(0)} outside [$lo50, $hi50]")
+      assert(aps(1) >= lo99 && aps(1) <= hi99, s"$k: p99 ${aps(1)} outside [$lo99, $hi99]")
+    }
   }
 
   test("valueStats: >2 fractional digits fails loudly, not silently binned") {
