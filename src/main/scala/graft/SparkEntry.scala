@@ -50,6 +50,15 @@ object SparkEntry {
       RowOps.jsonExtract(Tables.events(s, d))),
     "q_generator_domain" -> ((s, _) =>
       SampleData.gradesSalaries(s, 1000L)),
+    // fault-tolerant parse: ~1/7 of payloads deterministically corrupted
+    // (PREFIX corruption — see RowOps.tryJsonExtract's parity caveat),
+    // each bad record costs one NULL row, never the job
+    "q_try_parse" -> ((s, d) => {
+      val raw = Tables.events(s, d).select("event_id", "props")
+        .withColumn("raw", when(col("event_id") % 7 === 0,
+          concat(lit("x"), col("props"))).otherwise(col("props")))
+      RowOps.tryJsonExtract(raw, "raw", "k")
+    }),
     // ---- R4/S7/F9: nested tweet-JSON (reference fixture replay) ----------
     "q_json_nested" -> ((s, _) =>
       TweetJson.docMeta(TweetJson.fixtureDf(s), "json")),
@@ -548,6 +557,17 @@ object SparkEntry {
       """SELECT event_id, event_type, cast(json_extract(props, '$.k') AS bigint) AS k
         |FROM events
         |WHERE json_extract(props, '$.k') IS NOT NULL""".stripMargin,
+    "q_try_parse" ->
+      """WITH r AS (SELECT event_id,
+        |                  CASE WHEN event_id % 7 = 0 THEN concat('x', props)
+        |                       ELSE props END AS raw
+        |           FROM events)
+        |SELECT event_id,
+        |       CASE WHEN json_valid(raw)
+        |            THEN cast(json_extract(raw, '$.k') AS bigint) END AS k,
+        |       (CASE WHEN json_valid(raw)
+        |             THEN cast(json_extract(raw, '$.k') AS bigint) END) IS NOT NULL AS is_valid
+        |FROM r""".stripMargin,
     "q_generator_domain" ->
       """SELECT seq,
         |       list_value('tom','jerry','alice','bob','john','grace')[

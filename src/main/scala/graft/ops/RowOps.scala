@@ -55,4 +55,20 @@ object RowOps {
       .select(col("event_id"), col("event_type"),
         from_json(col("props"), propsSchema).getField("k").as("k"))
       .filter(col("k").isNotNull)
+
+  /** Fault-tolerant JSON field extraction: corrupt payloads yield a NULL
+    * field and `is_valid = false` instead of failing the job — the
+    * ingest-robustness contract (a 100 TB crawl WILL contain garbage;
+    * one bad record must cost one row, not the stage).
+    *
+    * Cross-engine caveat, measured: Spark's `get_json_object` (Jackson)
+    * stops at the end of the first complete JSON value and so TOLERATES
+    * trailing garbage (`{"k":1}x` → 1), while DuckDB's `json_valid`
+    * rejects it. Leading corruption is rejected by both. Oracle checks
+    * therefore corrupt the PREFIX; treat trailing-garbage acceptance as
+    * engine-defined. */
+  def tryJsonExtract(df: DataFrame, rawCol: String, field: String): DataFrame = {
+    val k = get_json_object(col(rawCol), s"$$.$field").cast("long")
+    df.select(col("event_id"), k.as(field), k.isNotNull.as("is_valid"))
+  }
 }
