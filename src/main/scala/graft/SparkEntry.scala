@@ -7,10 +7,10 @@ import graft.agg.Aggregations
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.gen.{SampleData, Sampling}
-import graft.join.WindowJoin
+import graft.join.{BloomJoin, WindowJoin}
 import graft.multimodal.Multimodal
 import graft.ops.{AsyncMap, RowOps, Tokenize, TweetJson}
-import graft.rel.Relational
+import graft.rel.{Analytics, Relational}
 import graft.sim.Similarity
 import graft.state.TopSpeed
 import graft.text.TextAnalysis
@@ -136,6 +136,22 @@ object SparkEntry {
     "q_tpch_q20" -> Relational.q20 _,
     "q_tpch_q21" -> Relational.q21 _,
     "q_tpch_q22" -> Relational.q22 _,
+
+    // ---- analytic-SQL surface (rollup / pivot / top-k / lag) -------------
+    "q_rollup" -> Analytics.rollupPricing _,
+    "q_pivot" -> Analytics.pivotStatusCounts _,
+    "q_topk_per_group" -> ((s, d) =>
+      Analytics.topOrdersPerPriority(s, d, k = TopKPerGroup)),
+    "q_lag_delta" -> Analytics.lagDelta _,
+    "q_bloom_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      BloomJoin.bloomPrunedSemiJoin(Tables.lineitem(s, d), "l_orderkey",
+          urgent, "o_orderkey", BloomExpectedKeys, BloomFpp)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
     // as-of join: each purchase picks up the latest prior (or same-µs)
     // view per user; the right side is deduped to one row per (user, ts)
     "q_asof_join" -> ((s, d) => {
@@ -196,6 +212,11 @@ object SparkEntry {
     "q_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
         maxBucket = LshMaxBucket)),
+    "q_pair_editdist" -> ((s, d) =>
+      Dedup.pairEditDistance(Tables.documents(s, d),
+        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
+          maxBucket = LshMaxBucket),
+        prefixLen = EditPrefix)),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
@@ -320,6 +341,19 @@ object SparkEntry {
   /** q_recall_sweep nprobe grid, interpolated into both sides. */
   private val SweepProbes = Seq(1, 2, 4)
   private val BenchSetSize = 20L
+
+  /** q_topk_per_group k and q_pair_editdist prefix bound, interpolated
+    * into both sides. */
+  private val TopKPerGroup = 3
+  private val EditPrefix = 200
+  /** q_bloom_join filter sizing: capacity is an upper bound (the sf0.1
+    * urgent-order count is ~30k) — over-provisioning only lowers the
+    * false-positive rate, never correctness (the exact semi-join removes
+    * FPs). Not interpolated into the oracle: the oracle is the plain
+    * semi-join, which the bloom path must match EXACTLY regardless of
+    * filter sizing. */
+  private val BloomExpectedKeys = 100000L
+  private val BloomFpp = 0.02
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -897,6 +931,41 @@ object SparkEntry {
         |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |      GROUP BY c_custkey) t
         |GROUP BY c_count""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       cast(grouping(l_returnflag, l_linestatus) AS bigint) AS gid,
+        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+        |       count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+        |       count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_topk_per_group" ->
+      s"""SELECT o_orderpriority, o_orderkey, o_totalprice, cast(rn AS int) AS rnk
+         |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+         |             row_number() OVER (PARTITION BY o_orderpriority
+         |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |      FROM orders) t
+         |WHERE rn <= $TopKPerGroup""".stripMargin,
+    "q_lag_delta" ->
+      """SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, value,
+        |       lag(value) OVER w AS prev_value,
+        |       value - lag(value) OVER w AS delta
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag,
+        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+        |                     WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
         |           FROM events WHERE event_type = 'purchase'),
@@ -979,6 +1048,14 @@ object SparkEntry {
     "q_minhash_lsh_pairs" ->
       s"""WITH $duckLshPairCtes
          |SELECT doc_a, doc_b FROM lsh_pairs""".stripMargin,
+    "q_pair_editdist" ->
+      s"""WITH $duckLshPairCtes
+         |SELECT p.doc_a, p.doc_b,
+         |       cast(levenshtein(substring(a.text, 1, $EditPrefix),
+         |                        substring(b.text, 1, $EditPrefix)) AS int) AS editdist
+         |FROM lsh_pairs p
+         |JOIN documents a ON a.doc_id = p.doc_a
+         |JOIN documents b ON b.doc_id = p.doc_b""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $duckLshPairCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs

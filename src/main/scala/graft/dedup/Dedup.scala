@@ -481,4 +481,28 @@ object Dedup {
         expr("size(cs)").cast("bigint").as("n_kept"),
         expr("array_join(transform(cs, c -> c.chunk), ' ')").as("text_dedup"))
   }
+
+  /** Candidate-pair verification by edit distance — the "verify" stage a
+    * production dedup pipeline runs between LSH candidate generation and
+    * cluster formation (MinHash recall is probabilistic; edit distance is
+    * the ground-truth-ish signal that kills coincidental band collisions).
+    *
+    * Scale shape: the pair set is tiny relative to the corpus (bounded by
+    * the LSH bucket cap), so this is two key-equi joins that pull ONLY the
+    * compared prefixes through the shuffle — never full documents.
+    * `prefixLen` bounds the O(len²) DP cost per pair; document prefixes
+    * discriminate near-duplicates as well as full texts at a fraction of
+    * the compute (the standard truncated-comparison trade).
+    *
+    * Both engines implement character-level Levenshtein over the same
+    * ASCII corpus, so the distance is engine-exact. */
+  def pairEditDistance(docs: DataFrame, pairs: DataFrame, prefixLen: Int): DataFrame = {
+    val prefixed = docs.select(col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("prefix"))
+    pairs
+      .join(prefixed.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), "doc_a")
+      .join(prefixed.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("pa"), col("pb")).as("editdist"))
+  }
 }

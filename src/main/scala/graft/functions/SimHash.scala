@@ -265,6 +265,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$what must be an integer literal, got $other")
   }
 
+  private def binLit(e: Expression, what: String): Array[Byte] = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Array[Byte], _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a binary literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
@@ -279,6 +285,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
+      (args: Seq[Expression]) =>
+        BloomMightContain(args.head, binLit(args(1), "bloom_might_contain bytes"))))
   }
 }
 

@@ -1,0 +1,88 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Analytic-SQL surface beyond the plain TPC-H shapes: multi-level
+  * aggregation (ROLLUP), pivoted conditional counts, per-group top-k, and
+  * ordered per-key window deltas. These are the report/feature-extraction
+  * shapes a training-data pipeline runs constantly at 100 TB, and each one
+  * has a specific scale property worth proving:
+  *
+  *  - ROLLUP: Spark expands grouping sets BEFORE the exchange, so every
+  *    level still benefits from map-side partial aggregation — one shuffle
+  *    for all levels, not one per level.
+  *  - pivot: a pivot with explicit values is a single groupBy with N
+  *    conditional aggregates — one shuffle, no per-value scan.
+  *  - top-k per group: a `row_number <= k` filter over a window is planned
+  *    as WindowGroupLimit — each map task keeps only k rows per group
+  *    BEFORE the exchange, so the shuffle carries O(groups·k·tasks), not
+  *    the whole table (asserted in PlanSpec).
+  *  - lag/lead deltas: one shuffle on the partition key; the sort is
+  *    per-partition, never global.
+  */
+object Analytics {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** Pricing subtotals at every rollup level (detail, per-returnflag,
+    * grand total), disambiguated by `grouping_id` — decimal-exact sums so
+    * partial-aggregation order can never perturb the hash. */
+  def rollupPricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("bigint").as("gid"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Order counts pivoted by status — explicit pivot values keep this a
+    * single-pass conditional aggregation (no value-discovery job) and make
+    * the output schema static, which a 100 TB scheduled pipeline needs.
+    * Missing combinations surface as 0 (the oracle's FILTER count), not
+    * NULL (Spark's pivot default). */
+  def pivotStatusCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("cnt_f"),
+        coalesce(col("O"), lit(0L)).as("cnt_o"),
+        coalesce(col("P"), lit(0L)).as("cnt_p"))
+
+  /** Top-k orders per priority by total price. The o_orderkey tie-break
+    * makes row_number deterministic (o_totalprice is not unique), and the
+    * rank-limit filter plans as WindowGroupLimit: map-side per-group top-k
+    * before the exchange — the only formulation of "top-k per group" that
+    * does NOT shuffle the whole fact table. */
+  def topOrdersPerPriority(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Per-user ordered value deltas via lag — the sessionized
+    * "time-since-last / change-since-last" feature shape. The first event
+    * of each user has a NULL delta (both engines). The subtraction runs on
+    * the SAME two source doubles in both engines, so it is bit-identical
+    * without decimal routing. Ordering is (ts_us, event_id) — microseconds,
+    * because DuckDB truncates the parquet NANOS timestamp to µs, so a
+    * ns-resolution order could disagree with the oracle's; event_id breaks
+    * same-µs ties deterministically. */
+  def lagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", col("value") - col("prev_value"))
+  }
+}

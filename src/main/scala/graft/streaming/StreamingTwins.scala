@@ -126,4 +126,15 @@ object StreamingTwins {
         coalesce(col("gw.start"), col("sw.start")).as("wstart"),
         col("g_id"), col("s_id"), col("grade"), col("salary"))
   }
+
+  /** Stream-static enrichment: each micro-batch of the stream joins the
+    * STATIC dimension (the lookup-table pattern — user profiles, feature
+    * stores, allow-lists). Stateless — no watermark, no streaming state:
+    * the dim is broadcast to every executor once per batch, so a
+    * 1000-executor cluster enriches without any shuffle of the stream
+    * side. LEFT join: events without a dim row flow through with NULLs
+    * (an inner join would silently drop them). Works identically on a
+    * batch frame — the twin the spec asserts against. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    stream.join(broadcast(dim), Seq(keyCol), "left_outer")
 }

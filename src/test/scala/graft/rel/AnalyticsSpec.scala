@@ -1,0 +1,91 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.Tables
+
+/** The analytic-SQL surface: rollup level arithmetic, pivot == conditional
+  * aggregation, top-k-per-group rank properties + the WindowGroupLimit
+  * plan shape (the map-side top-k that makes the operator scale), and
+  * lag-delta invariants. */
+class AnalyticsSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("rollupPricing: subtotal levels are consistent sums of the detail level") {
+    val rows = Analytics.rollupPricing(spark, sf).collect()
+    val detail = rows.filter(_.getAs[Long]("gid") == 0L)
+    val byFlag = rows.filter(_.getAs[Long]("gid") == 1L)
+    val total = rows.filter(_.getAs[Long]("gid") == 3L)
+    assert(total.length == 1, "exactly one grand-total row")
+    // grand total row count == sum of detail row counts == table size
+    val n = Tables.lineitem(spark, sf).count()
+    assert(total.head.getAs[Long]("n_rows") == n)
+    assert(detail.map(_.getAs[Long]("n_rows")).sum == n)
+    // per-flag subtotal == sum of its detail rows (qty is decimal-exact,
+    // so double equality is safe)
+    for (st <- byFlag) {
+      val flag = st.getAs[String]("l_returnflag")
+      val mine = detail.filter(_.getAs[String]("l_returnflag") == flag)
+      assert(st.getAs[Long]("n_rows") == mine.map(_.getAs[Long]("n_rows")).sum)
+      assert(st.getAs[Double]("sum_qty") == mine.map(_.getAs[Double]("sum_qty")).sum)
+    }
+    // subtotal rows mark the aggregated column NULL
+    assert(byFlag.forall(_.isNullAt(1)) && total.head.isNullAt(0))
+  }
+
+  test("pivotStatusCounts equals the unpivoted conditional aggregation") {
+    val piv = Analytics.pivotStatusCounts(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val manual = Tables.orders(spark, sf).groupBy("o_orderpriority")
+      .agg(count(when(col("o_orderstatus") === "F", 1)).as("f"),
+        count(when(col("o_orderstatus") === "O", 1)).as("o"),
+        count(when(col("o_orderstatus") === "P", 1)).as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(piv == manual)
+    // every priority row sums to its total order count
+    val totals = Tables.orders(spark, sf).groupBy("o_orderpriority").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((p, f, o, pr) <- piv) assert(f + o + pr == totals(p))
+  }
+
+  test("topOrdersPerPriority: k rows per group, ranked by price, map-side WindowGroupLimit") {
+    val k = 3
+    val df = Analytics.topOrdersPerPriority(spark, sf, k)
+    val rows = df.collect()
+    val groups = rows.groupBy(_.getString(0))
+    assert(groups.size == 5)
+    for ((_, g) <- groups) {
+      assert(g.length == k)
+      assert(g.map(_.getInt(3)).sorted.toSeq == (1 to k))
+      val byRank = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        "prices not descending within a group")
+    }
+    // each top row really is the group max
+    val maxes = Tables.orders(spark, sf).groupBy("o_orderpriority")
+      .agg(max("o_totalprice")).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for ((p, g) <- groups)
+      assert(g.minBy(_.getInt(3)).getDouble(2) == maxes(p))
+    // the scale property: rank-limit filter rewritten to WindowGroupLimit
+    // (per-group top-k BEFORE the exchange, not a full-table window sort)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k per group did not plan as WindowGroupLimit:\n$plan")
+  }
+
+  test("lagDelta: exactly one NULL delta per user, delta == value - prev") {
+    val df = Analytics.lagDelta(spark, sf)
+    val n = Tables.events(spark, sf).count()
+    assert(df.count() == n, "lag must preserve cardinality")
+    val nullsPerUser = df.filter(col("delta").isNull)
+      .groupBy("user_id").count().collect()
+    assert(nullsPerUser.forall(_.getLong(1) == 1L),
+      "exactly the first event per user has no predecessor")
+    assert(df.filter(col("delta").isNotNull &&
+      col("delta") =!= col("value") - col("prev_value")).count() == 0)
+    assert(df.filter(col("delta").isNull =!= col("prev_value").isNull).count() == 0)
+  }
+}

@@ -393,4 +393,28 @@ class StreamingSpec extends SparkSuite {
         CarEvent(1, 20, 75.0, 1000L, 1000L)))
     }
   }
+
+  test("stream-static enrich: broadcast dim join per micro-batch == batch, left rows survive") {
+    val dim = Seq((1, "gold"), (2, "silver")).toDF("user_id", "tier")
+    val eventsData = Seq((1, 10.0), (2, 20.0), (3, 30.0), (1, 40.0))
+    val batch = StreamingTwins
+      .enrichWithDim(eventsData.toDF("user_id", "value"), dim, "user_id")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), Option(r.getString(2)))).toSeq.sorted
+
+    val ms = mem[(Int, Double)]
+    val enriched = StreamingTwins.enrichWithDim(
+      ms.toDF().toDF("user_id", "value"), dim, "user_id")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    withQuery(q) {
+      // split across micro-batches: each batch joins the same static dim
+      ms.addData(eventsData.take(2): _*); q.processAllAvailable()
+      ms.addData(eventsData.drop(2): _*); q.processAllAvailable()
+      val got = spark.table("enriched")
+        .collect().map(r => (r.getInt(0), r.getDouble(1), Option(r.getString(2)))).toSeq.sorted
+      assert(got === batch)
+      // the un-keyed user (3) flowed through with a NULL tier
+      assert(got.contains((3, 30.0, None)))
+    }
+  }
 }
