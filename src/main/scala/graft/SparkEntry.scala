@@ -241,6 +241,12 @@ object SparkEntry {
         StratifiedRates, defaultRate = 0.1)),
     // training-mix epoch expansion: per-source weights, deterministic
     // fractional epochs, one row per (doc, epoch)
+    "q_det_shuffle" -> ((s, d) =>
+      Sampling.deterministicShuffle(Tables.documents(s, d), "doc_id", ShuffleSeed)),
+    "q_quality_band" -> ((s, d) =>
+      Sampling.percentileBand(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "source", col("n_chars"), "doc_id", BandLo, BandHi)),
     "q_mix_epochs" -> ((s, d) =>
       Sampling.mixEpochs(Tables.documents(s, d)
         .select("doc_id", "source", "n_chars"), "source", "doc_id",
@@ -354,6 +360,12 @@ object SparkEntry {
     * filter sizing. */
   private val BloomExpectedKeys = 100000L
   private val BloomFpp = 0.02
+
+  /** q_det_shuffle seed and q_quality_band trim bounds, interpolated into
+    * both sides. */
+  private val ShuffleSeed = 7
+  private val BandLo = 0.05
+  private val BandHi = 0.95
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -1162,6 +1174,19 @@ object SparkEntry {
          |       coalesce(n_contaminated, 0) AS n_contaminated,
          |       n_contaminated IS NULL AS keep
          |FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id""".stripMargin,
+    "q_det_shuffle" ->
+      s"""SELECT doc_id,
+         |       cast(row_number() OVER (
+         |         ORDER BY md5('$ShuffleSeed:' || cast(doc_id AS varchar)), doc_id) - 1
+         |         AS bigint) AS pos
+         |FROM documents""".stripMargin,
+    "q_quality_band" ->
+      s"""SELECT doc_id, source, n_chars, pr
+         |FROM (SELECT doc_id, source, n_chars,
+         |             percent_rank() OVER (
+         |               PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+         |      FROM documents) t
+         |WHERE pr >= $BandLo AND pr <= $BandHi""".stripMargin,
     "q_mix_epochs" -> {
       def baseOf(w: Double): Long = math.floor(w).toLong
       val sorted = MixWeights.toSeq.sortBy(_._1)

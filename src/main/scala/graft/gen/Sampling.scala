@@ -93,4 +93,47 @@ object Sampling {
       .filter(col("n_epochs") > 0)
       .withColumn("epoch", explode(sequence(lit(1L), col("n_epochs"))))
   }
+
+  /** Deterministic global corpus shuffle with STABLE POSITIONS — the
+    * "shuffle the training set once, identically, on any cluster" step.
+    * Order is by md5(seed:id) (then id — a total order), so the
+    * permutation is a pure function of (seed, ids): no RNG state, no
+    * partitioning dependence, resumable mid-epoch by position range.
+    *
+    * Scale shape: ONE range-partitioned sort on the hash key (Spark's
+    * distributed sort — no global single-partition window), then
+    * positions via the two-pass per-partition-offset scheme
+    * (`zipWithIndex`: count job + offset map — no driver collection of
+    * data, only one Long per partition). Range boundaries come from
+    * sampling and vary run to run, but the emitted position is the global
+    * rank in a TOTAL order, which no boundary placement can change. */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"))
+      .withColumn("shuffle_key", md5(concat(lit(s"$seed:"), col("id").cast("string"))))
+      .repartitionByRange(col("shuffle_key"), col("id"))
+      .sortWithinPartitions("shuffle_key", "id")
+    sorted.select("id").as[Long].rdd
+      .zipWithIndex()
+      .toDF(idCol, "pos")
+  }
+
+  /** Per-stratum percentile-band trim — "drop each source's bottom and
+    * top x% by score" (outlier removal ahead of training). Exact ranks
+    * via percent_rank = (rank-1)/(n-1) with an id tie-break, one shuffle
+    * on the stratum + an in-partition sort. At extreme stratum skew
+    * (one source = most of 100 TB) the per-stratum sort dominates; the
+    * bounded-memory alternative is computing cut VALUES from a fixed-bin
+    * histogram (see Aggregations.valueStats) and broadcasting them as a
+    * map-side filter — this operator is the exact-rank formulation. */
+  def percentileBand(df: DataFrame, stratumCol: String, scoreCol: Column,
+                     idCol: String, lo: Double, hi: Double): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi, s"band must be 0<=lo<=hi<=1: [$lo,$hi]")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol).orderBy(scoreCol, col(idCol))
+    df.withColumn("pr", percent_rank().over(w))
+      .filter(col("pr") >= lo && col("pr") <= hi)
+  }
 }

@@ -49,6 +49,38 @@ class SamplingSpec extends SparkSuite {
     assert(s0.nonEmpty && s1.nonEmpty && s1.size < s0.size)
   }
 
+  test("deterministicShuffle: a stable permutation, independent of input partitioning") {
+    val out = Sampling.deterministicShuffle(ids, "doc_id", seed = 7)
+      .as[(Long, Long)].collect().toSeq
+    // it IS a permutation: every id once, positions exactly 0..n-1
+    assert(out.map(_._1).sorted == (1L to 2000L))
+    assert(out.map(_._2).sorted == (0L until 2000L))
+    // and it genuinely shuffles (identity order would betray a no-op)
+    assert(out.sortBy(_._2).map(_._1).take(100) != (1L to 100L).toSeq)
+    // partitioning-independence: same permutation from a reshaped input
+    val reshaped = Sampling.deterministicShuffle(ids.repartition(7), "doc_id", seed = 7)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.toSet == reshaped.toSet)
+    // a different seed is a different permutation
+    val other = Sampling.deterministicShuffle(ids, "doc_id", seed = 8)
+      .as[(Long, Long)].collect().toSet
+    assert(other != out.toSet)
+  }
+
+  test("percentileBand trims each stratum's tails, keeps every stratum") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 1000L).map(i => (i, s"s${i % 3}", (i * 37) % 500)).toDF("doc_id", "src", "score")
+    val band = Sampling.percentileBand(df, "src", col("score"), "doc_id", 0.1, 0.9)
+    val rows = band.collect()
+    assert(rows.map(_.getString(1)).toSet == Set("s0", "s1", "s2"))
+    // ranks inside the band only
+    assert(rows.forall { r => val pr = r.getDouble(3); pr >= 0.1 && pr <= 0.9 })
+    // ~80% of each stratum survives (percent_rank is exact, ties none here
+    // thanks to the id tie-break, so the bound is tight to +-1 row)
+    val kept = rows.groupBy(_.getString(1)).view.mapValues(_.length)
+    for ((_, n) <- kept) assert(math.abs(n - 267) <= 2, s"stratum kept $n of ~267")
+  }
+
   test("mixEpochs: integer weights repeat exactly; fractional part == hashSample keep set") {
     val docs = (1L to 600L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
     val out = Sampling.mixEpochs(docs, "source", "doc_id",
