@@ -29,4 +29,26 @@ object Layout {
   /** Read back a layout written by [[writeRangeLayout]]. */
   def read(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Small-file compaction, preserving range clustering — the table
+    * maintenance job every long-running ingest needs: streaming/
+    * incremental writers emit one file per micro-batch per partition, and
+    * a year of that turns a 100 TB table into tens of millions of files
+    * whose open/footer overhead dominates scans (and whose row groups are
+    * too small for stats pruning to matter).
+    *
+    * Sizes output by ROWS (one count action — cheap, metadata-only for
+    * parquet inputs), then rewrites through [[writeRangeLayout]] so the
+    * compacted files stay clustered on `sortCol`: compaction and
+    * clustering in one pass instead of two rewrites. Returns the file
+    * count written. */
+  def compactRanged[T](df: Dataset[T], path: String, sortCol: String,
+                       targetRowsPerFile: Long): Int = {
+    require(targetRowsPerFile > 0)
+    val n = df.count()
+    val files = math.max(1L, (n + targetRowsPerFile - 1) / targetRowsPerFile)
+      .min(Int.MaxValue).toInt
+    writeRangeLayout(df, path, sortCol, files)
+    files
+  }
 }
