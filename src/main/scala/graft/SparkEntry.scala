@@ -216,7 +216,7 @@ object SparkEntry {
       Dedup.pairEditDistance(Tables.documents(s, d),
         Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
           maxBucket = LshMaxBucket),
-        prefixLen = EditPrefix)),
+        prefixLen = EditPrefix, maxDist = EditMaxDist)),
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.connectedComponents(
         Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
@@ -352,6 +352,9 @@ object SparkEntry {
     * into both sides. */
   private val TopKPerGroup = 3
   private val EditPrefix = 200
+  /** Banded-DP cap for q_pair_editdist: distances beyond this emit -1
+    * (Spark's 3-arg levenshtein; CASE-mirrored in the oracle). */
+  private val EditMaxDist = 32
   /** q_bloom_join filter sizing: capacity is an upper bound (the sf0.1
     * urgent-order count is ~30k) — over-provisioning only lowers the
     * false-positive rate, never correctness (the exact semi-join removes
@@ -1061,13 +1064,16 @@ object SparkEntry {
       s"""WITH $duckLshPairCtes
          |SELECT doc_a, doc_b FROM lsh_pairs""".stripMargin,
     "q_pair_editdist" ->
-      s"""WITH $duckLshPairCtes
-         |SELECT p.doc_a, p.doc_b,
-         |       cast(levenshtein(substring(a.text, 1, $EditPrefix),
-         |                        substring(b.text, 1, $EditPrefix)) AS int) AS editdist
-         |FROM lsh_pairs p
-         |JOIN documents a ON a.doc_id = p.doc_a
-         |JOIN documents b ON b.doc_id = p.doc_b""".stripMargin,
+      s"""WITH $duckLshPairCtes,
+         |ed AS (SELECT p.doc_a, p.doc_b,
+         |              cast(levenshtein(substring(a.text, 1, $EditPrefix),
+         |                               substring(b.text, 1, $EditPrefix)) AS int) AS d
+         |       FROM lsh_pairs p
+         |       JOIN documents a ON a.doc_id = p.doc_a
+         |       JOIN documents b ON b.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b,
+         |       CASE WHEN d <= $EditMaxDist THEN d ELSE -1 END AS editdist
+         |FROM ed""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $duckLshPairCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
