@@ -68,6 +68,42 @@ class LayoutSpec extends SparkSuite {
       s"range layout did not prune: ranged=$bRanged random=$bRandom")
   }
 
+  test("z-order layout prunes on the SECOND dimension where a 1-D range layout cannot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val ev1 = Tables.events(spark, "/root/testdata/sf0.1")
+      .select("event_id", "ts_ns", "user_id", "value")
+    val ev = (1 to 10).map(_ => ev1).reduce(_ union _)
+    val stats = ev.agg(min("ts_ns"), max("ts_ns"), min("user_id"), max("user_id")).head()
+    val (tLo, tHi) = (stats.getLong(0), stats.getLong(1))
+    val (uLo, uHi) = (stats.getLong(2), stats.getLong(3))
+    // monotone bucketization of both dimensions into [0, 1024)
+    val bits = 10
+    def bucket(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c - lo) * (1L << bits) / (hi - lo + 1)).cast("long")
+
+    Layout.writeRangeLayout(ev, s"$tmp/ts_only", "ts_ns", buckets = 32)
+    Layout.writeZOrderLayout(ev, s"$tmp/zorder",
+      bucket(col("user_id"), uLo, uHi), bucket(col("ts_ns"), tLo, tHi),
+      bits = bits, buckets = 32)
+
+    // a narrow USER slab — the dimension the ts-only layout knows nothing
+    // about — over all time
+    val uCut = uLo + (uHi - uLo) / 16
+    def slabAgg(df: DataFrame): Long = {
+      val r = df.filter(col("user_id") >= uLo && col("user_id") <= uCut)
+        .agg(count(lit(1))).head()
+      r.getLong(0)
+    }
+    val expected = slabAgg(ev)
+    var gotZ = 0L; var gotT = 0L
+    val bZ = bytesReadOf { gotZ = slabAgg(spark.read.parquet(s"$tmp/zorder")) }
+    val bT = bytesReadOf { gotT = slabAgg(spark.read.parquet(s"$tmp/ts_only")) }
+    assert(gotZ == expected && gotT == expected && expected > 0)
+    // z-order: the user predicate's high bits prune most z-ranges; the
+    // ts-only layout reads every file. 2x margin absorbs footer noise.
+    assert(bZ * 2 < bT, s"z-order did not prune the user slab: z=$bZ tsOnly=$bT")
+  }
+
   test("compactRanged: many tiny files -> few row-sized files, rows intact, still clustered") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
     val ev = Tables.events(spark, "/root/testdata/sf0.01")
