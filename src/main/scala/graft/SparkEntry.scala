@@ -212,6 +212,13 @@ object SparkEntry {
     "q_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
         maxBucket = LshMaxBucket)),
+    "q_incremental_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(col("doc_id") % 4 =!= 0)
+        .select(md5(col("text")).as("text_hash")).distinct()
+      Dedup.incrementalExact(docs.filter(col("doc_id") % 4 === 0), hist)
+        .select("doc_id", "text_hash")
+    }),
     "q_pair_editdist" -> ((s, d) =>
       Dedup.pairEditDistance(Tables.documents(s, d),
         Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
@@ -1063,6 +1070,17 @@ object SparkEntry {
     "q_minhash_lsh_pairs" ->
       s"""WITH $duckLshPairCtes
          |SELECT doc_a, doc_b FROM lsh_pairs""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH hist AS (SELECT DISTINCT md5(text) AS text_hash
+        |              FROM documents WHERE doc_id % 4 <> 0),
+        |nb AS (SELECT doc_id, md5(text) AS text_hash
+        |       FROM documents WHERE doc_id % 4 = 0),
+        |fst AS (SELECT doc_id, text_hash
+        |        FROM (SELECT doc_id, text_hash, row_number() OVER (
+        |                PARTITION BY text_hash ORDER BY doc_id) AS rn FROM nb) t
+        |        WHERE rn = 1)
+        |SELECT f.doc_id, f.text_hash FROM fst f
+        |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text_hash = f.text_hash)""".stripMargin,
     "q_pair_editdist" ->
       s"""WITH $duckLshPairCtes,
          |ed AS (SELECT p.doc_a, p.doc_b,

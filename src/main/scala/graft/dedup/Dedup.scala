@@ -482,6 +482,25 @@ object Dedup {
         expr("array_join(transform(cs, c -> c.chunk), ' ')").as("text_dedup"))
   }
 
+  /** Incremental exact dedup — the cross-RUN shape: a pipeline ingesting
+    * daily batches must not re-admit content already accepted in ANY
+    * previous run, without ever re-scanning previous runs' text. The
+    * state that crosses runs is a content-hash STORE (16 bytes/doc —
+    * a 100 TB corpus's store is ~tens of GB, a routine shuffle side).
+    *
+    * Two steps, each one shuffle: first-occurrence-within-batch on the
+    * hash (`row_number = 1` — WindowGroupLimit keeps one candidate per
+    * hash per map task, same rationale as [[chunkDedup]]), then an
+    * anti-join against the store. The surviving rows' hashes are exactly
+    * what the caller appends to the store for the next run. */
+  def incrementalExact(newDocs: DataFrame, seenHashes: DataFrame): DataFrame = {
+    val hashed = newDocs.withColumn("text_hash", md5(col("text")))
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+      .join(seenHashes, Seq("text_hash"), "left_anti")
+  }
+
   /** Candidate-pair verification by edit distance — the "verify" stage a
     * production dedup pipeline runs between LSH candidate generation and
     * cluster formation (MinHash recall is probabilistic; edit distance is

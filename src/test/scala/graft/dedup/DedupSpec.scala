@@ -44,6 +44,23 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.minhashLshPairs(five, 2, 6, 2, maxBucket = 4).count() === 0L)
   }
 
+  test("incrementalExact: within-batch first occurrence, store hits dropped, survivors feed the store") {
+    import org.apache.spark.sql.functions.md5
+    import org.apache.spark.sql.functions.col
+    // history contains "old"; the new batch has an internal dup of "fresh"
+    // and a re-arrival of "old"
+    val store = Seq("old").toDF("t").select(md5(col("t")).as("text_hash"))
+    val batch = Seq((10L, "fresh"), (11L, "old"), (12L, "fresh"), (13L, "brand"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalExact(batch, store)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(10L, 13L)) // first "fresh" and "brand"; no "old", no second "fresh"
+    // idempotence across runs: append survivors' hashes, re-run same batch -> nothing new
+    val store2 = store.union(
+      Dedup.incrementalExact(batch, store).select("text_hash"))
+    assert(Dedup.incrementalExact(batch, store2).count() == 0)
+  }
+
   test("simhash: 64-bit hex output, equal for identical docs") {
     val r = Dedup.simhash(docs("alpha beta gamma", "alpha beta gamma", "x"))
       .as[(Long, String)].collect().sortBy(_._1)
