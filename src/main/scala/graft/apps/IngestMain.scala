@@ -37,15 +37,31 @@ object IngestMain {
     * the redaction are inline expressions, not the batch helpers — those
     * project away the other columns and re-attaching them would turn
     * each stage into a stream-stream self-join with unbounded state).
-    * The only stateful operator is the watermarked dedup. */
+    * The only stateful operator is the watermarked dedup.
+    *
+    * Funnel observability rides on `observe()`: the counts are
+    * accumulated DURING the normal pass (no second scan, no extra job)
+    * and surface per micro-batch in `StreamingQueryProgress
+    * .observedMetrics` — the continuous twin of PipelineMain's one-pass
+    * batch funnel audit. */
   def transform(lines: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     lines
-      .withColumn("doc_id", split(col("value"), "\t").getItem(0).cast("long"))
-      .withColumn("text", split(col("value"), "\t").getItem(1))
+      // try_cast + get(), not cast/getItem: under ANSI mode a malformed id
+      // or a missing field would FAIL THE STREAM; a corrupt line must cost
+      // one counted row, never the job (same stance as RowOps.tryJsonExtract)
+      .withColumn("doc_id_raw", get(split(col("value"), "\t"), lit(0)))
+      .withColumn("doc_id", expr("try_cast(doc_id_raw AS bigint)"))
+      .drop("doc_id_raw")
+      .withColumn("text", get(split(col("value"), "\t"), lit(1)))
+      .observe("ingest_parsed",
+        count(lit(1)).as("rows_in"),
+        count(when(col("doc_id").isNull || col("text").isNull, lit(1)))
+          .as("rows_malformed"))
       .filter(col("doc_id").isNotNull && col("text").isNotNull)
       // tokens in their own projection (HOF re-evaluation trap)
       .withColumn("tk", TextAnalysis.toksCol(col("text")))
       .filter(TextAnalysis.qualityKeep(col("tk")))
+      .observe("ingest_gated", count(lit(1)).as("rows_kept"))
       .select(
         col("doc_id"),
         TextAnalysis.redacted(col("text")).as("text_redacted"),

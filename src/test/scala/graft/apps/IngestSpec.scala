@@ -22,7 +22,9 @@ class IngestSpec extends SparkSuite {
       java.nio.file.Files.writeString(
         java.nio.file.Path.of(in, name), rows.mkString("", "\n", "\n"))
 
-    def drain(): Unit = {
+    // returns the funnel counters accumulated by observe() across the
+    // run's micro-batches — measured DURING the pass, no extra job
+    def drain(): Map[String, Long] = {
       val q = IngestMain.transform(
           Sources.readTextStreamThrottled(spark, in, maxFilesPerTrigger = 1))
         .writeStream.format("parquet")
@@ -32,6 +34,14 @@ class IngestSpec extends SparkSuite {
         .trigger(Trigger.AvailableNow())
         .start()
       try assert(q.awaitTermination(180000)) finally q.stop()
+      val progress = q.recentProgress.toSeq
+      def sumOf(obs: String, field: String): Long =
+        progress.flatMap(p => Option(p.observedMetrics.get(obs)))
+          .map(_.getAs[Long](field)).sum
+      Map(
+        "rows_in" -> sumOf("ingest_parsed", "rows_in"),
+        "rows_malformed" -> sumOf("ingest_parsed", "rows_malformed"),
+        "rows_kept" -> sumOf("ingest_gated", "rows_kept"))
     }
 
     writeFile("a.txt", Seq(
@@ -39,7 +49,10 @@ class IngestSpec extends SparkSuite {
       s"2\tshort junk",          // < 10 tokens -> gated out
       s"1\t${goodText(1)}"))     // duplicate id within the batch -> deduped
     writeFile("b.txt", Seq(s"3\t${goodText(3)}"))
-    drain()
+    val m1 = drain()
+    // the observe() funnel saw every line: 4 in, 0 malformed, 3 past the
+    // gate (the dedup that drops the repeated id=1 runs AFTER the probe)
+    assert(m1 === Map("rows_in" -> 4L, "rows_malformed" -> 0L, "rows_kept" -> 3L))
 
     val first = spark.read.parquet(s"$out/data")
       .select("doc_id", "text_redacted", "n_emails")
@@ -47,9 +60,11 @@ class IngestSpec extends SparkSuite {
     assert(first.map(_._1).toSeq === Seq(1L, 3L))
     assert(first.forall(r => r._2.endsWith("mail <EMAIL>") && r._3 === 1))
 
-    // restart: only the NEW file is processed (checkpointed offsets)
-    writeFile("c.txt", Seq(s"4\t${goodText(4)}"))
-    drain()
+    // restart: only the NEW file is processed (checkpointed offsets);
+    // the tab-less line parses to NULLs and is counted malformed
+    writeFile("c.txt", Seq(s"4\t${goodText(4)}", "oops no tab"))
+    val m2 = drain()
+    assert(m2 === Map("rows_in" -> 2L, "rows_malformed" -> 1L, "rows_kept" -> 1L))
     val second = spark.read.parquet(s"$out/data")
       .select("doc_id").as[Long].collect().sorted
     assert(second.toSeq === Seq(1L, 3L, 4L))
