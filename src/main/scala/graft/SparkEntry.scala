@@ -138,6 +138,21 @@ object SparkEntry {
     "q_tpch_q22" -> Relational.q22 _,
 
     // ---- analytic-SQL surface (rollup / pivot / top-k / lag) -------------
+    // ANALYZE-style one-pass column profile: counts, null counts, min/max
+    // and exact distincts for three columns in ONE aggregation (Catalyst
+    // expands multi-distinct into one pass over an Expand — no per-column
+    // re-scan; the same shape as q21's countDistinct audit).
+    "q_col_profile" -> ((s, d) =>
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        count(col("l_quantity")).as("qty_nonnull"),
+        min(col("l_quantity")).as("qty_min"),
+        max(col("l_quantity")).as("qty_max"),
+        countDistinct(col("l_quantity")).as("qty_distinct"),
+        min(col("l_discount")).as("disc_min"),
+        max(col("l_discount")).as("disc_max"),
+        countDistinct(col("l_discount")).as("disc_distinct"),
+        countDistinct(col("l_returnflag"), col("l_linestatus")).as("flag_status_distinct"))),
     "q_rollup" -> Analytics.rollupPricing _,
     "q_pivot" -> Analytics.pivotStatusCounts _,
     "q_topk_per_group" -> ((s, d) =>
@@ -953,6 +968,17 @@ object SparkEntry {
         |      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
         |      GROUP BY c_custkey) t
         |GROUP BY c_count""".stripMargin,
+    "q_col_profile" ->
+      """SELECT count(*) AS n_rows,
+        |       count(l_quantity) AS qty_nonnull,
+        |       min(l_quantity) AS qty_min,
+        |       max(l_quantity) AS qty_max,
+        |       count(DISTINCT l_quantity) AS qty_distinct,
+        |       min(l_discount) AS disc_min,
+        |       max(l_discount) AS disc_max,
+        |       count(DISTINCT l_discount) AS disc_distinct,
+        |       count(DISTINCT (l_returnflag, l_linestatus)) AS flag_status_distinct
+        |FROM lineitem""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         |       cast(grouping(l_returnflag, l_linestatus) AS bigint) AS gid,
