@@ -181,6 +181,21 @@ object SparkEntry {
           col("ts_us").as("view_ts_us"))
       graft.join.AsofJoin.asof(p, v, "user_id", "ts_us")
     }),
+    // the same as-of, through the CUSTOM PHYSICAL OPERATOR
+    // (graft.plans.AsofMergeJoin via injectPlannerStrategy) — checked
+    // against the same DuckDB native ASOF oracle as q_asof_join
+    "q_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("view_id"))
+        .select(col("user_id"), col("ts_us"), col("view_id"),
+          col("ts_us").as("view_ts_us"))
+      graft.join.AsofJoin.asofNative(p, v, "user_id", "ts_us")
+    }),
     // ---- M7: text analysis -------------------------------------------------
     "q_lang_id" -> ((s, d) =>
       TextAnalysis.langId(Tables.documents(s, d))),
@@ -1015,6 +1030,15 @@ object SparkEntry {
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
     "q_asof_join" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts_us, max(event_id) AS view_id, ts_us AS view_ts_us
+        |      FROM (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
+        |            FROM events WHERE event_type = 'view') t
+        |      GROUP BY user_id, ts_us)
+        |SELECT p.user_id, p.ts_us, p.event_id, v.view_id, v.view_ts_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin,
+    "q_asof_native" ->
       """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
         |           FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT user_id, ts_us, max(event_id) AS view_id, ts_us AS view_ts_us

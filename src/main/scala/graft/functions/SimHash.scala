@@ -290,6 +290,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (args: Seq[Expression]) =>
         BloomMightContain(args.head, binLit(args(1), "bloom_might_contain bytes"))))
+    // whole-operator extension (SURVEY §7.3 (c)): the native as-of join
+    ext.injectPlannerStrategy(_ => graft.plans.AsofMergeStrategy)
   }
 }
 

@@ -63,4 +63,39 @@ object AsofJoin {
       .select(Seq(col(keyCol), col(tsCol)) ++ lNames.map(col) ++
         rNames.map(c => col(s"__rp.$c").as(c)): _*)
   }
+
+  /** The NATIVE formulation of the same join: a custom
+    * LogicalPlan/SparkStrategy/SparkPlan (`graft.plans.AsofMergeJoin`,
+    * registered by GraftExtensions) that co-partitions and sorts each
+    * side separately and streams a per-partition merge — no union of the
+    * two sides, no window buffer, O(1) merge state. Same contract as
+    * [[asof]] plus: key and ts must be BIGINT and non-null (the merge
+    * compares them as primitive longs). Output column ORDER differs from
+    * [[asof]] (left columns then right payload); the SET of columns is
+    * identical. */
+  def asofNative(left: DataFrame, right: DataFrame,
+                 keyCol: String, tsCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val lPlan = left.queryExecution.analyzed
+    // Re-alias every right column: left and right usually derive from the
+    // SAME scan, so their plans share exprIds — the analyzer's
+    // DeduplicateRelations rewrites the duplicate child under a custom
+    // node without rewriting the node's own attribute fields (it only
+    // knows built-in shapes), leaving them dangling. Fresh aliases make
+    // the right side's top-level attributes unique up front.
+    val rPlan = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+      .queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"column $n not found"))
+    val (lk, lt) = (attr(lPlan, keyCol), attr(lPlan, tsCol))
+    val (rk, rt) = (attr(rPlan, keyCol), attr(rPlan, tsCol))
+    require(Seq(lk, lt, rk, rt).forall(_.dataType == LongType),
+      "asofNative requires BIGINT key and ts on both sides")
+    val rPayload = rPlan.output.filterNot(a => a.name == keyCol || a.name == tsCol)
+    require(left.columns.toSet.intersect(rPayload.map(_.name).toSet).isEmpty,
+      "payload columns must be disjoint")
+    org.apache.spark.sql.GraftPlanBridge.ofRows(left.sparkSession,
+      graft.plans.AsofMergeJoin(lPlan, rPlan, lk, lt, rk, rt, rPayload))
+  }
 }

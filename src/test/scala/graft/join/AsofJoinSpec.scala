@@ -40,6 +40,53 @@ class AsofJoinSpec extends SparkSuite {
     assert(out.select("lid").distinct().count() === 50L)
   }
 
+  test("asofNative (custom SparkStrategy): hand case incl. inclusive tie and NULL no-match") {
+    val left = Seq((1L, 10L, 100L), (1L, 5L, 101L), (2L, 7L, 102L), (3L, 1L, 103L))
+      .toDF("k", "ts", "lid")
+    val right = Seq((1L, 5L, 900L), (1L, 9L, 901L), (2L, 8L, 902L))
+      .toDF("k", "ts", "rid")
+    val got = AsofJoin.asofNative(left, right, "k", "ts")
+      .select("k", "ts", "lid", "rid")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      (1L, 10L, 100L, Some(901L)),
+      (1L, 5L, 101L, Some(900L)),  // inclusive at equal ts
+      (2L, 7L, 102L, None),        // right row is in the future
+      (3L, 1L, 103L, None)))       // key absent on the right entirely
+  }
+
+  test("asofNative == window asof on real data, any input partitioning") {
+    val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
+    import org.apache.spark.sql.functions._
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("k"), expr("ts_ns div 1000").as("ts"),
+        col("event_id").as("p_id"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("k"), expr("ts_ns div 1000").as("ts"))
+      .agg(max("event_id").as("v_id")) // unique per (k, ts) by construction
+    val viaWindow = AsofJoin.asof(purchases, views, "k", "ts")
+      .select("k", "ts", "p_id", "v_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    val viaNative = AsofJoin.asofNative(purchases.repartition(7), views.repartition(3), "k", "ts")
+      .select("k", "ts", "p_id", "v_id")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(viaNative === viaWindow)
+    assert(viaNative.nonEmpty)
+  }
+
+  test("asofNative plan: AsofMergeJoin exec, two exchanges, no union/window") {
+    val left = (0L until 1000L).map(i => (i % 7, i, i)).toDF("k", "ts", "lid")
+    val right = (0L until 300L).map(i => (i % 7, i * 2, i + 9000)).toDF("k", "ts", "rid")
+    val df = AsofJoin.asofNative(left, right, "k", "ts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("AsofMergeJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Union"),
+      "native asof must not fall back to the union+window formulation")
+    assert(plan.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"more than one exchange per side:\n$plan")
+  }
+
   test("asof: contract-violating right ties resolve deterministically, not by partition order") {
     // two right rows at the SAME (key, ts) violate the uniqueness
     // contract; the xxhash64 tie-break must pick the same winner
