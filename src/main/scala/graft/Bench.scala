@@ -27,14 +27,29 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
 
     def runOnce(dir: String, name: String,
-                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Long] =
-      try Right(fn(spark, dir).queryExecution.toRdd.count())
-      catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
+                fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, org.apache.spark.sql.DataFrame] =
+      try {
+        val df = fn(spark, dir)
+        df.queryExecution.toRdd.count()
+        Right(df)
+      } catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
 
     // Warm-up (untimed, small SF): JIT, codegen cache, shuffle machinery.
     SparkEntry.queries.foreach { case (name, fn) => runOnce(warmDir, name, fn) }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Plan-shape telemetry: exchange mentions in the final (post-AQE)
+    // executed plan — a lost broadcast or an extra shuffle shows up as a
+    // count bump between rounds without anyone reading explain output.
+    // Substring count on the plan text (matches Exchange /
+    // BroadcastExchange / ReusedExchange alike) — a regression SIGNAL,
+    // not an exact exchange census.
+    val exchanges = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    def exchangesOf(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      plan.sliding("Exchange".length).count(_ == "Exchange")
+    }
     // Best of 3 timed runs per query: a single run is exposed to one-off
     // GC pauses / compilation stalls (observed 4x spikes on this host,
     // and 2-3x ambient drift between back-to-back full runs); min-of-3
@@ -50,7 +65,10 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $err")
           errors += name -> err
           name -> -1.0
-        case None => name -> times.map(_._2).min
+        case None =>
+          times.last._1.foreach(df =>
+            exchanges += name -> (try exchangesOf(df) catch { case _: Throwable => -1 }))
+          name -> times.map(_._2).min
       }
     }
     val ok = results.filter(_._2 >= 0)
@@ -59,8 +77,9 @@ object Bench {
       s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"").takeWhile(_ >= ' ')}\""
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val exJson = exchanges.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"exchanges":$exJson,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
