@@ -209,6 +209,9 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(Tables.documents(s, d), threshold = RepThreshold)),
+    "q_vocab_encode" -> ((s, d) =>
+      TextAnalysis.vocabEncode(Tables.documents(s, d),
+        minDf = VocabMinDf, vocabSize = VocabSize)),
     "q_truncate_tokens" -> ((s, d) =>
       TextAnalysis.truncateTokens(Tables.documents(s, d), budget = TruncBudget)),
     // PII redaction: the corpus carries no natural PII, so each doc gets a
@@ -406,6 +409,10 @@ object SparkEntry {
   private val ShuffleSeed = 7
   private val BandLo = 0.05
   private val BandHi = 0.95
+
+  /** q_vocab_encode knobs, interpolated into both sides. */
+  private val VocabMinDf = 2L
+  private val VocabSize = 1000
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -1202,6 +1209,20 @@ object SparkEntry {
          |       least(len(tk), $TruncBudget) AS n_kept,
          |       array_to_string(tk[1:$TruncBudget], ' ') AS text_trunc
          |FROM t""".stripMargin,
+    "q_vocab_encode" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(generate_series(1, len(tk))) AS pos,
+         |               unnest(tk) AS tok FROM t),
+         |vc AS (SELECT tok, count(*) AS cnt FROM tok
+         |       GROUP BY tok HAVING count(*) >= $VocabMinDf),
+         |rk AS (SELECT tok, tok_id FROM (
+         |         SELECT tok, cast(row_number() OVER (
+         |                  ORDER BY cnt DESC, tok) AS int) AS tok_id FROM vc) x
+         |       WHERE tok_id <= $VocabSize)
+         |SELECT t2.doc_id, cast(count(*) AS bigint) AS n_tokens,
+         |       array_to_string(list(coalesce(rk.tok_id, 0) ORDER BY t2.pos), ' ') AS ids
+         |FROM tok t2 LEFT JOIN rk ON t2.tok = rk.tok
+         |GROUP BY t2.doc_id""".stripMargin,
     "q_pii_redact" -> {
       import graft.text.TextAnalysis.{EmailRe, PhoneRe, IpRe}
       s"""WITH p AS (SELECT doc_id,

@@ -218,4 +218,39 @@ object TextAnalysis {
         least(size(col("tk")), lit(budget)).as("n_kept"),
         array_join(slice(col("tk"), 1, budget), " ").as("text_trunc"))
   }
+
+  /** Vocabulary build + token-ID encoding — the corpus→tensors prep
+    * step: rank tokens by (frequency desc, token asc — a total order, so
+    * the vocabulary is deterministic on any cluster), keep the top
+    * `vocabSize` as ids 1..vocabSize, and re-encode every document as a
+    * space-joined id sequence in original token order; out-of-vocabulary
+    * tokens map to 0 (the UNK id).
+    *
+    * Scale shape: one token-count shuffle; the RANKING window sorts only
+    * tokens with count >= `minDf` — the filter is what bounds the
+    * single-partition sort (raw 100 TB token-type counts are huge, but
+    * min-df'd candidate sets are vocabulary-sized); encoding is one
+    * broadcast-or-shuffle join from tokens to ids and one doc_id shuffle
+    * to reassemble. */
+  def vocabEncode(df: DataFrame, minDf: Long, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0 && minDf >= 1)
+    val tok = df
+      .select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minDf)
+      .withColumn("tok_id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok").asc)))
+      .filter(col("tok_id") <= vocabSize)
+      .select("tok", "tok_id")
+    tok.join(vocab, Seq("tok"), "left_outer")
+      .select(col("doc_id"), col("pos"), coalesce(col("tok_id"), lit(0)).as("tid"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("tid")))).as("cs"))
+      .select(
+        col("doc_id"),
+        expr("size(cs)").cast("bigint").as("n_tokens"),
+        expr("array_join(transform(cs, c -> cast(c.tid AS string)), ' ')").as("ids"))
+  }
 }

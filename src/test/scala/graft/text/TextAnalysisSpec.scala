@@ -83,6 +83,18 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(1) === ((1L, 2, 2, "x y")))
   }
 
+  test("vocabEncode: frequency-then-alpha ids, OOV -> 0, original order kept") {
+    // counts: b=3, a=2, c=2, z=1 -> vocab(minDf=2, size=2): b=1, a=2
+    // (c loses the count tie with a alphabetically and falls off at size 2)
+    val d = docs("a b c", "b c a", "b z")
+    val got = TextAnalysis.vocabEncode(d, minDf = 2, vocabSize = 2)
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, 3L, "2 1 0"),   // a b c -> 2 1 OOV
+      (1L, 3L, "1 0 2"),   // b c a
+      (2L, 2L, "1 0")))    // b z (z below minDf)
+  }
+
   test("fingerprint: <2 tokens yields null, equal shingle sets share a fingerprint") {
     val rows = TextAnalysis.fingerprint(docs("solo", "a b c", "a b c"))
       .as[(Long, Option[String])].collect().sortBy(_._1)
