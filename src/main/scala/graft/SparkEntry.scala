@@ -154,6 +154,7 @@ object SparkEntry {
         countDistinct(col("l_discount")).as("disc_distinct"),
         countDistinct(col("l_returnflag"), col("l_linestatus")).as("flag_status_distinct"))),
     "q_rollup" -> Analytics.rollupPricing _,
+    "q_cube" -> Analytics.cubePricing _,
     "q_pivot" -> Analytics.pivotStatusCounts _,
     "q_topk_per_group" -> ((s, d) =>
       Analytics.topOrdersPerPriority(s, d, k = TopKPerGroup)),
@@ -1008,6 +1009,13 @@ object SparkEntry {
         |       count(*) AS n_rows
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       cast(grouping(l_returnflag, l_linestatus) AS bigint) AS gid,
+        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderpriority,
         |       count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,

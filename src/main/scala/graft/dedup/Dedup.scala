@@ -501,6 +501,41 @@ object Dedup {
       .join(seenHashes, Seq("text_hash"), "left_anti")
   }
 
+  /** Streaming twin of [[incrementalExact]]: a `foreachBatch` sink that
+    * dedups every micro-batch against the ACCUMULATED hash store — the
+    * unbounded-history complement to `dropDuplicatesWithinWatermark`
+    * (which bounds state by TIME; this bounds nothing and pays O(store)
+    * disk, the right trade when "seen once, ever" is the contract).
+    *
+    * Idempotent replay by construction: both writes go to
+    * `batch=<batchId>` subdirectories in overwrite mode, so a replayed
+    * batch overwrites its own output instead of duplicating it, and the
+    * store read EXCLUDES the current batch's own partition — a replay
+    * whose earlier attempt already wrote its store subdir must not
+    * anti-join against its own hashes (that path would overwrite the
+    * data dir with an empty frame). The kept frame is eagerly
+    * localCheckpoint'ed so the second write cannot re-evaluate the
+    * anti-join against a store that now contains its own hashes. */
+  def incrementalSink(out: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val storeDir = s"$out/store"
+    val seen =
+      if (new java.io.File(storeDir).exists())
+        spark.read.parquet(storeDir)
+          .filter(col("batch") =!= batchId)
+          .select("text_hash")
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "text_hash", org.apache.spark.sql.types.StringType))))
+    val kept = incrementalExact(batch, seen).localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(s"$out/data/batch=$batchId")
+    kept.select("text_hash").write.mode("overwrite")
+      .parquet(s"$storeDir/batch=$batchId")
+  }
+
   /** Candidate-pair verification by edit distance — the "verify" stage a
     * production dedup pipeline runs between LSH candidate generation and
     * cluster formation (MinHash recall is probabilistic; edit distance is

@@ -39,6 +39,18 @@ object Analytics {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** CUBE over (returnflag, linestatus): all four grouping sets (detail,
+    * each single-axis margin, grand total) from ONE scan and one shuffle
+    * — the expand happens before the exchange with map-side partial
+    * aggregation, same as [[rollupPricing]] but with the second margin. */
+  def cubePricing(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping_id().cast("bigint").as("gid"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
   /** Order counts pivoted by status — explicit pivot values keep this a
     * single-pass conditional aggregation (no value-discovery job) and make
     * the output schema static, which a 100 TB scheduled pipeline needs.

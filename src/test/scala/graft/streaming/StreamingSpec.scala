@@ -443,6 +443,30 @@ class StreamingSpec extends SparkSuite {
     assert(got === Set((0L, "a", 13.0), (0L, "b", 3.0)))
   }
 
+  test("foreachBatch incremental dedup: cross-batch hash store, idempotent replay") {
+    import graft.dedup.Dedup
+    val out = java.nio.file.Files.createTempDirectory("graft-incsink").toString
+    val ms = mem[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((df: DataFrame, id: Long) => Dedup.incrementalSink(out)(df, id))
+      .option("checkpointLocation", s"$out/ck")
+      .start()
+    withQuery(q) {
+      ms.addData((1L, "alpha"), (2L, "beta"), (3L, "alpha")); q.processAllAvailable()
+      ms.addData((4L, "beta"), (5L, "gamma")); q.processAllAvailable()
+    }
+    def dataIds = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 3 is an intra-batch dup of 1; 4 is a CROSS-batch dup of 2
+    assert(dataIds === Seq(1L, 2L, 5L))
+    // replay of batch 1 (foreachBatch's failure contract): same content,
+    // same id — output must be unchanged, not emptied (the store read
+    // excludes the batch's own partition) and not doubled (overwrite)
+    Dedup.incrementalSink(out)(
+      Seq((4L, "beta"), (5L, "gamma")).toDF("doc_id", "text"), 1L)
+    assert(dataIds === Seq(1L, 2L, 5L))
+  }
+
   test("stream-static enrich: broadcast dim join per micro-batch == batch, left rows survive") {
     val dim = Seq((1, "gold"), (2, "silver")).toDF("user_id", "tier")
     val eventsData = Seq((1, 10.0), (2, 20.0), (3, 30.0), (1, 40.0))
