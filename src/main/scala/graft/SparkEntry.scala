@@ -77,6 +77,9 @@ object SparkEntry {
       Aggregations.keyedSum(Tables.events(s, d), "user_id", "value")),
     "q_window_sum" -> ((s, d) =>
       Aggregations.windowSum(Tables.events(s, d), "ts_sec", "event_type", "value", 5L)),
+    "q_sliding_sum" -> ((s, d) =>
+      Aggregations.slidingWindowSum(Tables.events(s, d), "ts_sec", "event_type",
+        "value", sizeSec = 7200L, slideSec = 3600L)),
     "q_session_sum" -> ((s, d) =>
       Aggregations.sessionSum(Tables.events(s, d), "ts_sec", "user_id", "value", 30L)),
     "q_value_stats" -> ((s, d) =>
@@ -684,6 +687,16 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 5000000000) * 5 AS wstart_sec, event_type,
         |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // each event contributes to size/slide = 2 epoch-aligned windows:
+    // floor(ts/slide)*slide and the one slide earlier
+    "q_sliding_sum" ->
+      """WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000000 AS tsec, value
+        |           FROM events),
+        |x AS (SELECT event_type, value, (tsec // 3600) * 3600 - o.s AS wstart_sec
+        |      FROM e, (VALUES (0), (3600)) AS o(s))
+        |SELECT wstart_sec, event_type,
+        |       cast(sum(cast(value AS decimal(18,2))) AS double) AS sum_value
+        |FROM x GROUP BY 1, 2""".stripMargin,
     "q_session_sum" ->
       """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS t, value FROM events),
         |m AS (SELECT *, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 30

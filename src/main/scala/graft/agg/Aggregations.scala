@@ -53,6 +53,27 @@ object Aggregations {
         col(key))
       .agg(exactSum(col(measure)).as("sum_value"))
 
+  /** SLIDING (hopping) keyed window sum — each event lands in
+    * size/slide overlapping windows (epoch-aligned starts). Expressed
+    * through Spark's native `window(ts, size, slide)`, which EXPLODES
+    * each row into its size/slide window assignments BEFORE the shuffle
+    * — so partial aggregation still combines map-side and the exchange
+    * carries one partial row per (window, key) pair per task, not the
+    * size/slide-amplified event stream. Works identically on a
+    * watermarked stream. `sizeSec` must be a multiple of `slideSec`. */
+  def slidingWindowSum(df: DataFrame, tsSec: String, key: String,
+                       measure: String, sizeSec: Long, slideSec: Long): DataFrame = {
+    require(sizeSec > 0 && slideSec > 0 && sizeSec % slideSec == 0,
+      s"size ($sizeSec) must be a positive multiple of slide ($slideSec)")
+    df.groupBy(
+        window(timestamp_seconds(col(tsSec)), s"$sizeSec seconds",
+          s"$slideSec seconds").as("w"),
+        col(key))
+      .agg(exactSum(col(measure)).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("wstart_sec"),
+        col(key), col("sum_value"))
+  }
+
   /** Session-window keyed sum (window-layer extension; the reference's
     * pom still packages a pruned SessionWindowing example — SURVEY.md §0).
     * A session groups events per key whose gaps are <= `gapSec`; the

@@ -40,14 +40,24 @@ object StreamingTwins {
     Tokenize.wordCount(lines, textCol)
 
   /** A5/W1/W6 event-time tumbling windowed sum with watermark. `tsCol`
-    * must be a TimestampType column. Output: wstart, key, sum_value. */
+    * must be a TimestampType column. Output: wstart, key, sum_value.
+    * Pass `slide` for a SLIDING (hopping) window: each event lands in
+    * size/slide overlapping windows — the explode happens before the
+    * shuffle, so partial aggregation still combines map-side, and the
+    * streaming state is per (window, key) exactly like tumbling. */
   def windowedSum(df: DataFrame, tsCol: String, keyCol: String,
                   measureCol: String, windowSize: String,
-                  watermarkDelay: String = "0 seconds"): DataFrame =
+                  watermarkDelay: String = "0 seconds",
+                  slide: Option[String] = None): DataFrame = {
+    val w = slide match {
+      case Some(s) => window(col(tsCol), windowSize, s)
+      case None => window(col(tsCol), windowSize)
+    }
     df.withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowSize).as("w"), col(keyCol))
+      .groupBy(w.as("w"), col(keyCol))
       .agg(exactSum(col(measureCol)).as("sum_value"))
       .select(col("w.start").as("wstart"), col(keyCol), col("sum_value"))
+  }
 
   /** J1 windowed stream-stream inner equi-join with dual watermarks:
     * cross product of key matches within the same tumbling window

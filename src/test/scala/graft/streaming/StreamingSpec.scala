@@ -246,6 +246,38 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("sliding windowed agg: each event in size/slide windows, streaming == batch") {
+    val data = Seq((0L, "a", 1.0), (7L, "a", 2.0), (12L, "b", 4.0))
+    def shape(df: DataFrame): DataFrame =
+      df.select(timestamp_seconds(col("_1")).as("ts"),
+        col("_2").as("k"), col("_3").as("v"))
+    def slide(df: DataFrame) = StreamingTwins.windowedSum(
+      shape(df), "ts", "k", "v", "10 seconds", slide = Some("5 seconds"))
+
+    val batch = slide(data.toDF())
+      .select(unix_timestamp(col("wstart")).as("w"), col("k"), col("sum_value"))
+      .as[(Long, String, Double)].collect().toSet
+    // hand-computed: ts=0 -> windows starting -5 and 0; ts=7 -> 0 and 5;
+    // ts=12 -> 5 and 10
+    assert(batch === Set(
+      (-5L, "a", 1.0), (0L, "a", 3.0), (5L, "a", 2.0),
+      (5L, "b", 4.0), (10L, "b", 4.0)))
+
+    val ms = mem[(Long, String, Double)]
+    val q = slide(ms.toDF()).writeStream.format("memory").queryName("slide_sum")
+      .outputMode("append").start()
+    withQuery(q) {
+      ms.addData(data: _*); q.processAllAvailable()
+      ms.addData((100L, "z", 0.0)); q.processAllAvailable()
+      ms.addData((200L, "z", 0.0)); q.processAllAvailable()
+      val got = spark.table("slide_sum")
+        .select(unix_timestamp(col("wstart")).as("w"), col("k"), col("sum_value"))
+        .as[(Long, String, Double)].collect().toSet
+        .filter(_._1 < 90L)
+      assert(got === batch)
+    }
+  }
+
   test("J1 stream-stream windowed join with dual watermarks == batch join, m×n") {
     val gRows = Seq((0L, "tom", 3, 1L), (1L, "tom", 5, 2L), (0L, "bob", 1, 3L))
     val sRows = Seq((1L, "tom", 100, 11L), (3L, "tom", 200, 12L), (1L, "alice", 50, 13L))
