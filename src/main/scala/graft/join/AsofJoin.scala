@@ -69,13 +69,13 @@ object AsofJoin {
     * registered by GraftExtensions) that co-partitions and sorts each
     * side separately and streams a per-partition merge — no union of the
     * two sides, no window buffer, O(1) merge state. Same contract as
-    * [[asof]] plus: key and ts must be BIGINT and non-null (the merge
-    * compares them as primitive longs). Output column ORDER differs from
-    * [[asof]] (left columns then right payload); the SET of columns is
-    * identical. */
+    * [[asof]] plus: key and ts must be ORDERABLE types, matching across
+    * sides, and non-null (the merge compares via interpreted orderings —
+    * long, string, timestamp, decimal all work). Output column ORDER
+    * differs from [[asof]] (left columns then right payload); the SET of
+    * columns is identical. */
   def asofNative(left: DataFrame, right: DataFrame,
                  keyCol: String, tsCol: String): DataFrame = {
-    import org.apache.spark.sql.types.LongType
     val lPlan = left.queryExecution.analyzed
     // Re-alias every right column: left and right usually derive from the
     // SAME scan, so their plans share exprIds — the analyzer's
@@ -90,8 +90,11 @@ object AsofJoin {
       throw new IllegalArgumentException(s"column $n not found"))
     val (lk, lt) = (attr(lPlan, keyCol), attr(lPlan, tsCol))
     val (rk, rt) = (attr(rPlan, keyCol), attr(rPlan, tsCol))
-    require(Seq(lk, lt, rk, rt).forall(_.dataType == LongType),
-      "asofNative requires BIGINT key and ts on both sides")
+    require(lk.dataType == rk.dataType && lt.dataType == rt.dataType,
+      "asofNative key/ts types must match across sides")
+    require(Seq(lk, lt).forall(a =>
+        org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(a.dataType)),
+      s"asofNative requires orderable key/ts types, got ${lk.dataType}/${lt.dataType}")
     val rPayload = rPlan.output.filterNot(a => a.name == keyCol || a.name == tsCol)
     require(left.columns.toSet.intersect(rPayload.map(_.name).toSet).isEmpty,
       "payload columns must be disjoint")

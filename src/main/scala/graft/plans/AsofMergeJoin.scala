@@ -15,8 +15,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics (identical to `graft.join.AsofJoin.asof`): each left row
   * picks up the latest right row with `right.ts <= left.ts` for its key,
   * left-outer (NULL payload when no earlier right row exists). Key and
-  * timestamp are BIGINT; the right side is unique per (key, ts) by the
-  * same contract as the window formulation.
+  * timestamp are any ORDERABLE types (compared via interpreted
+  * orderings); the right side is unique per (key, ts) by the same
+  * contract as the window formulation.
   *
   * Why a physical operator when the window composition exists: the
   * window plan UNIONS both sides through one exchange and sorts the
@@ -88,11 +89,20 @@ case class AsofMergeJoinExec(
     val rTsOrd = right.output.indexWhere(_.exprId == rightTs.exprId)
     require(lKeyOrd >= 0 && lTsOrd >= 0 && rKeyOrd >= 0 && rTsOrd >= 0,
       "asof key/ts attributes not found in child output")
+    val keyType = leftKey.dataType
+    val tsType = leftTs.dataType
     val outAttrs = output
     val leftOut = left.output
     val rightOut = right.output
     val nRightCols = rightOut.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter0) =>
+      // interpreted orderings: any orderable type works (long, string,
+      // timestamp, decimal...) — the merge is iterator-bound, not
+      // comparison-bound, so the virtual call costs nothing measurable
+      val keyOrdering =
+        org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(keyType)
+      val tsOrdering =
+        org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(tsType)
       // bind against the right side RELAXED to nullable: unmatched left
       // rows substitute a null-filled row, and a projection bound to a
       // non-nullable child attribute would read those nulls as 0
@@ -102,23 +112,23 @@ case class AsofMergeJoinExec(
       val nullRight: InternalRow = new GenericInternalRow(nRightCols)
       val rIter = rIter0.buffered
       var bestRow: InternalRow = null
-      var bestKey = 0L
+      var bestKey: Any = null
       lIter.map { l =>
-        val k = l.getLong(lKeyOrd)
-        val t = l.getLong(lTsOrd)
+        val k = l.get(lKeyOrd, keyType)
+        val t = l.get(lTsOrd, tsType)
         while (rIter.hasNext && {
           val h = rIter.head
-          val hk = h.getLong(rKeyOrd)
-          hk < k || (hk == k && h.getLong(rTsOrd) <= t)
+          val c = keyOrdering.compare(h.get(rKeyOrd, keyType), k)
+          c < 0 || (c == 0 && tsOrdering.compare(h.get(rTsOrd, tsType), t) <= 0)
         }) {
           val r = rIter.next()
-          if (r.getLong(rKeyOrd) == k) {
+          if (keyOrdering.compare(r.get(rKeyOrd, keyType), k) == 0) {
             // iterator rows are reused buffers — copy the one we keep
             bestRow = r.copy()
-            bestKey = k
+            bestKey = bestRow.get(rKeyOrd, keyType)
           } // rows of keys already passed are simply discarded
         }
-        val matched = bestRow != null && bestKey == k
+        val matched = bestRow != null && keyOrdering.compare(bestKey, k) == 0
         proj(joined(l, if (matched) bestRow else nullRight))
       }
     }

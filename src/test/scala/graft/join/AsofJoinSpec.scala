@@ -55,6 +55,21 @@ class AsofJoinSpec extends SparkSuite {
       (3L, 1L, 103L, None)))       // key absent on the right entirely
   }
 
+  test("asofNative generalizes beyond BIGINT: string keys, TIMESTAMP ts") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    def shape(rows: Seq[(String, Long, Long)], payload: String) =
+      rows.toDF("k", "s", payload)
+        .select($"k", timestamp_seconds($"s").as("ts"), org.apache.spark.sql.functions.col(payload))
+    val left = shape(Seq(("apple", 10L, 100L), ("pear", 7L, 102L)), "lid")
+    val right = shape(Seq(("apple", 9L, 901L), ("apple", 11L, 902L), ("zed", 1L, 903L)), "rid")
+    val got = AsofJoin.asofNative(left, right, "k", "ts")
+      .select("k", "lid", "rid")
+      .as[(String, Long, Option[Long])].collect().toSet
+    assert(got === Set(
+      ("apple", 100L, Some(901L)), // 9 <= 10, 11 is in the future
+      ("pear", 102L, None)))       // key missing on the right
+  }
+
   test("asofNative == window asof on real data, any input partitioning") {
     val ev = graft.core.Tables.events(spark, "/root/testdata/sf0.001")
     import org.apache.spark.sql.functions._
