@@ -50,11 +50,30 @@ object Bench {
         .split("== Initial Plan ==").head
       plan.sliding("Exchange".length).count(_ == "Exchange")
     }
+    // Shuffle-VOLUME telemetry (the regression exchange counts can't
+    // see: a lost pushdown fattens the same exchange). One global
+    // task-end listener; per query, the counter delta across the 3 timed
+    // runs / 3. The listener bus is async — a short stability poll after
+    // each query bounds cross-attribution without adding a 4th run.
+    val shuffleWritten = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        shuffleWritten.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    def drainedShuffleCount(): Long = {
+      var last = -1L; var spins = 0
+      while (shuffleWritten.get() != last && spins < 20) {
+        last = shuffleWritten.get(); Thread.sleep(100); spins += 1
+      }
+      shuffleWritten.get()
+    }
+    val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Best of 3 timed runs per query: a single run is exposed to one-off
     // GC pauses / compilation stalls (observed 4x spikes on this host,
     // and 2-3x ambient drift between back-to-back full runs); min-of-3
     // pins the noise floor without hiding real cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val s0 = drainedShuffleCount()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val r = runOnce(sfDir, name, fn)
@@ -68,6 +87,8 @@ object Bench {
         case None =>
           times.last._1.foreach(df =>
             exchanges += name -> (try exchangesOf(df) catch { case _: Throwable => -1 }))
+          val perRun = (drainedShuffleCount() - s0) / 3.0
+          shuffleMb += name -> math.rint(perRun / 1024.0 / 1024.0 * 100) / 100
           name -> times.map(_._2).min
       }
     }
@@ -78,8 +99,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val exJson = exchanges.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val shJson = shuffleMb.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"exchanges":$exJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
