@@ -68,6 +68,31 @@ object Bench {
       shuffleWritten.get()
     }
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Single-partition lint (r4 verdict #8): count shuffle exchanges to
+    // SinglePartition that have NO limit anywhere below them — the
+    // q_vocab_encode shape (unbounded global Window/Sort). A bounded
+    // top-k (TakeOrderedAndProject, or a limit feeding the exchange)
+    // doesn't count: merging <= k rows on one task is the design, not a
+    // defect. Recorded per query so the next such regression surfaces
+    // mechanically in BENCH_LOCAL diffs.
+    import org.apache.spark.sql.execution.{SparkPlan, BaseLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def hasLimitBelow(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasLimitBelow(a.executedPlan)
+      case q: QueryStageExec => hasLimitBelow(q.plan)
+      case _: TakeOrderedAndProjectExec | _: BaseLimitExec | _: CollectLimitExec => true
+      case other => other.children.exists(hasLimitBelow)
+    }
+    def unboundedSinglePartition(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => unboundedSinglePartition(a.executedPlan)
+      case q: QueryStageExec => unboundedSinglePartition(q.plan)
+      case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition =>
+        (if (hasLimitBelow(e.child)) 0 else 1) + unboundedSinglePartition(e.child)
+      case other => other.children.map(unboundedSinglePartition).sum
+    }
+    val sp1 = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // Best of 3 timed runs per query: a single run is exposed to one-off
     // GC pauses / compilation stalls (observed 4x spikes on this host,
     // and 2-3x ambient drift between back-to-back full runs); min-of-3
@@ -85,8 +110,11 @@ object Bench {
           errors += name -> err
           name -> -1.0
         case None =>
-          times.last._1.foreach(df =>
-            exchanges += name -> (try exchangesOf(df) catch { case _: Throwable => -1 }))
+          times.last._1.foreach { df =>
+            exchanges += name -> (try exchangesOf(df) catch { case _: Throwable => -1 })
+            sp1 += name -> (try unboundedSinglePartition(df.queryExecution.executedPlan)
+                            catch { case _: Throwable => -1 })
+          }
           val perRun = (drainedShuffleCount() - s0) / 3.0
           shuffleMb += name -> math.rint(perRun / 1024.0 / 1024.0 * 100) / 100
           name -> times.map(_._2).min
@@ -100,8 +128,13 @@ object Bench {
     val total = ok.map(_._2).sum
     val exJson = exchanges.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val shJson = shuffleMb.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val spJson = sp1.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // Field order is truncation-proof BY DESIGN (r4's driver tail capture
+    // lost the seconds map): telemetry maps first, then the per-query
+    // seconds + total + unit LAST, so any tail of the line still carries
+    // the headline numbers.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","sf":"$sfDir","errors":$errJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"queries":$qs,"value":$total,"unit":"sec"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))

@@ -10,6 +10,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
+      case _ =>
+        System.err.println("usage: graft.Verify <sfDir> <outDir> [q1,q2,...]")
+        sys.exit(2)
+        throw new IllegalStateException("unreachable")
     }
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = graft.core.GraftSession.build("graft-verify")

