@@ -68,30 +68,9 @@ object Bench {
       shuffleWritten.get()
     }
     val shuffleMb = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    // Single-partition lint (r4 verdict #8): count shuffle exchanges to
-    // SinglePartition that have NO limit anywhere below them — the
-    // q_vocab_encode shape (unbounded global Window/Sort). A bounded
-    // top-k (TakeOrderedAndProject, or a limit feeding the exchange)
-    // doesn't count: merging <= k rows on one task is the design, not a
-    // defect. Recorded per query so the next such regression surfaces
-    // mechanically in BENCH_LOCAL diffs.
-    import org.apache.spark.sql.execution.{SparkPlan, BaseLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    def hasLimitBelow(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => hasLimitBelow(a.executedPlan)
-      case q: QueryStageExec => hasLimitBelow(q.plan)
-      case _: TakeOrderedAndProjectExec | _: BaseLimitExec | _: CollectLimitExec => true
-      case other => other.children.exists(hasLimitBelow)
-    }
-    def unboundedSinglePartition(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => unboundedSinglePartition(a.executedPlan)
-      case q: QueryStageExec => unboundedSinglePartition(q.plan)
-      case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition =>
-        (if (hasLimitBelow(e.child)) 0 else 1) + unboundedSinglePartition(e.child)
-      case other => other.children.map(unboundedSinglePartition).sum
-    }
+    // Single-partition lint (r4 verdict #8): global sorts over an
+    // unbounded single-partition shuffle (the q_vocab_encode defect
+    // class) — see graft.core.PlanAudit for what is and isn't flagged.
     val sp1 = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     // Best of 3 timed runs per query: a single run is exposed to one-off
     // GC pauses / compilation stalls (observed 4x spikes on this host,
@@ -112,8 +91,9 @@ object Bench {
         case None =>
           times.last._1.foreach { df =>
             exchanges += name -> (try exchangesOf(df) catch { case _: Throwable => -1 })
-            sp1 += name -> (try unboundedSinglePartition(df.queryExecution.executedPlan)
-                            catch { case _: Throwable => -1 })
+            sp1 += name -> (try graft.core.PlanAudit
+              .unboundedSinglePartitionSorts(df.queryExecution.executedPlan)
+              catch { case _: Throwable => -1 })
           }
           val perRun = (drainedShuffleCount() - s0) / 3.0
           shuffleMb += name -> math.rint(perRun / 1024.0 / 1024.0 * 100) / 100
@@ -121,11 +101,21 @@ object Bench {
       }
     }
     val ok = results.filter(_._2 >= 0)
+    // Honest memo accounting: SparkEntry's shared-scan memos are built
+    // inside the FIRST run of the first query that needs them, so
+    // min-of-3 timing would silently hide their cost. Report build
+    // seconds per memo key and fold them into the total.
+    import scala.jdk.CollectionConverters._
+    val memo = SparkEntry.memoSeconds.asScala.toSeq
+      .collect { case ((dir, key), sec) if dir == sfDir => key -> sec }
+      .sortBy(_._1)
+    val memoTotal = memo.map(_._2).sum
+    val memoJson = memo.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       s"\"$k\":\"${v.replace("\\", "\\\\").replace("\"", "\\\"").takeWhile(_ >= ' ')}\""
     }.mkString("{", ",", "}")
-    val total = ok.map(_._2).sum
+    val total = ok.map(_._2).sum + memoTotal
     val exJson = exchanges.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val shJson = shuffleMb.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     val spJson = sp1.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
@@ -134,7 +124,7 @@ object Bench {
     // seconds + total + unit LAST, so any tail of the line still carries
     // the headline numbers.
     val json =
-      s"""{"metric":"total","sf":"$sfDir","errors":$errJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"queries":$qs,"value":$total,"unit":"sec"}"""
+      s"""{"metric":"total","sf":"$sfDir","errors":$errJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
     println(json)
     Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))

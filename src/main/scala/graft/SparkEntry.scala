@@ -32,6 +32,60 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Tokenize.wordCount(Tables.documents(spark, "/root/testdata/sf0.001"), "text")
 
+  /** Shared-scan memo (SURVEY §9.1 / r4 verdict #2): the minhash→LSH pair
+    * chain, its connected components, the SimHash/embedding pair sets,
+    * and the ANN brute-force ground truth feed SEVERAL queries each;
+    * rebuilding the chain per query was a ~3-4 s bench-composition tail.
+    * Each frame is built once per (session, dir) and `localCheckpoint`'d
+    * (eager: materializes AND truncates the lineage, so downstream plans
+    * start from the cached partitions). Build seconds are recorded per
+    * (dir, key) so Bench can report memo cost honestly instead of letting
+    * min-of-N timing hide it. */
+  private val memoCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+  val memoSeconds =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Double]
+  private def memoized(s: SparkSession, d: String, key: String)
+                      (build: => DataFrame): DataFrame =
+    memoCache.computeIfAbsent((s, d, key), _ => {
+      val t0 = System.nanoTime()
+      val df = build.localCheckpoint()
+      memoSeconds.put((d, key), (System.nanoTime() - t0) / 1e9)
+      df
+    })
+
+  /** The canonical minhash→LSH candidate-pair frame over `documents` —
+    * input to edit-distance verify, clustering, keep/drop, and the
+    * cross-method agreement. */
+  private def lshPairsMemo(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "lsh_pairs")(
+      Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6,
+        rowsPerBand = 2, maxBucket = LshMaxBucket))
+
+  /** Connected components over the memoized pair frame (q_dedup_clusters
+    * output; q_dedup_keep input). */
+  private def dedupClustersMemo(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "dedup_clusters")(
+      Dedup.connectedComponents(lshPairsMemo(s, d)))
+
+  /** SimHash 8-band pair set (q_simhash_pairs8 output; agreement input). */
+  private def simhashPairs8Memo(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "simhash_pairs8")(
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 7,
+        maxBucket = LshMaxBucket, bands = 8))
+
+  /** Embedding near-dup pair set (q_embed_neardup output; agreement input). */
+  private def embedPairsMemo(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "embed_neardup")(
+      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4,
+        threshold = 0.4, maxBucket = EmbedMaxBucket))
+
+  /** Brute-force ANN ground truth (q_cosine_topk output; recall input
+    * for q_ann_recall and all of q_recall_sweep's probes). */
+  private def annGtMemo(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "ann_gt")(
+      Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- M0/M1: row ops + scalar functions -------------------------------
@@ -257,19 +311,11 @@ object SparkEntry {
         .select("doc_id", "text_hash")
     }),
     "q_pair_editdist" -> ((s, d) =>
-      Dedup.pairEditDistance(Tables.documents(s, d),
-        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
-          maxBucket = LshMaxBucket),
+      Dedup.pairEditDistance(Tables.documents(s, d), lshPairsMemo(s, d),
         prefixLen = EditPrefix, maxDist = EditMaxDist)),
-    "q_dedup_clusters" -> ((s, d) =>
-      Dedup.connectedComponents(
-        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
-        maxBucket = LshMaxBucket))),
+    "q_dedup_clusters" -> ((s, d) => dedupClustersMemo(s, d)),
     "q_dedup_keep" -> ((s, d) =>
-      Dedup.applyClusters(Tables.documents(s, d),
-        Dedup.connectedComponents(
-          Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
-        maxBucket = LshMaxBucket)))),
+      Dedup.applyClusters(Tables.documents(s, d), dedupClustersMemo(s, d))),
     // ---- training-data sampling -------------------------------------------
     "q_hash_sample" -> ((s, d) =>
       Sampling.hashSample(Tables.documents(s, d)
@@ -304,20 +350,15 @@ object SparkEntry {
       Dedup.simhash(Tables.documents(s, d))),
     "q_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxBucket = LshMaxBucket)),
-    "q_simhash_pairs8" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 7,
-        maxBucket = LshMaxBucket, bands = 8)),
+    "q_simhash_pairs8" -> ((s, d) => simhashPairs8Memo(s, d)),
     // cross-modality dedup agreement: the doc corpus and embedding corpus
     // share ids in the testdata, so the three near-dup methods are
     // directly comparable pair-set by pair-set
     "q_dedup_agreement" -> ((s, d) =>
       Dedup.pairAgreement(
-        Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
-        maxBucket = LshMaxBucket),
-        Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 7,
-        maxBucket = LshMaxBucket, bands = 8),
-        Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4,
-          threshold = 0.4, maxBucket = EmbedMaxBucket)
+        lshPairsMemo(s, d),
+        simhashPairs8Memo(s, d),
+        embedPairsMemo(s, d)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))),
     "q_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 2, maxDf = 20L, threshold = 0.5)),
@@ -333,24 +374,24 @@ object SparkEntry {
         nprobe = 2)),
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(
-        Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5),
+        annGtMemo(s, d),
         Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, planes = 4))),
     // recall@k as a function of the IVF nprobe knob — the accuracy/cost
-    // curve an ANN deployment is tuned on, measured not guessed
+    // curve an ANN deployment is tuned on, measured not guessed. The
+    // sweep shares ONE corpus list assignment across all probes
+    // (Similarity.ivfSweep) and the memoized ground truth.
     "q_recall_sweep" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val gt = Similarity.bruteForceTopK(emb, nQueries = 10, k = 5)
+      val gt = annGtMemo(s, d)
+      val sweep = Similarity.ivfSweep(Tables.embeddings(s, d),
+        nQueries = 10, k = 5, nlist = 16, probes = SweepProbes)
       SweepProbes.map { np =>
-        Similarity.annRecall(gt,
-            Similarity.ivfTopK(emb, nQueries = 10, k = 5, nlist = 16, nprobe = np))
+        Similarity.annRecall(gt, sweep.filter(col("nprobe") === np))
           .withColumn("nprobe", lit(np))
       }.reduce(_ unionByName _).select("query_id", "nprobe", "recall")
     }),
     // threshold 0.4 is this synthetic corpus's near-dup operating point
     // (max pairwise cosine ~0.51); production near-dup uses 0.9+.
-    "q_embed_neardup" -> ((s, d) =>
-      Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4,
-        threshold = 0.4, maxBucket = EmbedMaxBucket)),
+    "q_embed_neardup" -> ((s, d) => embedPairsMemo(s, d)),
     // ---- M7: multimodal columns --------------------------------------------
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metaOnly(Tables.documents(s, d))),

@@ -26,8 +26,38 @@ import org.apache.spark.sql.functions._
   * keep NULL payloads (left-outer semantics). */
 object AsofJoin {
 
+  /** Opt-in CONTRACT CHECK (both asof forms): the right side must be
+    * unique per (key, ts). Both formulations tolerate a violation
+    * silently — the window form resolves ties deterministically by
+    * xxhash64 and the native merge last-wins in sort order — so a caller
+    * who wants violations to SURFACE passes `checkContract = true` and
+    * pays one extra window pass over the right side (debug/CI shape, not
+    * the hot path). Per-row `assert_true` raises with the offending
+    * (key, ts) rendered into the message; the `isNull` filter keeps every
+    * row (assert_true yields NULL) while forcing evaluation. */
+  private def withUniquenessCheck(right: DataFrame, keyCol: String,
+                                  tsCol: String, enabled: Boolean): DataFrame =
+    if (!enabled) right
+    else {
+      val w = Window.partitionBy(col(keyCol), col(tsCol))
+      right
+        .withColumn("__dup", count(lit(1)).over(w))
+        .withColumn("__chk", assert_true(col("__dup") === 1,
+          concat(lit("asof contract violation: right side has duplicate (key, ts) rows at key="),
+            col(keyCol).cast("string"), lit(", ts="), col(tsCol).cast("string"))))
+        .filter(col("__chk").isNull)
+        .drop("__dup", "__chk")
+    }
+
   def asof(left: DataFrame, right: DataFrame,
-           keyCol: String, tsCol: String): DataFrame = {
+           keyCol: String, tsCol: String,
+           checkContract: Boolean = false): DataFrame = {
+    val right0 = withUniquenessCheck(right, keyCol, tsCol, checkContract)
+    asofImpl(left, right0, keyCol, tsCol)
+  }
+
+  private def asofImpl(left: DataFrame, right: DataFrame,
+                       keyCol: String, tsCol: String): DataFrame = {
     val lNames = left.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
     val rNames = right.columns.filterNot(c => c == keyCol || c == tsCol).toSeq
     require(lNames.intersect(rNames).isEmpty,
@@ -75,7 +105,14 @@ object AsofJoin {
     * differs from [[asof]] (left columns then right payload); the SET of
     * columns is identical. */
   def asofNative(left: DataFrame, right: DataFrame,
-                 keyCol: String, tsCol: String): DataFrame = {
+                 keyCol: String, tsCol: String,
+                 checkContract: Boolean = false): DataFrame = {
+    val right0 = withUniquenessCheck(right, keyCol, tsCol, checkContract)
+    asofNativeImpl(left, right0, keyCol, tsCol)
+  }
+
+  private def asofNativeImpl(left: DataFrame, right: DataFrame,
+                             keyCol: String, tsCol: String): DataFrame = {
     val lPlan = left.queryExecution.analyzed
     // Re-alias every right column: left and right usually derive from the
     // SAME scan, so their plans share exprIds — the analyzer's

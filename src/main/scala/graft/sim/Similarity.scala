@@ -282,15 +282,23 @@ object Similarity {
   /** -0.0 → 0.0 (NaN passes through): the engines' sort-normalized view. */
   private def normTotal(s: Double): Double = if (s == 0.0) 0.0 else s
 
-  private def ivfSearch(v: DataFrame, cents: Array[(Long, Array[Double])],
-                        nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+  /** Map-side corpus list assignment: (neighbor_id, v, list). */
+  private def assignCorpus(v: DataFrame,
+      bcCents: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double])]]): DataFrame = {
     val spark = v.sparkSession
     import spark.implicits._
-    val bcCents = spark.sparkContext.broadcast(cents)
-    val corpus = v.as[(Long, Array[Double])].map { case (id, vec) =>
+    v.as[(Long, Array[Double])].map { case (id, vec) =>
       (id, vec, bestCentroid(bcCents.value, vec))
     }.toDF("neighbor_id", "v", "list")
-    val queries = v.filter(col("vec_id") < nQueries)
+  }
+
+  /** Query fan-out to the `nprobe` nearest lists: (query_id, q, list). */
+  private def probeQueries(v: DataFrame,
+      bcCents: org.apache.spark.broadcast.Broadcast[Array[(Long, Array[Double])]],
+      nQueries: Int, nprobe: Int): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
+    v.filter(col("vec_id") < nQueries)
       .as[(Long, Array[Double])].flatMap { case (id, vec) =>
         // (csim DESC, cid ASC) under the total order: TotalOrdering ranks
         // NaN above every double, matching the oracle's DESC sort —
@@ -301,12 +309,46 @@ object Similarity {
           .take(nprobe)
           .map { case (_, cid) => (id, vec, cid) }
       }.toDF("query_id", "q", "list")
+  }
+
+  /** Probe join + score + per-query top-k over a pre-assigned corpus. */
+  private def probeSearch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus
       .join(broadcast(queries), Seq("list"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q"), col("v")).as("cos_sim"))
     topK(scored, k)
+  }
+
+  private def ivfSearch(v: DataFrame, cents: Array[(Long, Array[Double])],
+                        nQueries: Int, k: Int, nprobe: Int): DataFrame = {
+    val bcCents = v.sparkSession.sparkContext.broadcast(cents)
+    probeSearch(assignCorpus(v, bcCents), probeQueries(v, bcCents, nQueries, nprobe), k)
+  }
+
+  /** nprobe SWEEP sharing ONE corpus list assignment: the assigned corpus
+    * is `localCheckpoint`'d (materialized once, lineage truncated) and
+    * probed at each grid point, so a P-point sweep costs one assignment
+    * pass + P probe joins instead of P full chain rebuilds (the r4 bench
+    * showed 17 exchanges for a 3-point sweep + ground truth; the
+    * assignment is the dominant scan). Output = ivfTopK's shape plus an
+    * `nprobe` grid column — per-point results are bit-identical to the
+    * equivalent `ivfTopK(..., nprobe = p)` call (IvfSweepSpec asserts). */
+  def ivfSweep(embeddings: DataFrame, nQueries: Int, k: Int, nlist: Int,
+               probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nlist))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val corpus = assignCorpus(v, bcCents).localCheckpoint()
+    probes.map { np =>
+      probeSearch(corpus, probeQueries(v, bcCents, nQueries, np), k)
+        .withColumn("nprobe", lit(np))
+    }.reduce(_ unionByName _)
   }
 
   /** Symmetric per-vector int8 quantization — the storage/bandwidth step

@@ -119,27 +119,10 @@ class PlanSpec extends SparkSuite {
     val df = graft.text.TextAnalysis.vocabEncode(
       Tables.documents(spark, sf), minDf = 2, vocabSize = 100)
     df.collect()
-    import org.apache.spark.sql.execution.{SparkPlan, BaseLimitExec, CollectLimitExec, TakeOrderedAndProjectExec}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-    def hasLimitBelow(p: SparkPlan): Boolean = p match {
-      case a: AdaptiveSparkPlanExec => hasLimitBelow(a.executedPlan)
-      case q: QueryStageExec => hasLimitBelow(q.plan)
-      case _: TakeOrderedAndProjectExec | _: BaseLimitExec | _: CollectLimitExec => true
-      case other => other.children.exists(hasLimitBelow)
-    }
-    def unbounded(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => unbounded(a.executedPlan)
-      case q: QueryStageExec => unbounded(q.plan)
-      case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition =>
-        (if (hasLimitBelow(e.child)) 0 else 1) + unbounded(e.child)
-      case other => other.children.map(unbounded).sum
-    }
     val plan = df.queryExecution.executedPlan
     assert(plan.toString.contains("TakeOrderedAndProject"),
       s"vocab cut did not plan as a distributed top-k:\n$plan")
-    assert(unbounded(plan) == 0,
+    assert(graft.core.PlanAudit.unboundedSinglePartitionSorts(plan) == 0,
       s"plan still has an unbounded single-partition sort:\n$plan")
   }
 

@@ -102,6 +102,56 @@ class AsofJoinSpec extends SparkSuite {
       s"more than one exchange per side:\n$plan")
   }
 
+  test("checkContract=true: a duplicate right (key, ts) fails LOUDLY in both forms") {
+    val left = Seq((1L, 10L, 100L)).toDF("k", "ts", "lid")
+    val dupRight = Seq((1L, 5L, 7L), (1L, 5L, 9L)).toDF("k", "ts", "rid")
+    for (form <- Seq[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame](
+        (l, r) => AsofJoin.asof(l, r, "k", "ts", checkContract = true),
+        (l, r) => AsofJoin.asofNative(l, r, "k", "ts", checkContract = true))) {
+      val e = intercept[Exception] { form(left, dupRight).collect() }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("asof contract violation")),
+        s"expected a loud contract message, got: $e")
+    }
+    // and a contract-abiding right side passes the check unchanged
+    val okRight = Seq((1L, 5L, 7L)).toDF("k", "ts", "rid")
+    val got = AsofJoin.asof(left, okRight, "k", "ts", checkContract = true)
+      .select("rid").as[Long].collect().toSeq
+    assert(got === Seq(7L))
+  }
+
+  test("asofNative: NULL key/ts raises a clear contract error, not an opaque NPE") {
+    val left = Seq((Option(1L), Option(10L), 100L)).toDF("k", "ts", "lid")
+    val right = Seq((Option(1L), Option.empty[Long], 900L)).toDF("k", "ts", "rid")
+    val e = intercept[Exception] {
+      AsofJoin.asofNative(left, right, "k", "ts").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("requires non-null key and ts")),
+      s"expected the non-null contract message, got: $e")
+  }
+
+  test("asofNative under AQE coalescing: children stay co-numbered, results exact") {
+    // tiny frames + 32 shuffle partitions force AQE's coalescer to act;
+    // the exec's partition-count require would fire loudly if AQE ever
+    // shrank one side only
+    val left = (0L until 2000L).map(i => (i % 11, i, i)).toDF("k", "ts", "lid")
+    val right = (0L until 500L).map(i => (i % 11, i * 3, i + 9000)).toDF("k", "ts", "rid")
+    val native = AsofJoin.asofNative(left, right, "k", "ts")
+      .select("k", "ts", "lid", "rid")
+    val viaWindow = AsofJoin.asof(left, right, "k", "ts")
+      .select("k", "ts", "lid", "rid")
+      .as[(Long, Long, Long, Option[Long])].collect().toSet
+    native.collect() // finalize native's own AQE plan (.as[] would re-plan)
+    val got = native.as[(Long, Long, Long, Option[Long])].collect().toSet
+    assert(got === viaWindow)
+    val plan = native.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"),
+      s"expected AQE to have coalesced the tiny shuffles:\n$plan")
+  }
+
   test("asof: contract-violating right ties resolve deterministically, not by partition order") {
     // two right rows at the SAME (key, ts) violate the uniqueness
     // contract; the xxhash64 tie-break must pick the same winner

@@ -104,6 +104,21 @@ class SimilaritySpec extends SparkSuite {
     assert(recall(8) === 1.0) // probing every list IS brute force
   }
 
+  test("ivfSweep: each grid point is bit-identical to the standalone ivfTopK call") {
+    // the shared-assignment sweep (one localCheckpoint'd corpus, P probe
+    // joins) must not change results vs rebuilding the chain per point
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = Seq(1, 2, 4)
+    val sweep = Similarity.ivfSweep(emb, nQueries = 5, k = 3, nlist = 8, probes)
+      .as[(Long, Long, Double, Int, Int)].collect()
+      .groupBy(_._5).view.mapValues(_.map(t => (t._1, t._2, t._3, t._4)).toSet).toMap
+    for (np <- probes) {
+      val solo = Similarity.ivfTopK(emb, nQueries = 5, k = 3, nlist = 8, nprobe = np)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(sweep(np) === solo, s"sweep diverges from ivfTopK at nprobe=$np")
+    }
+  }
+
   test("IVF with more lists probes fewer candidates but keeps exact cosines") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ivf = Similarity.ivfTopK(emb, nQueries = 5, k = 3, nlist = 8)
