@@ -124,7 +124,12 @@ object Aggregations {
     // A general double would silently get binned percentiles, so assert
     // per row inside the scan (assert_true returns NULL when the
     // predicate holds, so the isNull keeps it in the plan for free).
-    val exact2dp = round(col(measure) * 100) / 100 === col(measure)
+    // null-safe EXPLICITLY (isNull || exact2dp), not by relying on the
+    // enclosing And to short-circuit before assert_true sees a NULL
+    // predicate — predicate reordering by a future optimizer change must
+    // not turn NULL-measure rows into spurious failures
+    val exact2dp = col(measure).isNull ||
+      round(col(measure) * 100) / 100 === col(measure)
     val hist = df
       .filter(col(measure).isNotNull &&
         assert_true(exact2dp, lit(s"valueStats requires '$measure' values " +

@@ -72,6 +72,37 @@ object IngestMain {
       .withWatermark("ingest_ts", "1 minute")
       .dropDuplicatesWithinWatermark("doc_id")
 
+  /** Sum one observed metric across a run's progress events. */
+  private def sumObserved(progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
+                          obs: String, field: String): Long =
+    progress.flatMap(p => Option(p.observedMetrics.get(obs)))
+      .map(_.getAs[Long](field)).sum
+
+  /** Persist the run's observe() funnel as ONE JSON file under
+    * `dir/<runId>.json` — the counters otherwise live only in
+    * StreamingQueryProgress and die with the driver; a file per runId
+    * lets ops tooling (and IngestSpec) diff funnels across restarts.
+    * Written through the Hadoop FileSystem API so an HDFS/S3 `dir`
+    * works the same as a local one. Returns the funnel. */
+  def persistFunnel(spark: org.apache.spark.sql.SparkSession,
+                    q: org.apache.spark.sql.streaming.StreamingQuery,
+                    dir: String): Map[String, Long] = {
+    val progress = q.recentProgress.toSeq
+    val funnel = Map(
+      "rows_in" -> sumObserved(progress, "ingest_parsed", "rows_in"),
+      "rows_malformed" -> sumObserved(progress, "ingest_parsed", "rows_malformed"),
+      "rows_kept" -> sumObserved(progress, "ingest_gated", "rows_kept"))
+    val json = funnel.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"$k\":$v" }
+      .mkString(s"""{"run_id":"${q.runId}",""", ",", "}")
+    val path = new org.apache.hadoop.fs.Path(dir, s"${q.runId}.json")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(path, true)
+    try os.write((json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    funnel
+  }
+
   def main(args: Array[String]): Unit = {
     val a = Args(args)
     val spark = GraftSession.build("streaming-ingest")
@@ -91,7 +122,19 @@ object IngestMain {
       q.awaitTermination(a.getOrElse("run-seconds", "10").toLong * 1000)
       q.stop()
     }
-    println(s"[ingest] wrote ${spark.read.parquet(s"$out/data").count()} docs to $out/data")
+    val funnel = persistFunnel(spark, q, s"$out/funnel")
+    println(s"[ingest] funnel: $funnel -> $out/funnel/${q.runId}.json")
+    // an empty backlog (or one gated out entirely) leaves no parquet
+    // files; a bare read would die with "unable to infer schema" after
+    // an otherwise successful drain
+    val dataPath = new org.apache.hadoop.fs.Path(s"$out/data")
+    val dataFs = dataPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nDocs =
+      if (dataFs.exists(dataPath) &&
+          dataFs.listStatus(dataPath).exists(_.getPath.getName.endsWith(".parquet")))
+        spark.read.parquet(s"$out/data").count()
+      else 0L
+    println(s"[ingest] wrote $nDocs docs to $out/data")
     spark.stop()
   }
 }

@@ -519,8 +519,16 @@ object Dedup {
   def incrementalSink(out: String)(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val storeDir = s"$out/store"
+    // Hadoop FileSystem, not java.io.File: the store is the production
+    // cross-run state and lives wherever `out` points — on HDFS/S3 a
+    // local-File exists() is always false and every previously-seen
+    // document would be silently re-admitted.
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeExists = storePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(storePath)
     val seen =
-      if (new java.io.File(storeDir).exists())
+      if (storeExists)
         spark.read.parquet(storeDir)
           .filter(col("batch") =!= batchId)
           .select("text_hash")

@@ -23,7 +23,8 @@ class IngestSpec extends SparkSuite {
         java.nio.file.Path.of(in, name), rows.mkString("", "\n", "\n"))
 
     // returns the funnel counters accumulated by observe() across the
-    // run's micro-batches — measured DURING the pass, no extra job
+    // run's micro-batches — measured DURING the pass, no extra job —
+    // after asserting the PERSISTED funnel file carries the same counts
     def drain(): Map[String, Long] = {
       val q = IngestMain.transform(
           Sources.readTextStreamThrottled(spark, in, maxFilesPerTrigger = 1))
@@ -34,14 +35,17 @@ class IngestSpec extends SparkSuite {
         .trigger(Trigger.AvailableNow())
         .start()
       try assert(q.awaitTermination(180000)) finally q.stop()
-      val progress = q.recentProgress.toSeq
-      def sumOf(obs: String, field: String): Long =
-        progress.flatMap(p => Option(p.observedMetrics.get(obs)))
-          .map(_.getAs[Long](field)).sum
-      Map(
-        "rows_in" -> sumOf("ingest_parsed", "rows_in"),
-        "rows_malformed" -> sumOf("ingest_parsed", "rows_malformed"),
-        "rows_kept" -> sumOf("ingest_gated", "rows_kept"))
+      val funnel = IngestMain.persistFunnel(spark, q, s"$out/funnel")
+      // the persisted artifact is the ops-facing record: re-read it and
+      // check it round-trips the in-memory counters exactly
+      val persisted = java.nio.file.Files.readString(
+        java.nio.file.Path.of(s"$out/funnel", s"${q.runId}.json"))
+      funnel.foreach { case (k, v) =>
+        assert(persisted.contains(s""""$k":$v"""),
+          s"persisted funnel drifted from observed: $persisted vs $funnel")
+      }
+      assert(persisted.contains(s""""run_id":"${q.runId}""""))
+      funnel
     }
 
     writeFile("a.txt", Seq(
