@@ -351,6 +351,69 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Deterministic clustered synthetic corpus for ANN knob sweeps at
+    * sizes the checked-in testdata doesn't reach (sf0.1 tops out at 2 000
+    * vectors — too small for a meaningful nlist=256 curve). Generation is
+    * pure Catalyst (`spark.range` + `xxhash64` folds): distributed,
+    * seed-stable across runs/partitionings, no driver materialization.
+    * Each vector = its cluster's center (hash of `vec_id % nClusters`)
+    * plus `noise`-scaled per-vector jitter, so IVF's cluster assumption
+    * actually holds and the recall curve measures the knobs, not hash
+    * soup. */
+  def syntheticEmbeddings(spark: org.apache.spark.sql.SparkSession, n: Long,
+                          dim: Int, nClusters: Int, seed: Long,
+                          noise: Double = 0.15): DataFrame = {
+    // uniform-ish in (-1, 1): signed xxhash64 remainder over a prime
+    def u(salt: Column): Column =
+      (xxhash64(lit(seed), salt) % 1000003L).cast("double") / 1000003.0
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)), j =>
+        (u(concat_ws("_", lit("c"), col("vec_id") % nClusters, j)) +
+          lit(noise) * u(concat_ws("_", lit("v"), col("vec_id"), j))).cast("float")))
+  }
+
+  /** The measured recall/cost CURVE over the (nlist, nprobe) grid — the
+    * two knobs an IVF deployment is actually tuned on. One brute-force
+    * ground truth is shared by every grid point; per nlist, ONE corpus
+    * list assignment is `localCheckpoint`'d and re-probed (same sharing
+    * shape as [[ivfSweep]]). Cost is reported as `scored_pairs` (the
+    * exact number of (query, candidate) cosines the probe join evaluated
+    * — the dominant term at any scale) and `scan_frac` (that count over
+    * the brute-force Q·(N−1)). Probes larger than the grid point's nlist
+    * are skipped. Driver loop is over the ≤|nlists|·|probes| grid, never
+    * over data. */
+  def ivfCurve(embeddings: DataFrame, nQueries: Int, k: Int,
+               nlists: Seq[Int], probes: Seq[Int]): DataFrame = {
+    require(nlists.nonEmpty && probes.nonEmpty && probes.forall(_ >= 1))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .localCheckpoint()
+    val corpusN = v.count()
+    val gt = bruteForceTopK(v.select(col("vec_id"), col("v").as("embedding")),
+      nQueries, k).localCheckpoint()
+    val rows = nlists.flatMap { nl =>
+      val cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nl)
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+      val bcCents = spark.sparkContext.broadcast(cents)
+      val corpus = assignCorpus(v, bcCents).localCheckpoint()
+      probes.filter(_ <= nl).map { np =>
+        val scored = corpus
+          .join(broadcast(probeQueries(v, bcCents, nQueries, np)), Seq("list"))
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            cosine(col("q"), col("v")).as("cos_sim"))
+          .localCheckpoint()
+        val cand = scored.count()
+        val recall = annRecall(gt, topK(scored, k))
+          .agg(avg(col("recall"))).as[Double].head()
+        (nl, np, recall, cand,
+          cand.toDouble / (nQueries.toDouble * (corpusN - 1)))
+      }
+    }
+    rows.toDF("nlist", "nprobe", "mean_recall", "scored_pairs", "scan_frac")
+  }
+
   /** Symmetric per-vector int8 quantization — the storage/bandwidth step
     * of an embedding pipeline (4× smaller than float32, 8× than the
     * double working form): qᵢ = round(xᵢ · 127 / max|x|), zero vectors
