@@ -392,6 +392,13 @@ object SparkEntry {
     // threshold 0.4 is this synthetic corpus's near-dup operating point
     // (max pairwise cosine ~0.51); production near-dup uses 0.9+.
     "q_embed_neardup" -> ((s, d) => embedPairsMemo(s, d)),
+    // SemDeDup: cluster by nearest centroid, prune >= threshold cosine
+    // near-dups within each cluster — catches same-MEANING duplicates
+    // that share no n-grams (MinHash/SimHash-blind). Full corpus out
+    // with a keep flag so drop rates are auditable per cluster.
+    "q_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(Tables.embeddings(s, d), nlist = SemDedupNlist,
+        threshold = SemDedupThreshold, maxCluster = EmbedMaxBucket)),
     // ---- M7: multimodal columns --------------------------------------------
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.metaOnly(Tables.documents(s, d))),
@@ -412,6 +419,13 @@ object SparkEntry {
     * parity — r2 ADVICE). */
   private val LshMaxBucket = 1000
   private val EmbedMaxBucket = 100000
+
+  /** q_semantic_dedup knobs, interpolated into both sides: 16 lists over
+    * a 500–2000-vector corpus ≈ the N/nlist cluster sizing a real
+    * deployment targets; 0.4 is this corpus's near-dup operating point
+    * (same as q_embed_neardup). */
+  private val SemDedupNlist = 16
+  private val SemDedupThreshold = 0.4
   private val FrameCount = 4
 
   /** Per-source keep rates for q_stratified_sample — one definition, hex
@@ -1516,6 +1530,27 @@ object SparkEntry {
          |      JOIN ok ON a.bucket = ok.bucket) p
          |WHERE cos_sim >= 0.4""".stripMargin
     },
+    // SemDeDup: same rank-1 centroid assignment CTE as the IVF oracles;
+    // the drop rule ("any earlier-id >= threshold cluster-mate") is a
+    // within-cluster pair join distinct'd on the later id.
+    "q_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $SemDedupNlist),
+         |a0 AS (SELECT e.vec_id, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS csim
+         |       FROM e CROSS JOIN c),
+         |a AS (SELECT vec_id, v, cid AS list
+         |      FROM (SELECT *, row_number() OVER (
+         |              PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM a0) t
+         |      WHERE rn = 1),
+         |ok AS (SELECT list FROM a GROUP BY list HAVING count(*) <= $EmbedMaxBucket),
+         |drops AS (SELECT DISTINCT y.vec_id AS b
+         |          FROM a x JOIN a y ON x.list = y.list AND x.vec_id < y.vec_id
+         |          JOIN ok ON x.list = ok.list
+         |          WHERE ${duckCos("x.v", "y.v")} >= $SemDedupThreshold)
+         |SELECT a.vec_id, a.list AS cid,
+         |       CASE WHEN d.b IS NULL THEN 1 ELSE 0 END AS keep
+         |FROM a LEFT JOIN drops d ON a.vec_id = d.b""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, cast(octet_length(encode(text)) AS bigint) AS n_bytes,
         |       source AS origin, lang AS lang_hint

@@ -351,6 +351,64 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, public):
+    * cluster the corpus by nearest centroid, then within each cluster
+    * drop every vector that is ≥ `threshold` cosine-similar to an
+    * earlier-id cluster member — near-duplicate *meanings* are pruned
+    * even when the underlying text shares no n-grams (the case MinHash/
+    * SimHash can never catch). Output is the full corpus as
+    * (vec_id, cid, keep ∈ {0,1}) so the caller can audit the drop rate
+    * per cluster rather than just receive the survivors.
+    *
+    * Scale shape — exactly the IVF layout: centroids are tiny and
+    * broadcast, assignment is one map-side arg-max pass, and the pair
+    * scan is confined WITHIN clusters (one shuffle on the cluster id,
+    * expected cluster size N/nlist — `nlist` is the fan-in knob). The
+    * per-cluster loop early-exits on the first ≥-threshold earlier
+    * neighbor, and `maxCluster` caps a degenerate cluster (members kept,
+    * dedup skipped — mirrored in the oracle) so skew can't go quadratic.
+    * The drop rule is "any earlier-id member", not "any earlier KEPT
+    * member": one pass, order-free, and SQL-expressible — a kept-chain
+    * greedy would serialize the cluster scan for marginal extra recall.
+    * Cosines are the same interleaved left-fold as [[cosineLocal]],
+    * bit-identical to the oracle's list_reduce. */
+  def semanticDedup(embeddings: DataFrame, nlist: Int, threshold: Double,
+                    maxCluster: Int = 100000): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    assignCorpus(v, bcCents)
+      .select(col("list"), col("neighbor_id").as("vec_id"), col("v"))
+      .as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (cid, it) =>
+        // every member is emitted (the contract is the FULL corpus with a
+        // keep flag), so the group is buffered either way; maxCluster
+        // bounds the O(n²) pair CPU, not the O(n) buffer
+        val items = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
+        val oversized = items.length > maxCluster
+        val n = items.length
+        val out = new Array[(Long, Long, Int)](n)
+        var i = 0
+        while (i < n) {
+          var dropped = false
+          if (!oversized) {
+            var j = 0
+            while (j < i && !dropped) {
+              if (cosineLocal(items(j)._2, items(i)._2) >= threshold) dropped = true
+              j += 1
+            }
+          }
+          out(i) = (items(i)._1, cid, if (dropped) 0 else 1)
+          i += 1
+        }
+        out.iterator
+      }.toDF("vec_id", "cid", "keep")
+  }
+
   /** Deterministic clustered synthetic corpus for ANN knob sweeps at
     * sizes the checked-in testdata doesn't reach (sf0.1 tops out at 2 000
     * vectors — too small for a meaningful nlist=256 curve). Generation is
