@@ -310,6 +310,17 @@ object SparkEntry {
       Dedup.incrementalExact(docs.filter(col("doc_id") % 4 === 0), hist)
         .select("doc_id", "text_hash")
     }),
+    // the near-dup lift of q_incremental_dedup: same 3/4-history 1/4-batch
+    // split, but the store holds LSH band keys and the gate rejects
+    // near-duplicate (not just byte-identical) content — no quadratic
+    // stage, no bucket cap needed (per-key min + two linear joins)
+    "q_incremental_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val store = Dedup.nearDupBandKeys(docs.filter(col("doc_id") % 4 =!= 0))
+        .select("bkey").distinct()
+      Dedup.incrementalNearDup(docs.filter(col("doc_id") % 4 === 0), store)
+        .select("doc_id", "source")
+    }),
     "q_pair_editdist" -> ((s, d) =>
       Dedup.pairEditDistance(Tables.documents(s, d), lshPairsMemo(s, d),
         prefixLen = EditPrefix, maxDist = EditMaxDist)),
@@ -1214,6 +1225,23 @@ object SparkEntry {
         |        WHERE rn = 1)
         |SELECT f.doc_id, f.text_hash FROM fst f
         |WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.text_hash = f.text_hash)""".stripMargin,
+    // bands over ALL documents from the shared CTEs, split 3/4 store vs
+    // 1/4 batch; drop rule = earlier-id within batch OR any store hit
+    "q_incremental_neardup" ->
+      s"""WITH $duckLshPairCtes,
+         |hist AS (SELECT DISTINCT band, band_key FROM bands WHERE doc_id % 4 <> 0),
+         |nb AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+         |firsts AS (SELECT band, band_key, min(doc_id) AS first_id
+         |           FROM nb GROUP BY 1, 2),
+         |dropped AS (SELECT b.doc_id FROM nb b JOIN firsts f
+         |              ON b.band = f.band AND b.band_key = f.band_key
+         |             AND b.doc_id > f.first_id
+         |            UNION
+         |            SELECT b.doc_id FROM nb b JOIN hist h
+         |              ON b.band = h.band AND b.band_key = h.band_key)
+         |SELECT d.doc_id, d.source FROM documents d
+         |WHERE d.doc_id % 4 = 0
+         |  AND NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)""".stripMargin,
     "q_pair_editdist" ->
       s"""WITH $duckLshPairCtes,
          |ed AS (SELECT p.doc_a, p.doc_b,

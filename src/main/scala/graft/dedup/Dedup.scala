@@ -110,8 +110,11 @@ object Dedup {
     * key), and buckets larger than `maxBucket` are dropped — the skew
     * guard against a near-dup mega-cluster going quadratic in one task.
     * Returns distinct (doc_a < doc_b) pairs. */
-  def minhashLshPairs(df: DataFrame, n: Int, k: Int, rowsPerBand: Int,
-                      maxBucket: Int = 1000): DataFrame = {
+  /** (doc_id, band, band_key) rows — the shared LSH banding step:
+    * signatures cut into `k / rowsPerBand` bands, one key per band, all
+    * emitted with a single `posexplode`. Docs with < n tokens have no
+    * signature and produce no rows. */
+  private def bandFrame(df: DataFrame, n: Int, k: Int, rowsPerBand: Int): DataFrame = {
     require(k % rowsPerBand == 0,
       s"k=$k must be a multiple of rowsPerBand=$rowsPerBand (trailing " +
         "signature columns would be silently ignored)")
@@ -120,8 +123,13 @@ object Dedup {
       concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*)
     }: _*)
-    val bands = minhashSignatures(df, n, k)
+    minhashSignatures(df, n, k)
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
+  }
+
+  def minhashLshPairs(df: DataFrame, n: Int, k: Int, rowsPerBand: Int,
+                      maxBucket: Int = 1000): DataFrame = {
+    val bands = bandFrame(df, n, k, rowsPerBand)
     bands.groupBy("band", "band_key")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
@@ -542,6 +550,85 @@ object Dedup {
     kept.write.mode("overwrite").parquet(s"$out/data/batch=$batchId")
     kept.select("text_hash").write.mode("overwrite")
       .parquet(s"$storeDir/batch=$batchId")
+  }
+
+  /** Incremental NEAR-dup gate — [[incrementalExact]]'s contract lifted
+    * from "same bytes" to "near-duplicate content": a new document is
+    * rejected when any of its MinHash LSH band keys was already seen, in
+    * this batch by an earlier-id document or in ANY previous run via the
+    * band-key store. The cross-run state is band keys only
+    * (`k/rowsPerBand` short strings per doc — same tens-of-GB-per-100 TB
+    * order as the exact store), never text.
+    *
+    * Unlike the all-pairs LSH path this formulation has NO quadratic
+    * stage and needs no bucket cap: within-batch survival is a per-key
+    * `min(doc_id)` (partial-aggregated map-side), the store check is one
+    * left-semi join, and the final gate is one anti-join — three
+    * shuffles total, all linear in batch + store size. A doc dropped
+    * within-batch still shields later docs (any-earlier-ID rule, same
+    * pinned semantics as `Similarity.semanticDedup`). Docs too short to
+    * shingle (< n tokens) have no band keys: always admitted, never
+    * stored — the gate is about CONTENT overlap, which they can't have.
+    *
+    * Returns the kept documents; callers append `bandKeys(kept…)` of the
+    * WHOLE batch (kept and dropped — dropped docs are still seen
+    * content) to the store for the next run, as [[incrementalNearDupSink]]
+    * does. */
+  def incrementalNearDup(newDocs: DataFrame, seenBands: DataFrame,
+                         n: Int = 2, k: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val bands = bandFrame(newDocs, n, k, rowsPerBand)
+      .select(col("doc_id"), concat_ws("#", col("band"), col("band_key")).as("bkey"))
+    val w = Window.partitionBy(col("bkey"))
+    val batchDropped = bands
+      .withColumn("first_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") > col("first_id"))
+      .select("doc_id")
+    val storeDropped = bands
+      .join(seenBands.select("bkey"), Seq("bkey"), "left_semi")
+      .select("doc_id")
+    newDocs.join(batchDropped.union(storeDropped).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The (doc_id, bkey) frame [[incrementalNearDup]] gates on — exposed
+    * so sinks can persist the batch's keys to the cross-run store. */
+  def nearDupBandKeys(docs: DataFrame, n: Int = 2, k: Int = 6,
+                      rowsPerBand: Int = 2): DataFrame =
+    bandFrame(docs, n, k, rowsPerBand)
+      .select(col("doc_id"), concat_ws("#", col("band"), col("band_key")).as("bkey"))
+
+  /** Streaming twin of [[incrementalNearDup]] — same `foreachBatch`
+    * idempotent-replay shape as [[incrementalSink]]: per-batch overwrite
+    * subdirectories, store read excludes the batch's own partition, kept
+    * frame eagerly checkpointed before the two writes. The store records
+    * the ENTIRE batch's band keys (dropped docs are seen content too —
+    * a third copy arriving next run must still be rejected even though
+    * the second was). */
+  def incrementalNearDupSink(out: String, n: Int = 2, k: Int = 6,
+                             rowsPerBand: Int = 2)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val storeDir = s"$out/store"
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeExists = storePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(storePath)
+    val seen =
+      if (storeExists)
+        spark.read.parquet(storeDir)
+          .filter(col("batch") =!= batchId)
+          .select("bkey")
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "bkey", org.apache.spark.sql.types.StringType))))
+    val stable = batch.localCheckpoint(true)
+    val kept = incrementalNearDup(stable, seen, n, k, rowsPerBand)
+      .localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(s"$out/data/batch=$batchId")
+    nearDupBandKeys(stable, n, k, rowsPerBand).select("bkey").distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
 
   /** Candidate-pair verification by edit distance — the "verify" stage a

@@ -61,6 +61,35 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.incrementalExact(batch, store2).count() == 0)
   }
 
+  test("incrementalNearDup: near-dup (not byte-equal) content is gated, short docs pass") {
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val nearDup = base.replace("lazy", "sleepy") // most bigrams shared
+    // sanity: the pair actually collides on >= 1 LSH band
+    val pairDocs = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    assert(Dedup.minhashLshPairs(pairDocs, 2, 6, 2).count() === 1L,
+      "test texts must be LSH-colliding for the rest to be meaningful")
+    // store knows `base`; the batch carries a near-dup of it, an
+    // in-batch near-dup pair, a fresh doc, and a 1-token doc
+    val store = Dedup.nearDupBandKeys(Seq((0L, base)).toDF("doc_id", "text"))
+      .select("bkey").distinct()
+    val batch = Seq(
+      (10L, nearDup),                          // near-dup of stored content
+      (11L, "completely different text about spark and flink engines"),
+      (12L, "completely different text about spark and flink systems"), // near-dup of 11
+      (13L, "hi")                              // < n tokens: no bands, always kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalNearDup(batch, store)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(11L, 13L))
+    // cross-run idempotence: append the batch's keys, re-run -> only the
+    // bandless short doc survives the gate again
+    val store2 = store.union(Dedup.nearDupBandKeys(batch).select("bkey")).distinct()
+    val kept2 = Dedup.incrementalNearDup(batch, store2)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept2 === Seq(13L))
+  }
+
   test("simhash: 64-bit hex output, equal for identical docs") {
     val r = Dedup.simhash(docs("alpha beta gamma", "alpha beta gamma", "x"))
       .as[(Long, String)].collect().sortBy(_._1)

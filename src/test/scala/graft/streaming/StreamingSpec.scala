@@ -499,6 +499,32 @@ class StreamingSpec extends SparkSuite {
     assert(dataIds === Seq(1L, 2L, 5L))
   }
 
+  test("foreachBatch incremental NEAR-dup: cross-batch band store, idempotent replay") {
+    import graft.dedup.Dedup
+    val out = java.nio.file.Files.createTempDirectory("graft-incnear").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val nearDup = base.replace("lazy", "sleepy")
+    val other = "completely different text about spark and flink engines"
+    val ms = mem[(Long, String)]
+    val q = ms.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch((df: DataFrame, id: Long) => Dedup.incrementalNearDupSink(out)(df, id))
+      .option("checkpointLocation", s"$out/ck")
+      .start()
+    withQuery(q) {
+      ms.addData((1L, base), (2L, other)); q.processAllAvailable()
+      // 3 is a CROSS-batch near-dup of 1 (different bytes!), 4 is fresh
+      ms.addData((3L, nearDup), (4L, "unrelated fresh content words here")); q.processAllAvailable()
+    }
+    def dataIds = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(dataIds === Seq(1L, 2L, 4L))
+    // replay of batch 1: output unchanged — the store read excludes the
+    // batch's own band-key partition, so its docs aren't self-rejected
+    Dedup.incrementalNearDupSink(out)(
+      Seq((3L, nearDup), (4L, "unrelated fresh content words here")).toDF("doc_id", "text"), 1L)
+    assert(dataIds === Seq(1L, 2L, 4L))
+  }
+
   test("stream-static enrich: broadcast dim join per micro-batch == batch, left rows survive") {
     val dim = Seq((1, "gold"), (2, "silver")).toDF("user_id", "tier")
     val eventsData = Seq((1, 10.0), (2, 20.0), (3, 30.0), (1, 40.0))
