@@ -86,6 +86,14 @@ object SparkEntry {
     memoized(s, d, "ann_gt")(
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5))
 
+  /** Learned BPE merge table (q_bpe_merges output; q_bpe_encode input).
+    * Training is a sequential merge chain — one bounded shuffle per merge
+    * over the unique-word table — so it is built once per (session, dir)
+    * and shared, with build seconds reported like every other memo. */
+  private def bpeMergesMemo(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "bpe_merges")(
+      graft.text.Bpe.train(Tables.documents(s, d), numMerges = BpeNumMerges).toDF())
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- M0/M1: row ops + scalar functions -------------------------------
@@ -216,6 +224,16 @@ object SparkEntry {
     "q_topk_per_group" -> ((s, d) =>
       Analytics.topOrdersPerPriority(s, d, k = TopKPerGroup)),
     "q_lag_delta" -> Analytics.lagDelta _,
+    // ordered-step conversion funnel: earliest step-k time strictly after
+    // step-(k-1), left-joined so broken chains keep NULL tails
+    "q_funnel" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us")),
+        FunnelSteps)),
+    // retention triangle: users per (first-activity cohort, period offset)
+    "q_cohort" -> ((s, d) =>
+      Analytics.cohortRetention(Tables.events(s, d), periodSec = CohortPeriodSec)),
     "q_bloom_join" -> ((s, d) => {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
@@ -270,6 +288,29 @@ object SparkEntry {
     "q_vocab_encode" -> ((s, d) =>
       TextAnalysis.vocabEncode(Tables.documents(s, d),
         minDf = VocabMinDf, vocabSize = VocabSize)),
+    // unigram-LM quality scoring: mean corpus-relative token frequency
+    // per doc + quality band (the KenLM-perplexity-filter shape)
+    "q_lm_score" -> ((s, d) =>
+      TextAnalysis.lmScore(Tables.documents(s, d),
+        rareMax = LmRareMax, midMax = LmMidMax)),
+    // n-gram novelty: per-doc count of corpus-unique bigram shingles
+    "q_novelty" -> ((s, d) =>
+      TextAnalysis.noveltyScore(Tables.documents(s, d))),
+    // tokenizer-sizing measurement: token-occurrence mass covered by the
+    // top-k token types, for several k
+    "q_vocab_coverage" -> ((s, d) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, d), CoverageKs)),
+    // distributed BPE tokenizer training + greedy encode. A sequential
+    // data-dependent argmax chain is not SQL-expressible, so these two
+    // carry the weaker rows-only driver check; BpeSpec verifies the
+    // algorithm merge-for-merge against an independent in-memory
+    // reference implementation.
+    "q_bpe_merges" -> ((s, d) => bpeMergesMemo(s, d)),
+    "q_bpe_encode" -> ((s, d) => {
+      import s.implicits._
+      val merges = bpeMergesMemo(s, d).as[graft.text.Bpe.Merge].collect().toSeq
+      graft.text.Bpe.encode(Tables.documents(s, d), merges)
+    }),
     "q_truncate_tokens" -> ((s, d) =>
       TextAnalysis.truncateTokens(Tables.documents(s, d), budget = TruncBudget)),
     // PII redaction: the corpus carries no natural PII, so each doc gets a
@@ -352,6 +393,14 @@ object SparkEntry {
       Sampling.mixEpochs(Tables.documents(s, d)
         .select("doc_id", "source", "n_chars"), "source", "doc_id",
         MixWeights, defaultWeight = 1.0)),
+    // data-driven mixture balancing: acceptance rates DERIVED in-query
+    // from observed counts vs the target language mix, then applied with
+    // the same deterministic id-hash thresholds
+    "q_mixture_rates" -> ((s, d) =>
+      Sampling.mixtureRates(Tables.documents(s, d), "lang", MixtureShares)),
+    "q_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(Tables.documents(s, d)
+        .select("doc_id", "lang", "source"), "lang", "doc_id", MixtureShares)),
     // pretraining sequence packing (char-budget over n_chars)
     "q_pack_sequences" -> ((s, d) =>
       graft.gen.Packing.packSequences(Tables.documents(s, d)
@@ -484,6 +533,31 @@ object SparkEntry {
   private val VocabMinDf = 2L
   private val VocabSize = 1000
 
+  /** q_lm_score band thresholds on mean corpus-relative token frequency.
+    * The measure is scale-invariant (≈ 1/|vocab| ≈ 0.033 on this corpus
+    * at every SF), so fixed cuts band meaningfully at sf0.001..sf0.1. */
+  private val LmRareMax = 0.0332
+  private val LmMidMax = 0.0334
+
+  /** q_vocab_coverage curve points; 40 > |vocab| (31 types) exercises the
+    * k-larger-than-vocabulary clamp. */
+  private val CoverageKs = Seq(5, 15, 40)
+
+  /** q_mixture_* target language mix (sums to 1; en-heavy so every other
+    * language's observed count becomes the binding constraint). */
+  private val MixtureShares = Map(
+    "en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15)
+
+  /** q_bpe_* merge budget — small because each merge is one full pass
+    * over the unique-word table (12 suffices for the synthetic corpus's
+    * 31 word types; a production tokenizer run sets 10^4-10^5). */
+  private val BpeNumMerges = 12
+
+  /** q_funnel step sequence and q_cohort period, interpolated into both
+    * sides. */
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val CohortPeriodSec = 86400L
+
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
     * measures), rank r = 1 + p·(n−1), interpolate between the bins
@@ -525,6 +599,23 @@ object SparkEntry {
 
   private val DuckBigrams =
     "list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])"
+
+  /** Shared CTE prefix for the q_mixture_* oracles: per-stratum counts,
+    * target shares (same literals as [[MixtureShares]]), and the capacity
+    * min(cnt/share) — every double op in the same order as
+    * `Sampling.mixtureRates`, so rates are bit-identical cross-engine. */
+  private val MixtureOracleRates: String = {
+    val cases = MixtureShares.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"WHEN '$k' THEN cast($v AS double)"
+    }.mkString(" ")
+    s"""WITH c AS (SELECT lang AS stratum, cast(count(*) AS double) AS cnt
+       |           FROM documents GROUP BY lang),
+       |s AS (SELECT stratum, cnt,
+       |             CASE stratum $cases ELSE cast(0.0 AS double) END AS share
+       |      FROM c),
+       |f AS (SELECT * FROM s WHERE share > 0.0),
+       |cap AS (SELECT min(cnt / share) AS cap FROM f)""".stripMargin
+  }
 
   /** SimHash CTE chain (64-bit: 16 hex nibbles, 4 bit-majority votes
     * each), mirroring Dedup.simhash exactly — ends in a `sim(doc_id,
@@ -1115,6 +1206,30 @@ object SparkEntry {
         |       value - lag(value) OVER w AS delta
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)""".stripMargin,
+    "q_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+         |           FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+         |       WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = '${FunnelSteps(1)}' AND ts_us > t1
+         |       GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = '${FunnelSteps(2)}' AND ts_us > t2
+         |       GROUP BY e.user_id)
+         |SELECT s1.user_id, t1, t2, t3
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q_cohort" ->
+      s"""WITH p AS (SELECT user_id,
+         |                  epoch_ns(ts) // 1000000000 // $CohortPeriodSec AS per
+         |           FROM events),
+         |f AS (SELECT user_id, min(per) AS cohort FROM p GROUP BY user_id),
+         |a AS (SELECT DISTINCT user_id, per FROM p)
+         |SELECT cohort * $CohortPeriodSec AS cohort_start_sec,
+         |       per - cohort AS period_offset,
+         |       count(*) AS n_users
+         |FROM a JOIN f USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
     "q_bloom_join" ->
       """SELECT l_returnflag,
         |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
@@ -1293,6 +1408,57 @@ object SparkEntry {
          |WHERE substring(md5(cast(doc_id AS varchar)), 1, 8) <
          |      CASE source $cases ELSE '${Sampling.stratumThreshold(0.1)}' END""".stripMargin
     },
+    "q_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |tok AS (SELECT doc_id, unnest(tk) AS tok FROM t),
+         |vc AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |tot AS (SELECT cast(sum(cnt) AS double) AS n_corpus FROM vc),
+         |d AS (SELECT doc_id, cast(count(*) AS bigint) AS n_tokens,
+         |             cast(sum(cnt) AS bigint) AS sum_cnt
+         |      FROM tok JOIN vc USING (tok) GROUP BY doc_id),
+         |m AS (SELECT doc_id, n_tokens, sum_cnt,
+         |             cast(sum_cnt AS double) / cast(n_tokens AS double) / n_corpus
+         |               AS mean_rel_freq
+         |      FROM d CROSS JOIN tot)
+         |SELECT doc_id, n_tokens, sum_cnt, mean_rel_freq,
+         |       CASE WHEN mean_rel_freq < $LmRareMax THEN 'rare'
+         |            WHEN mean_rel_freq < $LmMidMax THEN 'mid'
+         |            ELSE 'common' END AS band
+         |FROM m""".stripMargin,
+    "q_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
+         |dfq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+         |d AS (SELECT doc_id, cast(count(*) AS bigint) AS n_shingles,
+         |             cast(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS bigint) AS n_novel
+         |      FROM sh JOIN dfq USING (shingle) GROUP BY doc_id)
+         |SELECT doc_id, n_shingles, n_novel,
+         |       CASE WHEN n_novel * 2 >= n_shingles THEN 'novel' ELSE 'stock' END
+         |         AS novelty_band
+         |FROM d""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |tok AS (SELECT unnest(tk) AS tok FROM t),
+         |vc AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+         |tot AS (SELECT cast(sum(cnt) AS bigint) AS total FROM vc),
+         |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rk FROM vc),
+         |ks AS (SELECT unnest([${CoverageKs.sorted.mkString(", ")}]) AS k)
+         |SELECT k, cast(sum(cnt) AS bigint) AS covered, total
+         |FROM ks JOIN rk ON rk.rk <= ks.k CROSS JOIN tot
+         |GROUP BY k, total""".stripMargin,
+    "q_mixture_rates" -> s"""$MixtureOracleRates
+         |SELECT stratum, cast(cnt AS bigint) AS cnt, cap * share / cnt AS rate
+         |FROM f CROSS JOIN cap""".stripMargin,
+    "q_mixture_sample" -> s"""$MixtureOracleRates,
+         |r AS (SELECT stratum, cap * share / cnt AS rate FROM f CROSS JOIN cap),
+         |thr AS (SELECT stratum,
+         |               CASE WHEN rate >= 1.0 THEN 'g'
+         |                    ELSE printf('%08x', cast(floor(rate * 4294967296.0) AS bigint))
+         |               END AS thr
+         |        FROM r)
+         |SELECT d.doc_id, d.lang, d.source
+         |FROM documents d JOIN thr ON d.lang = thr.stratum
+         |WHERE substring(md5(cast(d.doc_id AS varchar)), 1, 8) < thr.thr""".stripMargin,
     "q_repetition" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |b AS (SELECT doc_id, unnest($DuckBigrams) AS bg FROM t),

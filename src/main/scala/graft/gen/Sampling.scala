@@ -136,4 +136,63 @@ object Sampling {
     df.withColumn("pr", percent_rank().over(w))
       .filter(col("pr") >= lo && col("pr") <= hi)
   }
+
+  /** Data-driven mixture balancing: given TARGET shares per stratum
+    * (e.g. "the training mix should be 20% per language"), derive the
+    * per-stratum acceptance rate that reaches the target mixture with
+    * the LARGEST possible output — the scarcest stratum (min cnt/share)
+    * is kept in full and every other stratum downsamples to match. This
+    * is [[stratifiedSample]]'s missing front half: rates COMPUTED from
+    * observed counts inside the query, not supplied by the caller.
+    *
+    * Entirely in-plan — the per-stratum count table (|strata| rows) and
+    * the single-row capacity both stay distributed and broadcast back;
+    * no driver collect, so the same plan runs unchanged on a 1000-
+    * executor cluster. Every double op (`cnt/share` min, `cap·share/cnt`)
+    * appears in the same order in the DuckDB oracle, so rates are
+    * bit-identical cross-engine.
+    *
+    * Returns one row per observed stratum with share > 0:
+    * (stratum, cnt, rate). Strata absent from `shares` are dropped
+    * (share 0 — not part of the target mix). */
+  def mixtureRates(df: DataFrame, stratumCol: String,
+                   shares: Map[String, Double]): DataFrame = {
+    require(shares.nonEmpty && shares.values.forall(_ > 0.0),
+      "target shares must be positive")
+    val shareCol = shares.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0): Column) { case (acc, (k, v)) =>
+        when(col("stratum") === k, lit(v)).otherwise(acc)
+      }
+    val counts = df
+      .groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .withColumn("share", shareCol)
+      .filter(col("share") > 0.0)
+    val cap = counts.agg(min(col("cnt") / col("share")).as("cap"))
+    counts.crossJoin(broadcast(cap))
+      .withColumn("rate", col("cap") * col("share") / col("cnt"))
+      .select(col("stratum"), col("cnt").cast("bigint").as("cnt"), col("rate"))
+  }
+
+  /** Apply [[mixtureRates]] deterministically: same id-hash mechanics as
+    * [[hashSample]], thresholds derived in-plan from the computed rates
+    * (hex formatting mirrored in the oracle; rate ≥ 1 uses the 'g'
+    * keep-all sentinel, see [[stratumThreshold]]). Two scans of `df`
+    * (count pass + filter pass) — inherent to data-driven rates — but
+    * the second pass is pure map-side filter against a broadcast
+    * |strata|-row table. */
+  def mixtureSample(df: DataFrame, stratumCol: String, idCol: String,
+                    shares: Map[String, Double]): DataFrame = {
+    // internal names: the caller's stratum column may itself be called
+    // "stratum", which would make the join condition ambiguous
+    val thr = mixtureRates(df, stratumCol, shares)
+      .withColumn("__mix_thr",
+        when(col("rate") >= 1.0, lit("g"))
+          .otherwise(lpad(lower(hex(floor(col("rate") * 4294967296.0).cast("bigint"))),
+            8, "0")))
+      .select(col("stratum").as("__mix_stratum"), col("__mix_thr"))
+    df.join(broadcast(thr), df(stratumCol) === col("__mix_stratum"))
+      .filter(bucketHex(col(idCol)) < col("__mix_thr"))
+      .drop("__mix_stratum", "__mix_thr")
+  }
 }

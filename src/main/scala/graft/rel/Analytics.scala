@@ -97,4 +97,60 @@ object Analytics {
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .withColumn("delta", col("value") - col("prev_value"))
   }
+
+  /** Ordered-step funnel: for each user, the earliest time they completed
+    * step 1, then step 2 STRICTLY AFTER step 1, then step 3 strictly after
+    * step 2, … — the product-analytics conversion query. One row per user
+    * who completed step 1; later-step timestamps NULL where the chain
+    * broke (both engines agree on the left-join semantics).
+    *
+    * Scale shape: each step is (filter → join on user → min-agg) — every
+    * frame is hash-partitioned on the SAME user key, so after the first
+    * exchange the chain reuses partitioning (no per-step re-shuffle of the
+    * event table; the step filters prune at the scan). Strictly-sequential
+    * min is NOT a groupBy-pivot — `min(ts WHERE step=2)` without the
+    * `> t1` constraint would count out-of-order events as conversions. */
+  def funnel(events: DataFrame, steps: Seq[String],
+             typeCol: String = "event_type", userCol: String = "user_id",
+             tsCol: String = "ts_us"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    val base = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    steps.zipWithIndex.drop(1).foldLeft(base) { case (acc, (step, i)) =>
+      val prev = s"t$i"
+      val cur = s"t${i + 1}"
+      val next = events.filter(col(typeCol) === step)
+        .join(acc.select(col(userCol), col(prev)), userCol)
+        .filter(col(tsCol) > col(prev))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
+      acc.join(next.select(col(userCol), col(cur)), Seq(userCol), "left_outer")
+    }
+  }
+
+  /** Cohort retention: bucket each user into the period of their FIRST
+    * activity (the cohort), then count distinct active users per
+    * (cohort, period-offset) — the standard retention triangle. All-integer
+    * arithmetic on epoch seconds (floor division by `periodSec`), so the
+    * surface is hash-exact cross-engine.
+    *
+    * Scale shape: first-activity min and distinct (user, period) both
+    * partial-aggregate map-side on user_id before one exchange; the final
+    * (cohort, offset) agg runs on the already-small distinct frame. No
+    * windows, no global sort. */
+  def cohortRetention(events: DataFrame, periodSec: Long,
+                      userCol: String = "user_id",
+                      tsSecCol: String = "ts_sec"): DataFrame = {
+    require(periodSec > 0)
+    // integer floor-division (`div`), not double `/`+cast — double loses
+    // exactness past 2^53 and truncates instead of flooring
+    val per = events.select(col(userCol),
+      expr(s"$tsSecCol div $periodSec").as("per"))
+    val first = per.groupBy(col(userCol)).agg(min(col("per")).as("cohort"))
+    val active = per.distinct()
+    active.join(first, userCol)
+      .groupBy(
+        (col("cohort") * periodSec).as("cohort_start_sec"),
+        (col("per") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -260,4 +260,118 @@ object TextAnalysis {
         expr("size(cs)").cast("bigint").as("n_tokens"),
         expr("array_join(transform(cs, c -> cast(c.tid AS string)), ' ')").as("ids"))
   }
+
+  /** Unigram-LM document scoring: score each document by the mean
+    * corpus-relative frequency of its tokens — the cheap, trainable-
+    * nowhere analogue of a KenLM perplexity filter (documents made of
+    * rare token types score low, boilerplate made of the corpus's most
+    * common tokens scores high). The hash-checked surface is the exact
+    * integer evidence (token count, summed corpus counts) plus one
+    * double ratio whose op order is mirrored in the oracle; the log-prob
+    * variant (libm-dependent last bits, like [[tfIdf]]) stays out of the
+    * checked surface — see [[lmLogProb]].
+    *
+    * `mean_rel_freq = (Σ_t cnt(t)) / n_tokens / N` is scale-invariant
+    * (≈ 1/|vocab| for in-distribution text), so the band thresholds
+    * survive corpus growth — no bigint product that would overflow at
+    * 100 TB token counts.
+    *
+    * Plan shape: one token-count shuffle, one token-level join (AQE
+    * broadcasts the count table while the vocabulary is small; falls
+    * back to a shuffle join at web-scale vocabularies), one doc_id
+    * partial agg, and a broadcast of the single-row corpus total. */
+  def lmScore(df: DataFrame, rareMax: Double, midMax: Double): DataFrame = {
+    require(rareMax < midMax, s"band thresholds must be ordered: $rareMax < $midMax")
+    val tok = df.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val vc = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = vc.agg(sum(col("cnt")).cast("double").as("n_corpus"))
+    tok.join(vc, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"))
+      .crossJoin(broadcast(tot))
+      .withColumn("mean_rel_freq",
+        col("sum_cnt").cast("double") / col("n_tokens").cast("double") / col("n_corpus"))
+      .withColumn("band",
+        when(col("mean_rel_freq") < rareMax, "rare")
+          .when(col("mean_rel_freq") < midMax, "mid")
+          .otherwise("common"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_cnt"),
+        col("mean_rel_freq"), col("band"))
+  }
+
+  /** Average per-token log2 probability under the corpus unigram model —
+    * the ranking-grade score on top of [[lmScore]]'s exact surface.
+    * Double log, so use for ordering/filtering, not cross-engine hashes. */
+  def lmLogProb(df: DataFrame): DataFrame = {
+    val tok = df.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+    val vc = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = vc.agg(sum(col("cnt")).cast("double").as("n_corpus"))
+    tok.join(vc, "tok")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg((sum(log(2.0, col("cnt").cast("double") / col("n_corpus"))) /
+        count(lit(1)).cast("double")).as("avg_log2_prob"))
+  }
+
+  /** n-gram novelty: per document, how many of its DISTINCT word-bigram
+    * shingles appear in no other document. High novelty ⇒ fresh content;
+    * low novelty ⇒ template/boilerplate assembled from corpus-common
+    * phrasing. The complement of dedup: instead of dropping repeated
+    * shingle mass, it SCORES each doc by its unique shingle mass.
+    *
+    * Integer-exact surface: (n_shingles, n_novel) plus a band decided by
+    * the integer comparison `2·n_novel >= n_shingles`. A shingle counts
+    * as novel when its document frequency is exactly 1 — computable from
+    * the per-doc distinct shingle explode with ONE shuffle (df count)
+    * and one shingle-level join, both bucketable at 100 TB. Documents
+    * with < 2 tokens have no shingles and drop out (same on both sides). */
+  def noveltyScore(df: DataFrame): DataFrame = {
+    val tk = col("tk")
+    val bigrams = when(size(tk) >= 2,
+      transform(
+        sequence(lit(1), size(tk) - 1),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val sh = df.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("doc_id"), explode(array_distinct(bigrams)).as("shingle"))
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    sh.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_band",
+        when(col("n_novel") * 2 >= col("n_shingles"), "novel").otherwise("stock"))
+  }
+
+  /** Vocabulary coverage curve: for each candidate vocabulary size k,
+    * what fraction of all token OCCURRENCES the top-k token types (by
+    * count, token tie-break) cover — the measurement that sizes a
+    * tokenizer vocabulary before committing to training. Output is one
+    * row per k with exact integer (covered, total) mass.
+    *
+    * Scale shape: one token-count shuffle; the top-max(k) cut is the
+    * same distributed `orderBy.limit` TakeOrderedAndProject as
+    * [[vocabEncode]] (no unbounded single-partition sort); the ≤ max(k)
+    * survivors then rank in a bounded window and theta-join against the
+    * tiny k list. The full vocabulary never leaves the aggregation. */
+  def vocabCoverage(df: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
+    val tok = df.select(explode(toks(col("text"))).as("tok"))
+    val vc = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = vc.agg(sum(col("cnt")).as("total"))
+    val top = vc
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(ks.max)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok").asc)))
+    val kdf = df.sparkSession.range(1)
+      .select(explode(array(ks.sorted.map(k => lit(k)): _*)).as("k"))
+    kdf.join(broadcast(top), col("rk") <= col("k"))
+      .groupBy("k")
+      .agg(sum(col("cnt")).as("covered"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("covered"), col("total"))
+  }
 }

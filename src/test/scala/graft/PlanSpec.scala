@@ -126,6 +126,59 @@ class PlanSpec extends SparkSuite {
       s"plan still has an unbounded single-partition sort:\n$plan")
   }
 
+  test("vocabCoverage: top-k cut is bounded; corpus total joins as broadcast") {
+    val df = graft.text.TextAnalysis.vocabCoverage(
+      Tables.documents(spark, sf), Seq(5, 15, 40))
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"coverage cut did not plan as a distributed top-k:\n$plan")
+    assert(graft.core.PlanAudit.unboundedSinglePartitionSorts(plan) == 0)
+  }
+
+  test("lmScore: no unbounded single-partition stage; doc agg is map-side partial") {
+    val df = graft.text.TextAnalysis.lmScore(
+      Tables.documents(spark, sf), rareMax = 0.0332, midMax = 0.0334)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(graft.core.PlanAudit.unboundedSinglePartitionSorts(plan) == 0)
+    assert(plan.toString.contains("partial_count"), "doc agg lost map-side combine")
+  }
+
+  test("mixtureSample: rate table joins back as a broadcast, big side unshuffled") {
+    val df = graft.gen.Sampling.mixtureSample(
+      Tables.documents(spark, sf).select("doc_id", "lang", "source"),
+      "lang", "doc_id",
+      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+    val plan = executed(df).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table not broadcast:\n$plan")
+    // the DOCUMENT side must flow scan -> filter -> broadcast join inside
+    // one codegen stage, never through an exchange; the only hash
+    // exchanges allowed are the two |strata|-row count-agg subtrees
+    // (counts and cap re-derive the tiny agg — irrelevant at any scale)
+    val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex <= 2, s"mixture filter path grew to $ex hash exchanges:\n$plan")
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(doc_id")),
+      s"the document side got shuffled:\n$plan")
+  }
+
+  test("funnel/cohort: no unbounded single-partition stages, partial aggs everywhere") {
+    val ev = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("ts_ns div 1000").as("ts_us"))
+    for (df <- Seq(
+      graft.rel.Analytics.funnel(ev, Seq("view", "click", "purchase")),
+      graft.rel.Analytics.cohortRetention(Tables.events(spark, sf), 86400L))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan
+      assert(graft.core.PlanAudit.unboundedSinglePartitionSorts(plan) == 0)
+      assert(plan.toString.contains("partial_"), "lost map-side partial aggregation")
+    }
+  }
+
   test("multimodal meta: payload-free projection prunes at the scan") {
     // The meta projection derives n_bytes from the payload, so `text`
     // must be read — but nothing else beyond the 4 used columns may be.

@@ -103,4 +103,39 @@ class SamplingSpec extends SparkSuite {
       .as[(Long, String, Long, Long)].collect()
     assert(again.sortBy(r => (r._1, r._4)).toSeq === out.sortBy(r => (r._1, r._4)).toSeq)
   }
+
+  test("mixtureRates: scarcest stratum binds at rate 1, others scale to the target mix") {
+    // counts: s0=600, s1=300, s2=100; target 1/3 each -> cap = min(cnt/share)
+    // = 300 -> rates 100/600, 100/300, 100/100
+    val docs = (1L to 1000L).map(i =>
+      (i, if (i <= 600) "s0" else if (i <= 900) "s1" else "s2"))
+      .toDF("doc_id", "stratum")
+    val shares = Map("s0" -> (1.0 / 3), "s1" -> (1.0 / 3), "s2" -> (1.0 / 3))
+    val r = Sampling.mixtureRates(docs, "stratum", shares)
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    assert(r.map(x => (x._1, x._2)).toSeq === Seq(("s0", 600L), ("s1", 300L), ("s2", 100L)))
+    assert(math.abs(r(0)._3 - 100.0 / 600) < 1e-12)
+    assert(math.abs(r(1)._3 - 100.0 / 300) < 1e-12)
+    assert(r(2)._3 >= 1.0 - 1e-12) // binding stratum kept (essentially) in full
+  }
+
+  test("mixtureSample: output mixture approaches the target; deterministic; strata " +
+    "outside the target mix drop") {
+    val docs = (1L to 3000L).map(i =>
+      (i, if (i % 6 < 3) "en" else if (i % 6 < 5) "de" else "fr"))
+      .toDF("doc_id", "stratum") // en 1500, de 1000, fr 500
+    val shares = Map("en" -> 0.5, "fr" -> 0.5) // de not in the target mix
+    val out = Sampling.mixtureSample(docs, "stratum", "doc_id", shares)
+      .as[(Long, String)].collect()
+    assert(out.forall(_._2 != "de"))
+    val bySt = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // cap = min(1500/.5, 500/.5) = 1000 -> fr rate 1 (all 500 kept),
+    // en rate 1/3 (~500 kept, hash variance)
+    assert(bySt("fr") === 500)
+    assert(math.abs(bySt("en") - 500) < 80, s"en kept ${bySt("en")} of ~500")
+    // deterministic under repartitioning
+    val again = Sampling.mixtureSample(docs.repartition(17), "stratum", "doc_id", shares)
+      .as[(Long, String)].collect()
+    assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
+  }
 }

@@ -88,4 +88,63 @@ class AnalyticsSpec extends SparkSuite {
       col("delta") =!= col("value") - col("prev_value")).count() == 0)
     assert(df.filter(col("delta").isNull =!= col("prev_value").isNull).count() == 0)
   }
+
+  test("funnel: strictly-ordered chains, NULL tails where the chain breaks") {
+    import spark.implicits._
+    // u1 converts in order; u2 clicks BEFORE viewing (no conversion past
+    // t1); u3 never does step 1 (absent from output); u4 views twice,
+    // earliest counts, then clicks but never buys
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 5L), (2L, "view", 8L), (2L, "purchase", 4L),
+      (3L, "click", 1L), (3L, "purchase", 2L),
+      (4L, "view", 40L), (4L, "view", 35L), (4L, "click", 50L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val r = Analytics.funnel(ev, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(r.toSeq === Seq(
+      (1L, 10L, Some(20L), Some(30L)),
+      (2L, 8L, None, None), // click at 5 precedes view at 8 -> no step 2
+      (4L, 35L, Some(50L), None)))
+  }
+
+  test("funnel: a same-timestamp later step does NOT convert (strict >)") {
+    import spark.implicits._
+    val ev = Seq((1L, "view", 10L), (1L, "click", 10L), (1L, "purchase", 11L))
+      .toDF("user_id", "event_type", "ts_us")
+    val r = Analytics.funnel(ev, Seq("view", "click", "purchase"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect()
+    assert(r.toSeq === Seq((1L, 10L, None, None)))
+  }
+
+  test("cohortRetention: hand-computed triangle; offset-0 counts every cohort member") {
+    import spark.implicits._
+    // period = 10s. u1 first p0, active p0+p2; u2 first p0, active p0;
+    // u3 first p2, active p2+p3. duplicate activity in one period counts once.
+    val ev = Seq(
+      (1L, 1L), (1L, 5L), (1L, 25L),
+      (2L, 9L),
+      (3L, 21L), (3L, 29L), (3L, 33L)
+    ).toDF("user_id", "ts_sec")
+    val r = Analytics.cohortRetention(ev, periodSec = 10L)
+      .as[(Long, Long, Long)].collect().sortBy(x => (x._1, x._2))
+    assert(r.toSeq === Seq(
+      (0L, 0L, 2L),  // u1, u2 in cohort 0 at offset 0
+      (0L, 2L, 1L),  // u1 returns in period 2
+      (20L, 0L, 1L), // u3 cohort starts at 20s
+      (20L, 1L, 1L)))
+  }
+
+  test("cohortRetention on real events: triangle mass equals distinct (user, period) count") {
+    val ev = Tables.events(spark, sf)
+    val r = Analytics.cohortRetention(ev, periodSec = 86400L)
+    val mass = r.agg(sum("n_users")).head.getLong(0)
+    val distinctUp = ev.selectExpr("user_id", "ts_sec div 86400 AS p")
+      .distinct().count()
+    assert(mass == distinctUp)
+    // every user appears at offset 0 of their own cohort
+    val offset0 = r.filter(col("period_offset") === 0)
+      .agg(sum("n_users")).head.getLong(0)
+    assert(offset0 == ev.select("user_id").distinct().count())
+  }
 }

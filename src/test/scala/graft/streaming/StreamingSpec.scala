@@ -548,4 +548,53 @@ class StreamingSpec extends SparkSuite {
       assert(got.contains((3, 30.0, None)))
     }
   }
+
+  test("streaming funnel == batch funnel under event-time-ordered batches; " +
+    "state advances monotonically") {
+    import graft.state.StreamingFunnel
+    import graft.state.StreamingFunnel.FunnelEvent
+    val steps = Seq("view", "click", "purchase")
+    // u1 full chain across batches; u2 click-before-view (chain stops at
+    // t1); u3 no step 1 ever (no output); u4 same-ts view+click (strict >
+    // rejects the click)
+    val events = Seq(
+      FunnelEvent(2L, "click", 5L), FunnelEvent(2L, "purchase", 6L),
+      FunnelEvent(1L, "view", 10L), FunnelEvent(2L, "view", 8L),
+      FunnelEvent(4L, "view", 10L), FunnelEvent(4L, "click", 10L),
+      FunnelEvent(1L, "click", 20L), FunnelEvent(3L, "click", 30L),
+      FunnelEvent(1L, "purchase", 40L), FunnelEvent(3L, "purchase", 50L))
+    // batch oracle on the same rows
+    val batch = graft.rel.Analytics.funnel(
+      events.toDF("user_id", "event_type", "ts_us"), steps)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().sortBy(_._1).toSeq
+
+    val ms = mem[FunnelEvent]
+    val q = StreamingFunnel.run(ms.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("update").start()
+    withQuery(q) {
+      // per-user event-time order holds across these batch splits
+      val ordered = events.sortBy(e => (e.ts_us, steps.indexOf(e.event_type)))
+      ordered.grouped(3).foreach { g => ms.addData(g: _*); q.processAllAvailable() }
+      // LAST emission per user == the batch funnel row
+      val rows = spark.table("funnel_stream")
+        .selectExpr("user_id", "times[0] AS t1", "times[1] AS t2", "times[2] AS t3")
+        .collect()
+      val last = rows.zipWithIndex.groupBy(_._1.getLong(0))
+        .map { case (u, rs) => val r = rs.maxBy(_._2)._1
+          (u, r.getAs[Long]("t1"), Option(r.getAs[Any]("t2")).map(_.asInstanceOf[Long]),
+            Option(r.getAs[Any]("t3")).map(_.asInstanceOf[Long])) }
+        .toSeq.sortBy(_._1)
+      assert(last === batch)
+      // u3 (no step 1) never emitted
+      assert(!rows.exists(_.getLong(0) == 3L))
+      // every emission per user is monotone: chain never loses a step
+      for ((_, rs) <- rows.zipWithIndex.groupBy(_._1.getLong(0))) {
+        val seqs = rs.sortBy(_._2).map(_._1).map(r =>
+          Seq(Option(r.getAs[Any]("t1")), Option(r.getAs[Any]("t2")),
+            Option(r.getAs[Any]("t3"))).count(_.isDefined))
+        assert(seqs.sameElements(seqs.sorted), "a later emission lost a step")
+      }
+    }
+  }
 }

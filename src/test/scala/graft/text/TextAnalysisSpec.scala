@@ -101,4 +101,41 @@ class TextAnalysisSpec extends SparkSuite {
     assert(rows(0)._2.isEmpty)
     assert(rows(1)._2.nonEmpty && rows(1)._2 === rows(2)._2)
   }
+
+  test("lmScore: hand-computed counts, ratio, and bands") {
+    // corpus: a a a b -> cnt(a)=3, cnt(b)=1, N=4
+    // doc0 "a a a": sum_cnt=9, mrf = 9/3/4 = 0.75
+    // doc1 "b":     sum_cnt=1, mrf = 1/1/4 = 0.25
+    val r = TextAnalysis.lmScore(docs("a a a", "b"), rareMax = 0.3, midMax = 0.5)
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(r(0) === ((0L, 3L, 9L, 0.75, "common")))
+    assert(r(1) === ((1L, 1L, 1L, 0.25, "rare")))
+  }
+
+  test("lmLogProb: uniform-token doc scores log2 of its relative frequency") {
+    // corpus "a a": p(a) = 1 -> log2 1 = 0; add rare "b" for a nonzero case
+    val r = TextAnalysis.lmLogProb(docs("a a b", "a"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    // p(a)=3/4, p(b)=1/4; doc0 avg = (2*log2(.75) + log2(.25))/3
+    val expect0 = (2 * math.log(0.75) / math.log(2) + math.log(0.25) / math.log(2)) / 3
+    assert(math.abs(r(0)._2 - expect0) < 1e-12)
+    assert(math.abs(r(1)._2 - math.log(0.75) / math.log(2)) < 1e-12)
+  }
+
+  test("noveltyScore: corpus-unique shingles counted per doc; 1-token docs drop") {
+    // doc0 "a b c": shingles {a b, b c}; doc1 "a b d": {a b, b d}; doc2 "z"
+    // df(a b)=2 shared; b c / b d unique -> each doc 1 novel of 2
+    val r = TextAnalysis.noveltyScore(docs("a b c", "a b d", "z"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(r.length === 2)
+    assert(r(0) === ((0L, 2L, 1L, "novel"))) // 2*1 >= 2
+    assert(r(1) === ((1L, 2L, 1L, "novel")))
+  }
+
+  test("vocabCoverage: exact covered mass per k, k past |vocab| clamps to total") {
+    // counts: b=3, a=2, z=1 -> N=6; top1 covers 3, top2 covers 5, top9 covers 6
+    val r = TextAnalysis.vocabCoverage(docs("b b b a", "a z"), Seq(1, 2, 9))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq((1, 3L, 6L), (2, 5L, 6L), (9, 6L, 6L)))
+  }
 }
