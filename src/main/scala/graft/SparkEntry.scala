@@ -285,6 +285,14 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(Tables.documents(s, d), threshold = RepThreshold)),
+    // exact heavy hitters via Misra-Gries candidates + recount: the
+    // bounded-shuffle path for billion-type item columns (cnt*k > N,
+    // integer-exact, so the sketch never touches the answer)
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.agg.HeavyHitters.heavyHitters(
+        Tables.documents(s, d)
+          .select(explode(TextAnalysis.toksCol(col("text"))).as("tok")),
+        "tok", k = HhK)),
     "q_vocab_encode" -> ((s, d) =>
       TextAnalysis.vocabEncode(Tables.documents(s, d),
         minDf = VocabMinDf, vocabSize = VocabSize)),
@@ -542,6 +550,13 @@ object SparkEntry {
   /** q_vocab_coverage curve points; 40 > |vocab| (31 types) exercises the
     * k-larger-than-vocabulary clamp. */
   private val CoverageKs = Seq(5, 15, 40)
+
+  /** q_heavy_hitters threshold divisor: items with count > N/k. The
+    * corpus is 31 near-uniform token types (share ~1/31 = 3.2%), so k=32
+    * (threshold 3.125%) splits the vocabulary non-trivially — roughly
+    * half the types clear the bar at every SF. Interpolated into both
+    * sides; the result is EXACT (sketch only proposes candidates). */
+  private val HhK = 32
 
   /** q_mixture_* target language mix (sums to 1; en-heavy so every other
     * language's observed count becomes the binding constraint). */
@@ -1302,6 +1317,13 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_heavy_hitters" ->
+      s"""WITH tok AS (SELECT unnest($DuckToks) AS tok FROM documents),
+         |tot AS (SELECT count(*) AS n_total FROM tok)
+         |SELECT tok, count(*) AS cnt, n_total
+         |FROM tok CROSS JOIN tot
+         |GROUP BY tok, n_total
+         |HAVING count(*) * $HhK > n_total""".stripMargin,
     "q_tfidf_stats" ->
       s"""WITH tf AS (SELECT doc_id, t AS word, count(*) AS tf
          |            FROM (SELECT doc_id, unnest($DuckToks) AS t FROM documents)

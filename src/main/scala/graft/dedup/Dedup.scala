@@ -667,4 +667,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         levenshtein(col("pa"), col("pb"), maxDist).as("editdist"))
   }
+
+  /** Duplicated-span coverage: per document, the EXACT fraction of token
+    * positions lying inside at least one n-gram that also occurs in a
+    * DIFFERENT document — the sub-document signal behind suffix-array
+    * "exact substring" training-data dedup (find the copied spans, not
+    * just near-identical whole docs). Unlike [[chunkDedup]]'s fixed
+    * k-token chunks, spans here are position-free: a copied paragraph is
+    * found wherever it lands in the target doc.
+    *
+    * Shape, all linear: positional n-grams (one row per position, n-gram
+    * carried as a 64-bit xxhash so the two shuffles move 8-byte keys, not
+    * strings), corpus-duplicate detection as `min(doc_id) != max(doc_id)`
+    * (map-side-combining partial min/max — cheaper than count_distinct
+    * and exact for the >= 2-docs question), a semi-join back to
+    * occurrences, and interval union per doc. The union exploits that all
+    * intervals have length n and arrive sorted by start: each occurrence
+    * adds `min(n, start - prev_start)` covered tokens (first adds n), so
+    * a per-doc window with lag(start) replaces interval bookkeeping; the
+    * window is bounded by document length, never corpus size.
+    *
+    * The occurrence frame is consumed twice (duplicate detection + the
+    * semi-join); at 100 TB, localCheckpoint it before calling if the
+    * double scan matters more than the checkpoint write. */
+  def dupSpanCoverage(df: DataFrame, n: Int): DataFrame = {
+    val base = withTokens(df)
+      .select(col("doc_id"), col("tk"), size(col("tk")).cast("bigint").as("n_tokens"))
+    val occ = base
+      .select(col("doc_id"), posexplode(shinglesOf(col("tk"), n, distinct = false)))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("start"),
+        xxhash64(col("col")).as("ng"))
+    val dup = occ.groupBy(col("ng"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("ng"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val covered = occ.join(dup, Seq("ng"), "left_semi")
+      .withColumn("contrib",
+        least(lit(n), coalesce(col("start") - lag(col("start"), 1).over(w), lit(n))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("bigint").as("covered"))
+    base.select(col("doc_id"), col("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("dup_covered"),
+        when(col("n_tokens") > 0,
+          coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
 }
