@@ -285,6 +285,11 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(Tables.documents(s, d), threshold = RepThreshold)),
+    // duplicated-span coverage: exact fraction of each doc's tokens
+    // inside an 8-gram shared with another doc (sub-document copied-span
+    // signal, the suffix-array-dedup shape)
+    "q_dup_span" -> ((s, d) =>
+      Dedup.dupSpanCoverage(Tables.documents(s, d), n = DupSpanN)),
     // exact heavy hitters via Misra-Gries candidates + recount: the
     // bounded-shuffle path for billion-type item columns (cnt*k > N,
     // integer-exact, so the sketch never touches the answer)
@@ -550,6 +555,11 @@ object SparkEntry {
   /** q_vocab_coverage curve points; 40 > |vocab| (31 types) exercises the
     * k-larger-than-vocabulary clamp. */
   private val CoverageKs = Seq(5, 15, 40)
+
+  /** q_dup_span n-gram length: 31^8 >> (corpus n-gram count)^2, so
+    * random cross-doc 8-gram collisions are rare and surviving spans are
+    * the PLANTED near-dup copies (47 of 500 docs at sf0.01). */
+  private val DupSpanN = 8
 
   /** q_heavy_hitters threshold divisor: items with count > N/k. The
     * corpus is 31 near-uniform token types (share ~1/31 = 3.2%), so k=32
@@ -1317,6 +1327,28 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_dup_span" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |pos AS (SELECT doc_id, unnest(range(1, len(tk)-$DupSpanN+2)) AS start, tk
+         |        FROM t WHERE len(tk) >= $DupSpanN),
+         |ng AS (SELECT doc_id, start,
+         |              array_to_string(tk[start:start+$DupSpanN-1], ' ') AS ngram
+         |       FROM pos),
+         |dup AS (SELECT ngram FROM ng GROUP BY ngram
+         |        HAVING min(doc_id) <> max(doc_id)),
+         |occ AS (SELECT doc_id, start FROM ng JOIN dup USING (ngram)),
+         |contrib AS (SELECT doc_id,
+         |                   least($DupSpanN, coalesce(start - lag(start)
+         |                     OVER (PARTITION BY doc_id ORDER BY start), $DupSpanN)) AS c
+         |            FROM occ),
+         |cov AS (SELECT doc_id, cast(sum(c) AS bigint) AS covered
+         |        FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, cast(len(tk) AS bigint) AS n_tokens,
+         |       coalesce(covered, 0) AS dup_covered,
+         |       CASE WHEN len(tk) > 0
+         |            THEN cast(coalesce(covered, 0) AS double) / len(tk)
+         |            ELSE 0.0 END AS dup_frac
+         |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin,
     "q_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($DuckToks) AS tok FROM documents),
          |tot AS (SELECT count(*) AS n_total FROM tok)

@@ -213,4 +213,27 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Long, String)].collect().sortBy(_._1)
     assert(r2.toSeq === r1.toSeq)
   }
+
+  test("dupSpanCoverage: overlapping spans union, same-doc repeats don't count, " +
+    "short docs get 0") {
+    // n=2: docs 0/1 share "a b c" (spans [1,2]+[2,3] → union covers 3
+    // tokens of each); doc 2 repeats "x y" INSIDE itself only (min ==
+    // max doc → not duplicated); doc 3 is 1 token (< n → no n-grams)
+    val d = docs("a b c p", "q a b c", "x y z x y", "w")
+    val r = Dedup.dupSpanCoverage(d, n = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.toSeq === Seq(
+      (0L, 4L, 3L, 0.75), (1L, 4L, 3L, 0.75),
+      (2L, 5L, 0L, 0.0), (3L, 1L, 0L, 0.0)))
+  }
+
+  test("dupSpanCoverage: disjoint duplicated spans in one doc sum, not merge") {
+    // n=2: doc 0 shares "a b" with doc 1 and "c d" with doc 2; spans
+    // [1,2] and [4,5] are disjoint → 4 covered tokens of 5
+    val d = docs("a b z c d", "a b", "c d")
+    val r = Dedup.dupSpanCoverage(d, n = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(r.head === ((0L, 5L, 4L, 0.8)))
+    assert(r.toSeq.drop(1) === Seq((1L, 2L, 2L, 1.0), (2L, 2L, 2L, 1.0)))
+  }
 }
