@@ -234,6 +234,17 @@ object SparkEntry {
     // retention triangle: users per (first-activity cohort, period offset)
     "q_cohort" -> ((s, d) =>
       Analytics.cohortRetention(Tables.events(s, d), periodSec = CohortPeriodSec)),
+    // rank-family window functions, one shuffle + one shared sort
+    "q_window_ranks" -> ((s, d) =>
+      Analytics.windowRanks(s, d, buckets = RankTiles)),
+    // INTERSECT/EXCEPT key-set algebra over pre-distinct'd filtered scans
+    "q_setops" -> ((s, d) =>
+      Analytics.urgentHighNotPending(s, d, minPrice = SetOpsMinPrice)),
+    // CDC → SCD2: change-filter then [valid_from, valid_to) via lead()
+    "q_scd2" -> ((s, d) => Analytics.scd2(s, d)),
+    // per-key count distribution as an integer-exact log2 histogram
+    "q_skew_profile" -> ((s, d) =>
+      Analytics.skewProfile(Tables.orders(s, d), "o_custkey")),
     "q_bloom_join" -> ((s, d) => {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
@@ -555,6 +566,11 @@ object SparkEntry {
   /** q_vocab_coverage curve points; 40 > |vocab| (31 types) exercises the
     * k-larger-than-vocabulary clamp. */
   private val CoverageKs = Seq(5, 15, 40)
+
+  /** q_window_ranks ntile bucket count and q_setops price threshold
+    * (~40 surviving customers at sf0.01), interpolated into both sides. */
+  private val RankTiles = 4
+  private val SetOpsMinPrice = 300000.0
 
   /** q_dup_span n-gram length: 31^8 >> (corpus n-gram count)^2, so
     * random cross-doc 8-gram collisions are rare and surviving spans are
@@ -1255,6 +1271,42 @@ object SparkEntry {
          |       count(*) AS n_users
          |FROM a JOIN f USING (user_id)
          |GROUP BY 1, 2""".stripMargin,
+    "q_window_ranks" ->
+      s"""SELECT event_id, event_type, value,
+         |       cast(rank() OVER w AS bigint) AS rnk,
+         |       cast(dense_rank() OVER w AS bigint) AS drnk,
+         |       cast(ntile($RankTiles) OVER w AS int) AS tile$RankTiles,
+         |       percent_rank() OVER w AS pct_rank,
+         |       cume_dist() OVER w AS cdist
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)""".stripMargin,
+    "q_setops" ->
+      s"""SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         |INTERSECT
+         |SELECT o_custkey FROM orders WHERE o_totalprice > $SetOpsMinPrice
+         |EXCEPT
+         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+        |                  event_type
+        |           FROM events),
+        |ch AS (SELECT user_id, event_id, ts_us, event_type
+        |       FROM (SELECT *, lag(event_type) OVER
+        |               (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |             FROM e)
+        |       WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_id, event_type, ts_us AS valid_from,
+        |       lead(ts_us) OVER w AS valid_to,
+        |       (lead(ts_us) OVER w IS NULL) AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+    "q_skew_profile" ->
+      """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders
+        |           GROUP BY o_custkey)
+        |SELECT cast(len(bin(cnt)) - 1 AS int) AS bucket,
+        |       count(*) AS n_keys, cast(sum(cnt) AS bigint) AS n_rows,
+        |       max(cnt) AS max_cnt
+        |FROM c GROUP BY 1""".stripMargin,
     "q_bloom_join" ->
       """SELECT l_returnflag,
         |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,

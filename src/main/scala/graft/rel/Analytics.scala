@@ -153,4 +153,87 @@ object Analytics {
         (col("per") - col("cohort")).as("period_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** The rank-family window functions in one pass: rank, dense_rank,
+    * ntile, percent_rank, cume_dist per event within its event_type —
+    * the percentile-band/quartile-label feature shape. One shuffle on
+    * the partition key; all five functions share the single sort.
+    * Ordering is (value, event_id): value alone is not unique, and
+    * ntile/row-numbered functions are only deterministic under a total
+    * order. percent_rank = (rank-1)/(n-1) and cume_dist = peers/n are
+    * ratios of the SAME integers in both engines → bit-identical
+    * doubles. Partition count here equals the type-domain size; for a
+    * high-skew low-cardinality domain at 100 TB, band per (type, coarse
+    * key range) instead — ranks within a type are still exact when the
+    * range split respects the sort order. */
+  def windowRanks(spark: SparkSession, dir: String, buckets: Int): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        rank().over(w).cast("bigint").as("rnk"),
+        dense_rank().over(w).cast("bigint").as("drnk"),
+        ntile(buckets).over(w).cast("int").as(s"tile$buckets"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+  }
+
+  /** INTERSECT/EXCEPT set algebra on key sets: customers with an urgent
+    * order AND a high-value order, MINUS those with any pending ('P')
+    * order. Spark plans INTERSECT/EXCEPT as hash aggregates over
+    * semi/anti joins — each input is pre-distinct'd map-side, so the
+    * shuffles carry key sets, not order rows; the filters prune at the
+    * scan. The same three-scan shape at 100 TB benefits from the orders
+    * table being partitioned on any of the filter columns, but does not
+    * require it. */
+  def urgentHighNotPending(spark: SparkSession, dir: String,
+                           minPrice: Double): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def keys(p: org.apache.spark.sql.Column) =
+      orders.filter(p).select(col("o_custkey"))
+    keys(col("o_orderpriority") === "1-URGENT")
+      .intersect(keys(col("o_totalprice") > minPrice))
+      .except(keys(col("o_orderstatus") === "P"))
+  }
+
+  /** SCD2 history compaction from an event stream: per user, keep only
+    * rows where the tracked attribute (event_type — the user's current
+    * "state") CHANGED vs the previous event, then attach
+    * [valid_from, valid_to) intervals via lead() — the
+    * change-data-capture shape that turns an append log into a
+    * slowly-changing-dimension table (~20% of rows compact away on this
+    * corpus). Both windows share one partitioning (user) and one sort
+    * (ts, event_id), so the plan is one exchange and one sort; the
+    * change filter shrinks the frame before the second window evaluates.
+    * valid_to is NULL on each user's current row (is_current). */
+  def scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val changed = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .drop("prev")
+    changed
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts_us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Key-skew profiler: the distribution of per-key row counts as a
+    * log2 histogram (bucket = floor(log2(cnt)), computed integer-exactly
+    * as len(bin(cnt))-1 — no floating log at exact powers of two), with
+    * key/row totals and the bucket's heaviest key count. This is the
+    * query you run BEFORE choosing a join/agg strategy at 100 TB: a fat
+    * top bucket says salt-or-broadcast, a flat profile says plain hash
+    * partitioning holds. Two shuffles: the per-key count (map-side
+    * combined), then a histogram-sized aggregation. */
+  def skewProfile(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .groupBy((length(bin(col("cnt"))) - 1).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
 }

@@ -135,6 +135,72 @@ class AnalyticsSpec extends SparkSuite {
       (20L, 1L, 1L)))
   }
 
+  test("scd2: consecutive same-state rows compact; intervals chain with one " +
+    "NULL-valid_to current row per user") {
+    import spark.implicits._
+    val rows = Analytics.scd2(spark, sf)
+      .as[(Long, Long, String, Long, Option[Long], Boolean)].collect()
+      .groupBy(_._1)
+    rows.foreach { case (user, hist) =>
+      val sorted = hist.sortBy(_._4)
+      // exactly one open (current) interval, and it is the last
+      assert(sorted.count(_._5.isEmpty) == 1, s"user $user open intervals")
+      assert(sorted.last._5.isEmpty && sorted.last._6, s"user $user last row open")
+      // intervals chain: valid_to == next valid_from; no same-state runs
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $user interval chain broken")
+          assert(a._3 != b._3, s"user $user uncompacted same-state run")
+        case _ =>
+      }
+    }
+  }
+
+  test("skewProfile: buckets partition the key set; log2 bucket bounds hold") {
+    import spark.implicits._
+    val df = Tables.orders(spark, sf)
+    val prof = Analytics.skewProfile(df, "o_custkey")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(prof.map(_._2).sum ==
+      df.select("o_custkey").distinct().count())
+    assert(prof.map(_._3).sum == df.count())
+    prof.foreach { case (bucket, _, _, maxCnt) =>
+      // max_cnt lies in [2^bucket, 2^(bucket+1))
+      assert(maxCnt >= (1L << bucket) && maxCnt < (1L << (bucket + 1)),
+        s"bucket $bucket max $maxCnt")
+    }
+  }
+
+  test("windowRanks: per-type rank/cume_dist invariants at the group edges") {
+    import spark.implicits._
+    val r = Analytics.windowRanks(spark, sf, buckets = 4)
+      .select("event_type", "rnk", "tile4", "pct_rank", "cdist")
+      .as[(String, Long, Int, Double, Double)].collect().groupBy(_._1)
+    r.foreach { case (tpe, rows) =>
+      val n = rows.length
+      assert(rows.map(_._2).min == 1L, s"$tpe min rank")
+      assert(rows.map(_._5).max == 1.0, s"$tpe cume_dist tops at 1")
+      assert(rows.map(_._3).distinct.sorted.toSeq == (1 to math.min(4, n)),
+        s"$tpe ntile buckets")
+      // rank 1 has pct_rank 0; ranks are dense in [1, n] for unique keys
+      assert(rows.filter(_._2 == 1L).forall(_._4 == 0.0), s"$tpe pct_rank base")
+    }
+  }
+
+  test("urgentHighNotPending: algebra matches a hand-filtered computation") {
+    import spark.implicits._
+    val o = Tables.orders(spark, sf)
+      .select("o_custkey", "o_orderpriority", "o_totalprice", "o_orderstatus")
+      .as[(Long, String, Double, String)].collect()
+    val urgent = o.filter(_._2 == "1-URGENT").map(_._1).toSet
+    val high = o.filter(_._3 > 300000.0).map(_._1).toSet
+    val pending = o.filter(_._4 == "P").map(_._1).toSet
+    val expect = (urgent intersect high) diff pending
+    val got = Analytics.urgentHighNotPending(spark, sf, 300000.0)
+      .as[Long].collect().toSet
+    assert(got === expect)
+  }
+
   test("cohortRetention on real events: triangle mass equals distinct (user, period) count") {
     val ev = Tables.events(spark, sf)
     val r = Analytics.cohortRetention(ev, periodSec = 86400L)
