@@ -292,6 +292,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomMightContain(args.head, binLit(args(1), "bloom_might_contain bytes"))))
     // whole-operator extension (SURVEY §7.3 (c)): the native as-of join
     ext.injectPlannerStrategy(_ => graft.plans.AsofMergeStrategy)
+    // optimizer-rule extension: bound unpartitioned row_number top-k
+    // windows with a distributed Sort+Limit (TakeOrderedAndProject)
+    ext.injectOptimizerRule(_ => graft.plans.BoundGlobalTopK)
   }
 }
 

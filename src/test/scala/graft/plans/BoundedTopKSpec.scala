@@ -1,0 +1,74 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.core.{PlanAudit, Tables}
+
+/** The BoundGlobalTopK optimizer rule: the naive unpartitioned
+  * row_number + filter top-k — the r4 scale-defect class — must plan as
+  * a distributed TakeOrderedAndProject with the window ranking only the
+  * k survivors, without changing results. */
+class BoundedTopKSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def counts = Tables.documents(spark, sf)
+    .select(explode(split(col("text"), " ")).as("tok"))
+    .filter(length(col("tok")) > 0)
+    .groupBy("tok").agg(count(lit(1)).as("cnt"))
+
+  private val order = Seq(col("cnt").desc, col("tok").asc)
+
+  test("naive global row_number top-k plans as TakeOrderedAndProject, results unchanged") {
+    val naive = counts
+      .withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .filter(col("rn") <= 5)
+    val got = naive.orderBy("rn").as[(String, Long, Int)].collect()
+    val plan = naive.queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"rule did not bound the window:\n$plan")
+    assert(PlanAudit.unboundedSinglePartitionSorts(plan) == 0,
+      s"unbounded single-partition sort survived:\n$plan")
+    // results identical to the hand-bounded formulation
+    val expect = counts.orderBy(order: _*).limit(5)
+      .withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .orderBy("rn").as[(String, Long, Int)].collect()
+    assert(got.toSeq === expect.toSeq)
+  }
+
+  test("strict <, reversed >=, and extra conjuncts all bound; tightest bound wins") {
+    val naive = counts
+      .withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .filter(col("rn") < 8 && lit(10) >= col("rn") && col("cnt") > 0)
+    val plan = naive.queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"), plan.toString)
+    assert(naive.count() == 7) // rn in [1, 7]; cnt > 0 always true here
+  }
+
+  test("PARTITIONED row_number windows are left alone (WindowGroupLimit path)") {
+    val df = counts
+      .withColumn("grp", substring(col("tok"), 1, 1))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("grp").orderBy(order: _*)))
+      .filter(col("rn") <= 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject"), plan)
+    // per-group top-2: every group has <= 2 rows
+    val per = df.groupBy("grp").count().as[(String, Long)].collect()
+    assert(per.forall(_._2 <= 2))
+  }
+
+  test("windows computing anything besides row_number are not rewritten") {
+    // a full-frame sum must see every row; the rule must not bound it
+    val df = counts
+      .withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("tot", sum(col("cnt")).over())
+      .filter(col("rn") <= 3)
+    val total = counts.agg(sum(col("cnt"))).as[Long].head()
+    val got = df.select("tot").distinct().as[Long].collect()
+    assert(got.toSeq === Seq(total), "full-frame sum changed under the rule")
+  }
+}
