@@ -80,6 +80,12 @@ object SparkEntry {
       Similarity.embeddingNearDupPairs(Tables.embeddings(s, d), planes = 4,
         threshold = 0.4, maxBucket = EmbedMaxBucket))
 
+  /** Capped-inverted-index pair intersections (q_ngram_jaccard +
+    * q_ngram_containment both score over it). */
+  private def ngramInterMemo(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "ngram_inter")(
+      Dedup.ngramPairIntersections(Tables.documents(s, d), n = 2, maxDf = 20L))
+
   /** Brute-force ANN ground truth (q_cosine_topk output; recall input
     * for q_ann_recall and all of q_recall_sweep's probes). */
   private def annGtMemo(s: SparkSession, d: String): DataFrame =
@@ -301,6 +307,10 @@ object SparkEntry {
     // signal, the suffix-array-dedup shape)
     "q_dup_span" -> ((s, d) =>
       Dedup.dupSpanCoverage(Tables.documents(s, d), n = DupSpanN)),
+    // provenance overlap: distinct shared 8-grams per source pair (the
+    // which-feed-mirrors-which audit; no doc-to-doc quadratic stage)
+    "q_source_overlap" -> ((s, d) =>
+      Dedup.sourceOverlap(Tables.documents(s, d), n = DupSpanN)),
     // exact heavy hitters via Misra-Gries candidates + recount: the
     // bounded-shuffle path for billion-type item columns (cnt*k > N,
     // integer-exact, so the sketch never touches the answer)
@@ -445,7 +455,11 @@ object SparkEntry {
         embedPairsMemo(s, d)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))),
     "q_ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, d), n = 2, maxDf = 20L, threshold = 0.5)),
+      Dedup.jaccardFromIntersections(ngramInterMemo(s, d), threshold = 0.5)),
+    // asymmetric containment |A∩B|/|A| over the same memoized index:
+    // catches quote-inclusion pairs Jaccard's union denominator buries
+    "q_ngram_containment" -> ((s, d) =>
+      Dedup.containmentFromIntersections(ngramInterMemo(s, d), threshold = ContainThreshold)),
     // ---- M7: similarity search ---------------------------------------------
     "q_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5)),
@@ -571,6 +585,9 @@ object SparkEntry {
     * (~40 surviving customers at sf0.01), interpolated into both sides. */
   private val RankTiles = 4
   private val SetOpsMinPrice = 300000.0
+
+  /** q_ngram_containment threshold on max(|A∩B|/|A|, |A∩B|/|B|). */
+  private val ContainThreshold = 0.8
 
   /** q_dup_span n-gram length: 31^8 >> (corpus n-gram count)^2, so
     * random cross-doc 8-gram collisions are rare and surviving spans are
@@ -1401,6 +1418,16 @@ object SparkEntry {
          |            THEN cast(coalesce(covered, 0) AS double) / len(tk)
          |            ELSE 0.0 END AS dup_frac
          |FROM t LEFT JOIN cov USING (doc_id)""".stripMargin,
+    "q_source_overlap" ->
+      s"""WITH t AS (SELECT doc_id, source, $DuckToks AS tk FROM documents),
+         |pos AS (SELECT doc_id, source, unnest(range(1, len(tk)-$DupSpanN+2)) AS start, tk
+         |        FROM t WHERE len(tk) >= $DupSpanN),
+         |ng AS (SELECT DISTINCT source,
+         |              array_to_string(tk[start:start+$DupSpanN-1], ' ') AS ngram
+         |       FROM pos)
+         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "q_heavy_hitters" ->
       s"""WITH tok AS (SELECT unnest($DuckToks) AS tok FROM documents),
          |tot AS (SELECT count(*) AS n_total FROM tok)
@@ -1738,6 +1765,22 @@ object SparkEntry {
          |SELECT doc_a, doc_b, cast(i AS double) / (sa.sz + sb.sz - i) AS jaccard
          |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE cast(i AS double) / (sa.sz + sb.sz - i) >= 0.5""".stripMargin,
+    "q_ngram_containment" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
+         |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) f
+         |         WHERE df <= 20),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       cast(i AS double) / sa.sz AS cont_a_in_b,
+         |       cast(i AS double) / sb.sz AS cont_b_in_a
+         |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+         |WHERE greatest(cast(i AS double) / sa.sz, cast(i AS double) / sb.sz)
+         |      >= $ContainThreshold""".stripMargin,
     "q_cosine_topk" -> duckBruteTopK,
     "q_lsh_topk" -> duckLshTopK,
     "q_ann_recall" ->

@@ -423,7 +423,37 @@ object Dedup {
     * reducer, then |A∩B| / (|A|+|B|-|A∩B|) >= `threshold` over the
     * CAPPED shingle universe (sizes count only surviving shingles, so
     * numerator and denominator are consistent). */
-  def ngramJaccardPairs(df: DataFrame, n: Int, maxDf: Long, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(df: DataFrame, n: Int, maxDf: Long, threshold: Double): DataFrame =
+    jaccardFromIntersections(ngramPairIntersections(df, n, maxDf), threshold)
+
+  /** Jaccard scoring over a precomputed [[ngramPairIntersections]] frame
+    * (callers sharing the frame across several scorings memoize it). */
+  def jaccardFromIntersections(inter: DataFrame, threshold: Double): DataFrame =
+    inter
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+
+  /** Asymmetric CONTAINMENT near-dup pairs over the same capped inverted
+    * index: containment(A in B) = |A∩B| / |A|. Jaccard misses the
+    * quote-inclusion case — a short document wholly copied into a long
+    * one has tiny Jaccard (the union is dominated by the long doc) but
+    * containment 1.0 in one direction. Emits both directions and keeps
+    * pairs where EITHER clears the threshold; the consumer decides which
+    * side is the quote and which the quoter. */
+  def containmentFromIntersections(inter: DataFrame, threshold: Double): DataFrame =
+    inter
+      .withColumn("cont_a_in_b", col("inter").cast("double") / col("sz_a"))
+      .withColumn("cont_b_in_a", col("inter").cast("double") / col("sz_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a")
+
+  /** Shared machinery for [[ngramJaccardPairs]] /
+    * [[containmentFromIntersections]]: (doc_a, doc_b, inter, sz_a, sz_b)
+    * over the capped shingle universe (sizes count only surviving
+    * shingles, so numerators and denominators stay consistent). */
+  def ngramPairIntersections(df: DataFrame, n: Int, maxDf: Long): DataFrame = {
     // localCheckpoint (not persist): the index is read three times (pair
     // generation + two size joins) so it must be materialized once, and
     // checkpoint blocks are ContextCleaner-managed — a plain persist here
@@ -436,18 +466,13 @@ object Dedup {
     val sizes = index.select(explode(col("ids")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("sz"))
       .localCheckpoint()
-    val inter = index
+    index
       .filter(size(col("ids")) >= 2)
       .select(explode(sortedPairs(col("ids"))).as("p"))
       .groupBy(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
-    inter
       .join(sizes.toDF("doc_a", "sz_a"), "doc_a")
       .join(sizes.toDF("doc_b", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
   }
 
   /** Sub-document (line/paragraph-level) dedup — the CCNet/RefinedWeb
@@ -714,5 +739,33 @@ object Dedup {
         when(col("n_tokens") > 0,
           coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"))
           .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Provenance overlap matrix: for every source pair, the number of
+    * DISTINCT n-grams both sources contain — the "which feeds copy from
+    * which" audit run before choosing what to dedup against what (a
+    * crawl that mirrors another source inflates its apparent volume).
+    *
+    * Scale shape: (source, ngram-hash) distinct — an 8-byte-key shuffle
+    * — then per-ngram source SETS via collect_set, which is bounded by
+    * the SOURCE DOMAIN (provenance labels are a small closed set; this
+    * operator assumes that, unlike doc-id buckets which need caps), and
+    * reducer-side unordered-pair expansion. No doc-to-doc quadratic
+    * stage anywhere: a viral n-gram present in all S sources costs
+    * C(S,2) pair rows, not pairs-of-documents. */
+  def sourceOverlap(df: DataFrame, n: Int): DataFrame = {
+    val ng = df.select(col("source"), toks(col("text")).as("tk"))
+      .select(col("source"), explode(shinglesOf(col("tk"), n)).as("s"))
+      .select(col("source"), xxhash64(col("s")).as("ng"))
+      .distinct()
+    val bySources = ng.groupBy(col("ng"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) > 1)
+    val pairs = flatten(transform(col("srcs"), (a, i) =>
+      transform(slice(col("srcs"), i + 2, size(col("srcs"))),
+        b => struct(a.as("source_a"), b.as("source_b")))))
+    bySources.select(explode(pairs).as("p"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
   }
 }

@@ -227,6 +227,32 @@ class DedupSpec extends SparkSuite {
       (2L, 5L, 0L, 0.0), (3L, 1L, 0L, 0.0)))
   }
 
+  test("sourceOverlap: counts distinct shared n-grams per source pair, " +
+    "multi-source grams expand to all pairs") {
+    import org.apache.spark.sql.functions.{col, element_at, lit}
+    // n=2: "a b" in {s1,s2} (1 pair); "c d" in {s1,s2,s3} (3 pairs);
+    // within-source repetition (two s1 docs with "a b") must not inflate
+    val d = docs("a b x", "a b y c d", "a b z c d", "c d q")
+      .withColumn("source",
+        element_at(lit(Array("s1", "s1", "s2", "s3")),
+          col("doc_id").cast("int") + 1))
+    val r = Dedup.sourceOverlap(d, n = 2)
+      .as[(String, String, Long)].collect().sortBy(p => (p._1, p._2))
+    assert(r.toSeq === Seq(("s1", "s2", 2L), ("s1", "s3", 1L), ("s2", "s3", 1L)))
+  }
+
+  test("containment pairs: a doc fully quoted inside a longer one scores 1.0 " +
+    "one-way while Jaccard stays low") {
+    val d = docs("p q r s t u v w x y z a b c d e f g h i", "p q r s")
+    val inter = Dedup.ngramPairIntersections(d, n = 2, maxDf = 20L)
+    val cont = Dedup.containmentFromIntersections(inter, threshold = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    // doc 1's 3 bigrams all occur in doc 0 → containment(b in a) = 1.0
+    assert(cont.toSeq === Seq((0L, 1L, 3.0 / 19.0, 1.0)))
+    val jac = Dedup.jaccardFromIntersections(inter, threshold = 0.5).collect()
+    assert(jac.isEmpty, "Jaccard should bury the quote-inclusion pair")
+  }
+
   test("dupSpanCoverage: disjoint duplicated spans in one doc sum, not merge") {
     // n=2: doc 0 shares "a b" with doc 1 and "c d" with doc 2; spans
     // [1,2] and [4,5] are disjoint → 4 covered tokens of 5
