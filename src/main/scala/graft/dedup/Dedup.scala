@@ -656,6 +656,34 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
   }
 
+  /** Cross-run store maintenance for [[incrementalNearDupSink]]: the
+    * store accrues one partition per batch, with band keys REPEATED
+    * across batches (each batch writes its own distinct set — cheap at
+    * write time, append-only, replay-safe). Over months of runs the
+    * store's read cost grows with run count, not content. Compaction
+    * folds it to one globally-distinct, range-sorted copy — the same
+    * maintenance job as file compaction (`sources/Layout.compact`), but
+    * for dedup STATE: gate semantics are pure set membership, so
+    * `distinct` preserves them exactly (spec-asserted).
+    *
+    * Writes to `destDir` (callers swap directories atomically at the
+    * orchestration layer — an in-place rewrite could race a concurrent
+    * ingest's store read). Keys land range-partitioned and sorted so the
+    * gate's semi-join against a compacted store can sort-merge without a
+    * shuffle on the store side, and so per-file min/max statistics prune
+    * store files when the batch's key range is narrow. Returns
+    * (before, after) row counts for ops telemetry. */
+  def compactBandStore(spark: org.apache.spark.sql.SparkSession,
+                       storeDir: String, destDir: String): (Long, Long) = {
+    val before = spark.read.parquet(storeDir).select("bkey")
+    val compacted = before.distinct()
+      .repartitionByRange(col("bkey"))
+      .sortWithinPartitions("bkey")
+      .localCheckpoint(true)
+    compacted.write.mode("overwrite").parquet(s"$destDir/batch=-1")
+    (before.count(), compacted.count())
+  }
+
   /** Candidate-pair verification by edit distance — the "verify" stage a
     * production dedup pipeline runs between LSH candidate generation and
     * cluster formation (MinHash recall is probabilistic; edit distance is

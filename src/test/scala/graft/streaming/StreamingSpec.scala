@@ -525,6 +525,31 @@ class StreamingSpec extends SparkSuite {
     assert(dataIds === Seq(1L, 2L, 4L))
   }
 
+  test("band-store compaction: globally distinct keys, gate decisions unchanged") {
+    import graft.dedup.Dedup
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    // two batches sharing most band keys (same doc content re-seen)
+    Dedup.incrementalNearDupSink(out)(Seq((1L, base)).toDF("doc_id", "text"), 0L)
+    Dedup.incrementalNearDupSink(out)(
+      Seq((2L, base.replace("lazy", "sleepy"))).toDF("doc_id", "text"), 1L)
+    val (before, after) = Dedup.compactBandStore(spark, s"$out/store", s"$out/store2")
+    assert(after < before, "cross-batch repeats must compact away")
+    assert(after ==
+      spark.read.parquet(s"$out/store").select("bkey").distinct().count())
+    // the gate admits/rejects identically against the compacted store
+    // (probe 3 re-sends SEEN content — identical band keys, certain hit)
+    val probe = Seq((3L, base), (4L, "totally new and different stuff"))
+      .toDF("doc_id", "text")
+    def gate(dir: String) = Dedup.incrementalNearDup(probe,
+        spark.read.parquet(dir).select("bkey"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(gate(s"$out/store2") === gate(s"$out/store"))
+    // probe 3 shares bands with seen content → rejected; 4 admitted
+    assert(gate(s"$out/store2") === Seq(4L))
+  }
+
   test("stream-static enrich: broadcast dim join per micro-batch == batch, left rows survive") {
     val dim = Seq((1, "gold"), (2, "silver")).toDF("user_id", "tier")
     val eventsData = Seq((1, 10.0), (2, 20.0), (3, 30.0), (1, 40.0))
