@@ -31,11 +31,14 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
-  /** Per-partition Misra-Gries: classic k-1 counter sketch. Returns the
-    * surviving candidate items (counts are NOT emitted — MG counts are
-    * lower bounds and never used; the recount supplies exact ones). */
-  private[agg] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
-    val counters = new scala.collection.mutable.HashMap[String, Long]
+  /** The Misra-Gries fold, continuable from existing counters (MG is a
+    * one-pass streaming algorithm: folding batch after batch through the
+    * same counters IS the sketch of the concatenated stream, which is
+    * what lets [[graft.streaming.StreamingHeavyHitters]] reuse this core
+    * as keyed state). Counter values are LOWER bounds, undercounting by
+    * at most n/k of the items folded so far. */
+  private[graft] def mgFold(counters: scala.collection.mutable.HashMap[String, Long],
+                            it: Iterator[String], k: Int): Unit =
     it.foreach { item =>
       if (counters.contains(item)) counters(item) += 1L
       else if (counters.size < k - 1) counters(item) = 1L
@@ -49,6 +52,13 @@ object HeavyHitters {
         dead.foreach(counters.remove)
       }
     }
+
+  /** Per-partition Misra-Gries: classic k-1 counter sketch. Returns the
+    * surviving candidate items (counts are NOT emitted — MG counts are
+    * lower bounds and never used; the recount supplies exact ones). */
+  private[agg] def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = new scala.collection.mutable.HashMap[String, Long]
+    mgFold(counters, it, k)
     counters.keysIterator.toSeq.iterator
   }
 

@@ -674,13 +674,34 @@ object Dedup {
     * store files when the batch's key range is narrow. Returns
     * (before, after) row counts for ops telemetry. */
   def compactBandStore(spark: org.apache.spark.sql.SparkSession,
-                       storeDir: String, destDir: String): (Long, Long) = {
-    val before = spark.read.parquet(storeDir).select("bkey")
-    val compacted = before.distinct()
+                       storeDir: String, destDir: String): (Long, Long) =
+    compactBandStoreRetain(spark, storeDir, destDir, minBatch = Long.MinValue)
+
+  /** Compaction + TTL retention: additionally age out keys whose NEWEST
+    * sighting is older than `minBatch` — the content hasn't recurred for
+    * that many runs, so the gate stops charging state for it (a
+    * re-arrival after age-out is admitted once and re-recorded; that is
+    * the retention trade, chosen explicitly by the caller). Retention is
+    * on max(batch) per key, NOT per row: a key seen in an old batch AND
+    * a recent one survives with its full dedup power. Bounds the store
+    * in TIME the way `distinct` bounds it in CONTENT.
+    *
+    * The compacted store stays AGE-AWARE: each key is written under its
+    * newest batch partition (not a flattened batch=-1), so retention
+    * composes — the NEXT compaction still sees true last-sighting ages,
+    * and the sink's own-batch exclusion filter keeps working. */
+  def compactBandStoreRetain(spark: org.apache.spark.sql.SparkSession,
+                             storeDir: String, destDir: String,
+                             minBatch: Long): (Long, Long) = {
+    val before = spark.read.parquet(storeDir)
+    val compacted = before
+      .groupBy(col("bkey"))
+      .agg(max(col("batch").cast("long")).as("batch"))
+      .filter(col("batch") >= minBatch)
       .repartitionByRange(col("bkey"))
       .sortWithinPartitions("bkey")
       .localCheckpoint(true)
-    compacted.write.mode("overwrite").parquet(s"$destDir/batch=-1")
+    compacted.write.mode("overwrite").partitionBy("batch").parquet(destDir)
     (before.count(), compacted.count())
   }
 

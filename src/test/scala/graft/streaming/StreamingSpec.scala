@@ -550,6 +550,25 @@ class StreamingSpec extends SparkSuite {
     assert(gate(s"$out/store2") === Seq(4L))
   }
 
+  test("band-store TTL retention: ages out by NEWEST sighting, stays age-aware") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ttl").toString
+    // k1 seen only in batch 0; k2 re-seen in batch 1; k3 new in batch 1
+    Seq("k1", "k2").toDF("bkey").write.parquet(s"$out/store/batch=0")
+    Seq("k2", "k3").toDF("bkey").write.parquet(s"$out/store/batch=1")
+    val (before, after) = graft.dedup.Dedup.compactBandStoreRetain(
+      spark, s"$out/store", s"$out/store2", minBatch = 1L)
+    assert((before, after) === ((4L, 2L)))
+    val kept = spark.read.parquet(s"$out/store2")
+      .select("bkey", "batch").as[(String, Long)].collect().sortBy(_._1)
+    // k1 aged out (last seen batch 0); k2 survives with its NEWEST age
+    // (retention is max(batch) per key, so re-seen keys keep full power)
+    assert(kept.toSeq === Seq(("k2", 1L), ("k3", 1L)))
+    // retention composes: a second pass with a higher floor empties it
+    val (_, after2) = graft.dedup.Dedup.compactBandStoreRetain(
+      spark, s"$out/store2", s"$out/store3", minBatch = 2L)
+    assert(after2 === 0L)
+  }
+
   test("stream-static enrich: broadcast dim join per micro-batch == batch, left rows survive") {
     val dim = Seq((1, "gold"), (2, "silver")).toDF("user_id", "tier")
     val eventsData = Seq((1, 10.0), (2, 20.0), (3, 30.0), (1, 40.0))
