@@ -151,6 +151,87 @@ object Multimodal {
       }.toDF("doc_id", "payload")
   }
 
+  /** A length-prefixed frame container — the byte-layout pattern of real
+    * media containers (video = header + per-frame length/payload
+    * records), minimal enough to parse without codecs:
+    * magic "GFC1" | n_frames int32 BE | per frame (len int32 BE, bytes).
+    * [[packContainer]] builds one (fixtures/tests), [[parseContainer]]
+    * parses with STRICT bounds checking, and [[explodeContainerFrames]]
+    * is the fan-out stage: one input row → one row per frame, or ONE
+    * error row for a corrupt container (`ok = false`, reason in `err`) —
+    * a production ingest must quarantine bad payloads, not die on the
+    * first truncated file (the binary analogue of the try_cast parse
+    * path). */
+  object FrameContainer {
+    val Magic: Array[Byte] = "GFC1".getBytes("US-ASCII")
+
+    private def i32be(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def readI32be(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+        ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+    def packContainer(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Magic)
+      out.write(i32be(frames.size))
+      frames.foreach { f => out.write(i32be(f.length)); out.write(f) }
+      out.toByteArray
+    }
+
+    /** Strict parse: every length is validated against the remaining
+      * buffer BEFORE the slice, trailing garbage is an error (a real
+      * demuxer treats it as corruption, not padding). */
+    def parseContainer(b: Array[Byte]): Either[String, Vector[Array[Byte]]] = {
+      if (b.length < 8) return Left(s"short header: ${b.length} bytes")
+      if (!java.util.Arrays.equals(b.take(4), Magic)) return Left("bad magic")
+      val n = readI32be(b, 4)
+      if (n < 0) return Left(s"negative frame count $n")
+      var off = 8
+      val frames = Vector.newBuilder[Array[Byte]]
+      var i = 0
+      while (i < n) {
+        if (off + 4 > b.length) return Left(s"truncated at frame $i length")
+        val len = readI32be(b, off)
+        if (len < 0) return Left(s"negative length at frame $i")
+        if (off + 4 + len > b.length) return Left(s"truncated at frame $i body")
+        frames += java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
+        off += 4 + len
+        i += 1
+      }
+      if (off != b.length) return Left(s"${b.length - off} trailing bytes")
+      Right(frames.result())
+    }
+  }
+
+  /** One container frame (or the container's error row). */
+  case class ContainerFrame(doc_id: Long, frame_id: Int, n_bytes: Int,
+                            checksum: Long, ok: Boolean, err: String)
+
+  /** The container fan-out stage: map-side, zero shuffle, corrupt
+    * payloads quarantined as error rows. Input: (doc_id, payload). */
+  def explodeContainerFrames(spark: SparkSession, containers: DataFrame): Dataset[ContainerFrame] = {
+    import spark.implicits._
+    containers.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        FrameContainer.parseContainer(bytes) match {
+          case Left(reason) =>
+            Iterator.single(ContainerFrame(id, -1, bytes.length, 0L,
+              ok = false, err = reason))
+          case Right(frames) =>
+            frames.iterator.zipWithIndex.map { case (f, i) =>
+              var sum = 0L
+              var j = 0
+              while (j < f.length) { sum += (f(j) & 0xff).toLong; j += 1 }
+              ContainerFrame(id, i, f.length, sum, ok = true, err = "")
+            }
+        }
+      }
+  }
+
   /** Partition-parallel decode: the real plumbing around the stub.
     * No shuffle; one decoder instance per partition (cheap init amortized
     * across the partition — the pattern a codec/model handle needs). */

@@ -66,6 +66,42 @@ class MultimodalSpec extends SparkSuite {
     assert(new String(out._2) === "ace")
   }
 
+  test("frame container: pack -> explode round-trips frames with exact lengths/checksums") {
+    import spark.implicits._
+    import Multimodal.FrameContainer
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](), Array[Byte](-1, 127))
+    val container = FrameContainer.packContainer(frames)
+    val df = Seq((7L, container)).toDF("doc_id", "payload")
+    val out = Multimodal.explodeContainerFrames(spark, df)
+      .collect().sortBy(_.frame_id)
+    assert(out.forall(_.ok))
+    assert(out.map(_.n_bytes).toSeq === Seq(3, 0, 2))
+    // checksums are unsigned-byte sums: (1+2+3), 0, (255+127)
+    assert(out.map(_.checksum).toSeq === Seq(6L, 0L, 382L))
+  }
+
+  test("frame container: corrupt payloads quarantine as ONE error row, no throw") {
+    import spark.implicits._
+    import Multimodal.FrameContainer
+    val good = FrameContainer.packContainer(Seq(Array[Byte](9, 9)))
+    val cases = Seq(
+      1L -> "nonsense".getBytes("US-ASCII"),          // bad magic
+      2L -> good.dropRight(1),                        // truncated body
+      3L -> (good ++ Array[Byte](0)),                 // trailing garbage
+      4L -> good.take(6),                             // short header
+      5L -> good)                                     // control: valid
+    val out = Multimodal.explodeContainerFrames(spark, cases.toDF("doc_id", "payload"))
+      .collect().groupBy(_.doc_id)
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      val rows = out(id)
+      assert(rows.length == 1 && !rows.head.ok && rows.head.err.nonEmpty, s"doc $id")
+    }
+    assert(out(5L).forall(_.ok))
+    // strict parse reasons are specific, not generic
+    assert(out(1L).head.err == "bad magic")
+    assert(out(3L).head.err.contains("trailing"))
+  }
+
   test("decode pipeline runs partition-parallel over the documents table") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val out = Multimodal.decodeFeatures(spark, docs).collect()
