@@ -402,6 +402,12 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => dedupClustersMemo(s, d)),
     "q_dedup_keep" -> ((s, d) =>
       Dedup.applyClusters(Tables.documents(s, d), dedupClustersMemo(s, d))),
+    // dedup impact report: how big do near-dup clusters get (the skew
+    // question for the keep-one join) — two tiny aggs over the memo
+    "q_cluster_sizes" -> ((s, d) =>
+      dedupClustersMemo(s, d)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_sz"))
+        .groupBy(col("cluster_sz")).agg(count(lit(1)).as("n_clusters"))),
     // ---- training-data sampling -------------------------------------------
     "q_hash_sample" -> ((s, d) =>
       Sampling.hashSample(Tables.documents(s, d)
@@ -1511,6 +1517,19 @@ object SparkEntry {
          |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.node = e.src
          |)
          |SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node""".stripMargin,
+    "q_cluster_sizes" ->
+      s"""WITH RECURSIVE $duckLshPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |cc(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.node = e.src
+         |),
+         |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node),
+         |sizes AS (SELECT cluster_id, count(*) AS cluster_sz FROM clusters
+         |          GROUP BY cluster_id)
+         |SELECT cluster_sz, count(*) AS n_clusters FROM sizes GROUP BY cluster_sz""".stripMargin,
     "q_dedup_keep" ->
       s"""WITH RECURSIVE $duckLshPairCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs

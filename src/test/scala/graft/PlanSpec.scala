@@ -164,6 +164,33 @@ class PlanSpec extends SparkSuite {
       s"the document side got shuffled:\n$plan")
   }
 
+  test("heavyHitters: candidates join back as broadcast; recount aggregates partially") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val toks = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextAnalysis.toksCol(col("text"))).as("tok"))
+    val df = graft.agg.HeavyHitters.heavyHitters(toks, "tok", 32)
+    val plan = executed(df).split("== Initial Plan ==").head
+    // the full token stream must meet the candidate set as a BROADCAST
+    // semi-join (candidates are <= (k-1) x partitions rows); a shuffled
+    // semi-join would defeat the whole bounded-shuffle design
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate semi-join not broadcast:\n$plan")
+    assert(plan.contains("partial_count"), "recount lost map-side combine")
+    assert(graft.core.PlanAudit.unboundedSinglePartitionSorts(
+      df.queryExecution.executedPlan) == 0)
+  }
+
+  test("dupSpanCoverage: interval-union window is doc-partitioned, never global") {
+    val df = graft.dedup.Dedup.dupSpanCoverage(Tables.documents(spark, sf), n = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    assert(graft.core.PlanAudit.unboundedSinglePartitionSorts(plan) == 0,
+      s"dup-span window went single-partition:\n$plan")
+    // duplicate detection is min/max partial agg, not count_distinct
+    assert(plan.toString.contains("partial_min") ||
+      plan.toString.contains("min("), "dup detection lost partial min/max")
+  }
+
   test("funnel/cohort: no unbounded single-partition stages, partial aggs everywhere") {
     val ev = Tables.events(spark, sf)
       .select(org.apache.spark.sql.functions.col("user_id"),
