@@ -302,6 +302,12 @@ object SparkEntry {
       TextAnalysis.termStats(Tables.documents(s, d))),
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionScore(Tables.documents(s, d), threshold = RepThreshold)),
+    // per-source percentile-calibrated quality (equal admission rate
+    // across heterogeneous feeds) + declared-vs-predicted language audit
+    "q_quality_calibrated" -> ((s, d) =>
+      TextAnalysis.calibratedQuality(Tables.documents(s, d), minPctRank = CalMinPct)),
+    "q_lang_agreement" -> ((s, d) =>
+      TextAnalysis.langAgreement(Tables.documents(s, d))),
     // duplicated-span coverage: exact fraction of each doc's tokens
     // inside an 8-gram shared with another doc (sub-document copied-span
     // signal, the suffix-array-dedup shape)
@@ -594,6 +600,9 @@ object SparkEntry {
 
   /** q_ngram_containment threshold on max(|A∩B|/|A|, |A∩B|/|B|). */
   private val ContainThreshold = 0.8
+
+  /** q_quality_calibrated per-source percentile floor. */
+  private val CalMinPct = 0.2
 
   /** q_dup_span n-gram length: 31^8 >> (corpus n-gram count)^2, so
     * random cross-doc 8-gram collisions are rare and surviving spans are
@@ -1402,6 +1411,30 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_quality_calibrated" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |q AS (SELECT doc_id,
+         |             CASE WHEN len(tk) > 0
+         |                  THEN cast(len(list_distinct(tk)) AS double) / len(tk)
+         |                  ELSE 0.0 END AS distinct_ratio
+         |      FROM t)
+         |SELECT q.doc_id, d.source, q.distinct_ratio,
+         |       percent_rank() OVER w AS pct_rank,
+         |       (percent_rank() OVER w >= $CalMinPct) AS keep_cal
+         |FROM q JOIN documents d ON q.doc_id = d.doc_id
+         |WINDOW w AS (PARTITION BY d.source ORDER BY q.distinct_ratio, q.doc_id)""".stripMargin,
+    "q_lang_agreement" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |r AS (SELECT doc_id,
+         |             CASE WHEN len(tk) > 0
+         |                  THEN cast(len(list_filter(tk, w -> list_contains(['the','a','of','and','to','in','is'], w))) AS double) / len(tk)
+         |                  ELSE 0.0 END AS en_ratio
+         |      FROM t)
+         |SELECT d.source, d.lang,
+         |       CASE WHEN r.en_ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred,
+         |       count(*) AS n_docs
+         |FROM r JOIN documents d ON r.doc_id = d.doc_id
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q_dup_span" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |pos AS (SELECT doc_id, unnest(range(1, len(tk)-$DupSpanN+2)) AS start, tk

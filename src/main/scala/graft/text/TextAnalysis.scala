@@ -78,6 +78,38 @@ object TextAnalysis {
   /** The tokenizer as a public Column, for [[qualityKeep]] callers. */
   def toksCol(text: Column): Column = toks(text)
 
+  /** Per-source CALIBRATED quality filtering: a raw quality cutoff
+    * applied corpus-wide keeps whatever each source's score distribution
+    * happens to contain — a clean source sails through, a noisy one
+    * floods the corpus. Normalizing the score to its percentile rank
+    * WITHIN source ("keep the top (1-q) of every source") equalizes the
+    * admission rate across provenances, which is how production
+    * pipelines actually threshold heterogeneous feeds. One shuffle on
+    * source; the window sort is per-source, never global (and a skewed
+    * source is a skewed SORT, not a collapsed partition — range-split it
+    * upstream if one source is half the corpus). Ordering is
+    * (score, doc_id): total, so percent_rank is deterministic. */
+  def calibratedQuality(df: DataFrame, minPctRank: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("distinct_ratio"), col("doc_id"))
+    qualityScore(df)
+      .join(df.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("distinct_ratio"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("keep_cal", col("pct_rank") >= minPctRank)
+  }
+
+  /** Declared-vs-predicted language agreement crosstab per source — the
+    * data-quality audit that catches a feed whose metadata lies about
+    * its language (or a language-ID model drifting on one source). One
+    * map-side scoring pass + one small aggregation. */
+  def langAgreement(df: DataFrame): DataFrame =
+    langId(df)
+      .join(df.select(col("doc_id"), col("source"), col("lang")), "doc_id")
+      .groupBy(col("source"), col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (`[a-z]+` word pieces / `[0-9]+` digit runs / any other non-space
     * symbol — the shape a byte-pair pre-tokenizer uses). The pattern is

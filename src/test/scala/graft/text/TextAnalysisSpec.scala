@@ -138,4 +138,36 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(Int, Long, Long)].collect().sortBy(_._1)
     assert(r.toSeq === Seq((1, 3L, 6L), (2, 5L, 6L), (9, 6L, 6L)))
   }
+
+  test("calibratedQuality: equal admission RATE per source regardless of " +
+    "each source's score scale") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    // source A: 10 diverse docs (high ratios); source B: 10 repetitive
+    // docs (low ratios). A raw global cutoff would keep all of A and
+    // none of B; per-source percentile keeps 8/10 of EACH.
+    val texts =
+      (0 until 10).map(i => ("a b c d e f g h i j".split(" ").take(3 + i % 7) :+ s"x$i").mkString(" ")) ++
+      (0 until 10).map(i => (Seq.fill(12)("w") :+ s"y${i % 5}" :+ s"z$i").mkString(" "))
+    val d = docs(texts: _*)
+      .withColumn("source", when(col("doc_id") < 10, lit("A")).otherwise(lit("B")))
+    val r = TextAnalysis.calibratedQuality(d, minPctRank = 0.2)
+      .as[(Long, String, Double, Double, Boolean)].collect()
+    val bySrc = r.groupBy(_._2).view.mapValues(rows => rows.count(_._5)).toMap
+    assert(bySrc === Map("A" -> 8, "B" -> 8))
+    // and within each source the kept docs are exactly the top-ranked
+    r.groupBy(_._2).foreach { case (_, rows) =>
+      val kept = rows.filter(_._5).map(_._4).min
+      val droppedMax = rows.filterNot(_._5).map(_._4).max
+      assert(droppedMax < kept)
+    }
+  }
+
+  test("langAgreement: crosstab counts declared vs predicted per source") {
+    import org.apache.spark.sql.functions.lit
+    val d = docs("the cat is on the mat here now", "w w w w w")
+      .withColumn("source", lit("s0")).withColumn("lang", lit("en"))
+    val r = TextAnalysis.langAgreement(d)
+      .as[(String, String, String, Long)].collect().sortBy(_._3)
+    assert(r.toSeq === Seq(("s0", "en", "en", 1L), ("s0", "en", "und", 1L)))
+  }
 }
