@@ -472,6 +472,10 @@ object SparkEntry {
     // catches quote-inclusion pairs Jaccard's union denominator buries
     "q_ngram_containment" -> ((s, d) =>
       Dedup.containmentFromIntersections(ngramInterMemo(s, d), threshold = ContainThreshold)),
+    // kNN similarity graph over the same memoized index: per-doc top-k
+    // neighbors via WindowGroupLimit (shuffle carries docs*k, not pairs)
+    "q_knn_graph" -> ((s, d) =>
+      Dedup.jaccardKnn(ngramInterMemo(s, d), k = KnnK)),
     // ---- M7: similarity search ---------------------------------------------
     "q_cosine_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), nQueries = 10, k = 5)),
@@ -603,6 +607,9 @@ object SparkEntry {
 
   /** q_quality_calibrated per-source percentile floor. */
   private val CalMinPct = 0.2
+
+  /** q_knn_graph neighbors per document. */
+  private val KnnK = 3
 
   /** q_dup_span n-gram length: 31^8 >> (corpus n-gram count)^2, so
     * random cross-doc 8-gram collisions are rare and surviving spans are
@@ -1833,6 +1840,27 @@ object SparkEntry {
          |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
          |WHERE greatest(cast(i AS double) / sa.sz, cast(i AS double) / sb.sz)
          |      >= $ContainThreshold""".stripMargin,
+    "q_knn_graph" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
+         |rare AS (SELECT shingle FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY shingle) f
+         |         WHERE df <= 20),
+         |sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+         |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |          GROUP BY a.doc_id, b.doc_id),
+         |j AS (SELECT doc_a, doc_b, cast(i AS double) / (sa.sz + sb.sz - i) AS jaccard
+         |      FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+         |                 JOIN sizes sb ON doc_b = sb.doc_id),
+         |sym AS (SELECT doc_a AS doc_id, doc_b AS neighbor, jaccard FROM j
+         |        UNION ALL
+         |        SELECT doc_b, doc_a, jaccard FROM j),
+         |ranked AS (SELECT doc_id, neighbor, jaccard,
+         |                  cast(row_number() OVER (PARTITION BY doc_id
+         |                    ORDER BY jaccard DESC, neighbor) AS int) AS rnk
+         |           FROM sym)
+         |SELECT doc_id, neighbor, jaccard, rnk FROM ranked WHERE rnk <= $KnnK""".stripMargin,
     "q_cosine_topk" -> duckBruteTopK,
     "q_lsh_topk" -> duckLshTopK,
     "q_ann_recall" ->

@@ -449,6 +449,27 @@ object Dedup {
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
       .select("doc_a", "doc_b", "cont_a_in_b", "cont_b_in_a")
 
+  /** k-nearest-neighbor similarity graph from a precomputed
+    * [[ngramPairIntersections]] frame: symmetrize the pair scores and
+    * keep each document's top-k neighbors by Jaccard — the graph
+    * construction step feeding cluster-then-pick pipelines. The rank
+    * filter plans as WindowGroupLimit (map-side per-doc top-k BEFORE the
+    * exchange), so the shuffle carries O(docs·k), not the pair set;
+    * ordering is (jaccard desc, neighbor) — total, so the graph is
+    * deterministic under ties. */
+  def jaccardKnn(inter: DataFrame, k: Int): DataFrame = {
+    val j = inter.withColumn("jaccard",
+      col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+    val sym = j.select(col("doc_a").as("doc_id"), col("doc_b").as("neighbor"),
+        col("jaccard"))
+      .unionByName(j.select(col("doc_b").as("doc_id"),
+        col("doc_a").as("neighbor"), col("jaccard")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("neighbor"))
+    sym.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Shared machinery for [[ngramJaccardPairs]] /
     * [[containmentFromIntersections]]: (doc_a, doc_b, inter, sz_a, sz_b)
     * over the capped shingle universe (sizes count only surviving

@@ -191,6 +191,17 @@ class PlanSpec extends SparkSuite {
       plan.toString.contains("min("), "dup detection lost partial min/max")
   }
 
+  test("jaccardKnn: per-doc top-k is a map-side WindowGroupLimit") {
+    val inter = graft.dedup.Dedup.ngramPairIntersections(
+      Tables.documents(spark, sf), n = 2, maxDf = 20L)
+    val df = graft.dedup.Dedup.jaccardKnn(inter, k = 3)
+    val plan = executed(df)
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter not pushed below the exchange:\n$plan")
+    assert(graft.core.PlanAudit.unboundedSinglePartitionSorts(
+      df.queryExecution.executedPlan) == 0)
+  }
+
   test("funnel/cohort: no unbounded single-partition stages, partial aggs everywhere") {
     val ev = Tables.events(spark, sf)
       .select(org.apache.spark.sql.functions.col("user_id"),
