@@ -66,11 +66,12 @@ object HeavyHitters {
     * `count > N/k`, with their exact counts and corpus total. NULL items
     * are excluded (they are not an item; mirrors count(col) semantics).
     *
-    * Plan: two column-pruned scans of `items` (candidate sketch pass +
-    * recount pass), one <= (k-1) x partitions candidate distinct, one
-    * broadcast semi-join, one candidate-only partial-agg shuffle, and a
-    * broadcast of the single-row total. No stage's state or shuffle
-    * grows with item cardinality.
+    * Plan: three column-pruned scans of `items` (candidate sketch, the
+    * corpus total, recount — scans are the cheap currency here; shuffles
+    * are what the sketch eliminates), one <= (k-1) x partitions
+    * candidate distinct, one broadcast semi-join, one candidate-only
+    * partial-agg shuffle, and a broadcast of the single-row total. No
+    * stage's state or shuffle grows with item cardinality.
     */
   def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k >= 2, s"heavyHitters needs k >= 2, got $k")
