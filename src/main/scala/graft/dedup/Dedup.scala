@@ -783,8 +783,10 @@ object Dedup {
     * window is bounded by document length, never corpus size.
     *
     * The occurrence frame is consumed twice (duplicate detection + the
-    * semi-join); at 100 TB, localCheckpoint it before calling if the
-    * double scan matters more than the checkpoint write. */
+    * semi-join), so it is localCheckpoint'd: one tokenize+explode pass
+    * materialized, two cheap columnar reads — the same
+    * materialize-what-you-reread rule as [[ngramPairIntersections]]
+    * (measured 1.62 s → 1.39 s min-of-3 at sf0.1). */
   def dupSpanCoverage(df: DataFrame, n: Int): DataFrame = {
     val base = withTokens(df)
       .select(col("doc_id"), col("tk"), size(col("tk")).cast("bigint").as("n_tokens"))
@@ -792,6 +794,7 @@ object Dedup {
       .select(col("doc_id"), posexplode(shinglesOf(col("tk"), n, distinct = false)))
       .select(col("doc_id"), (col("pos") + 1).cast("int").as("start"),
         xxhash64(col("col")).as("ng"))
+      .localCheckpoint()
     val dup = occ.groupBy(col("ng"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
