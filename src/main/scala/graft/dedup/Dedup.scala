@@ -825,7 +825,15 @@ object Dedup {
     * operator assumes that, unlike doc-id buckets which need caps), and
     * reducer-side unordered-pair expansion. No doc-to-doc quadratic
     * stage anywhere: a viral n-gram present in all S sources costs
-    * C(S,2) pair rows, not pairs-of-documents. */
+    * C(S,2) pair rows, not pairs-of-documents.
+    *
+    * Measured negative result (don't "optimize" this): fusing the
+    * pre-distinct into the groupBy (collect_set straight off the
+    * occurrence stream — one shuffle instead of two) is SLOWER at sf0.1
+    * (1.39 s vs 1.20 s min-of-3): per-ngram set state is
+    * high-cardinality, so ObjectHashAggregate falls back to sort-based,
+    * while the distinct stays in codegen hash-agg. Two cheap codegen
+    * exchanges beat one object-agg exchange here. */
   def sourceOverlap(df: DataFrame, n: Int): DataFrame = {
     val ng = df.select(col("source"), toks(col("text")).as("tk"))
       .select(col("source"), explode(shinglesOf(col("tk"), n)).as("s"))
