@@ -187,6 +187,60 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("rankFamily: banded composition equals the monolithic window, ties included") {
+    import spark.implicits._
+    // 4k rows, ONE type, heavy value ties (value = i % 97) AND duplicated
+    // full keys (every 10th row repeats the previous (value, event_id)) so
+    // rank < row_number and dense_rank < rank genuinely diverge — the
+    // compose must be exact for tie groups, not just unique keys.
+    val rows = (0 until 4000).map { i =>
+      val base = (i.toLong % 97).toDouble
+      if (i % 10 == 9) (i.toLong - 1L, "solo", ((i - 1).toLong % 97).toDouble)
+      else (i.toLong, "solo", base)
+    }
+    val ev = rows.toDF("event_id", "event_type", "value")
+    val banded = Analytics.rankFamily(ev, buckets = 4, bands = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val mono = ev.select(col("event_id"), col("event_type"), col("value"),
+      rank().over(w).cast("bigint").as("rnk"),
+      dense_rank().over(w).cast("bigint").as("drnk"),
+      ntile(4).over(w).cast("int").as("tile4"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cdist"))
+    assert(banded.exceptAll(mono).count() == 0 &&
+      mono.exceptAll(banded).count() == 0,
+      "banded rank family diverged from the monolithic window")
+  }
+
+  test("rankFamily: single-type input still sorts at bands-wide parallelism") {
+    import spark.implicits._
+    // the defect shape the sp1 lint can't see: ONE event_type. The plan
+    // must hash-partition the window sort on (event_type, band) — not on
+    // event_type alone — and the banding must actually spread the rows.
+    val ev = (0 until 20000)
+      .map(i => (i.toLong, "solo", (i * 31 % 9973).toDouble))
+      .toDF("event_id", "event_type", "value")
+    val df = Analytics.rankFamily(ev, buckets = 4, bands = 8)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.contains("hashpartitioning(event_type") && plan.contains("band"),
+      s"window sort is not partitioned on (event_type, band):\n$plan")
+    // no (value, event_id)-ordered window may partition on type alone —
+    // that is the monolithic sort. (The tiny |types|·bands-row offsets
+    // frame legitimately exchanges on type; its windows order by `band`
+    // or nothing, so they don't match this shape.)
+    assert(!plan.linesIterator.exists(l =>
+      l.contains("windowspecdefinition(event_type#") &&
+        l.contains("value#") && !l.contains("band#")),
+      s"found a type-only data window (parallelism = |type domain|):\n$plan")
+    // execution-level: the composed ranks are still an exact permutation
+    // of 1..n (the plan check above proves the sort ran banded, this
+    // proves the bands composed back into one global ranking)
+    val r = df.agg(max("rnk"), countDistinct("rnk")).head()
+    assert(r.getLong(0) == 20000L && r.getLong(1) == 20000L)
+  }
+
   test("urgentHighNotPending: algebra matches a hand-filtered computation") {
     import spark.implicits._
     val o = Tables.orders(spark, sf)
