@@ -7,7 +7,7 @@ import graft.agg.Aggregations
 import graft.core.Tables
 import graft.dedup.Dedup
 import graft.gen.{SampleData, Sampling}
-import graft.join.{BloomJoin, WindowJoin}
+import graft.join.{AdaptiveSkewJoin, BloomJoin, WindowJoin}
 import graft.multimodal.Multimodal
 import graft.ops.{AsyncMap, RowOps, Tokenize, TweetJson}
 import graft.rel.{Analytics, Relational}
@@ -251,6 +251,18 @@ object SparkEntry {
     // per-key count distribution as an integer-exact log2 histogram
     "q_skew_profile" -> ((s, d) =>
       Analytics.skewProfile(Tables.orders(s, d), "o_custkey")),
+    // profile → pick → execute: the skew histogram chooses the physical
+    // join (broadcast here — the urgent-orders dim is small); any picked
+    // strategy returns the same rows, so the oracle is the plain join
+    "q_adaptive_join" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+      AdaptiveSkewJoin.autoJoin(Tables.lineitem(s, d), "l_orderkey",
+          urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+    }),
     "q_bloom_join" -> ((s, d) => {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
@@ -341,10 +353,11 @@ object SparkEntry {
     "q_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, d), CoverageKs)),
     // distributed BPE tokenizer training + greedy encode. A sequential
-    // data-dependent argmax chain is not SQL-expressible, so these two
-    // carry the weaker rows-only driver check; BpeSpec verifies the
-    // algorithm merge-for-merge against an independent in-memory
-    // reference implementation.
+    // data-dependent argmax chain is not SQL-expressible as a corpus
+    // query, but the gate's corpus is FIXED (sf0.01), so both carry full
+    // hash oracles: VALUES tables generated by an independent naive BPE
+    // (tools/gen_bpe_oracle.py). BpeSpec additionally verifies the
+    // algorithm merge-for-merge on a hand-built corpus.
     "q_bpe_merges" -> ((s, d) => bpeMergesMemo(s, d)),
     "q_bpe_encode" -> ((s, d) => {
       import s.implicits._
@@ -1354,6 +1367,15 @@ object SparkEntry {
         |WHERE l_orderkey IN (SELECT o_orderkey FROM orders
         |                     WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag""".stripMargin,
+    // the adaptive path is a physical choice only: whatever strategy the
+    // profile picks, the rows equal the plain inner join
+    "q_adaptive_join" ->
+      """SELECT l_returnflag,
+        |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+        |       count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag""".stripMargin,
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
         |           FROM events WHERE event_type = 'purchase'),
@@ -1685,6 +1707,43 @@ object SparkEntry {
          |       array_to_string(list(coalesce(rk.tok_id, 0) ORDER BY t2.pos), ' ') AS ids
          |FROM tok t2 LEFT JOIN rk ON t2.tok = rk.tok
          |GROUP BY t2.doc_id""".stripMargin,
+    // BPE: a sequential data-dependent argmax chain is not expressible as
+    // a DuckDB query over the corpus — but the correctness gate runs at a
+    // FIXED sf0.01 corpus, so the expected tables below were generated by
+    // tools/gen_bpe_oracle.py, an INDEPENDENT naive BPE implementation
+    // (no shared code with graft.text.Bpe; not derived from Spark output).
+    // The merge oracle is the naive reference's ranked merge table; the
+    // encode oracle re-derives per-doc unit counts by joining the naive
+    // reference's per-distinct-word segmentation sizes onto the tokenized
+    // corpus. Regenerate with:
+    //   python3 tools/gen_bpe_oracle.py /root/testdata/sf0.01 12 2
+    "q_bpe_merges" ->
+      """SELECT cast("rank" AS int) AS "rank", "left", "right",
+        |       cast(pair_freq AS bigint) AS pair_freq
+        |FROM (VALUES
+        |  (1, 'e', 'r', 4568), (2, 'e', '</w>', 4473), (3, 'n', '</w>', 2834),
+        |  (4, 'er', '</w>', 2779), (5, 'o', 'w', 2747), (6, 'ow', '</w>', 2747),
+        |  (7, 'o', 'r', 2696), (8, 's', 't', 2676), (9, 'h', '</w>', 1884),
+        |  (10, 'a', 't', 1845), (11, 'l', 'u', 1831), (12, 'i', 'n', 1796)
+        |) t("rank", "left", "right", pair_freq)""".stripMargin,
+    "q_bpe_encode" ->
+      """WITH wu(word, units) AS (VALUES
+        |  ('a', 2), ('agg', 4), ('batch', 4), ('big', 4), ('column', 5),
+        |  ('customer', 6), ('data', 4), ('dup', 4), ('fast', 4), ('filter', 5),
+        |  ('group', 6), ('hash', 4), ('join', 4), ('key', 4), ('line', 3),
+        |  ('merge', 4), ('order', 3), ('part', 5), ('query', 5), ('row', 2),
+        |  ('scan', 4), ('slow', 3), ('small', 6), ('sort', 4), ('spark', 6),
+        |  ('stream', 6), ('table', 5), ('the', 3), ('value', 4), ('vector', 6),
+        |  ('window', 4)),
+        |tok AS (SELECT doc_id,
+        |               unnest(list_filter(string_split(text, ' '),
+        |                                  x -> len(x) > 0)) AS word
+        |        FROM documents),
+        |enc AS (SELECT doc_id, count(*) AS nw, sum(units) AS nu
+        |        FROM tok JOIN wu USING (word) GROUP BY doc_id)
+        |SELECT d.doc_id, cast(coalesce(e.nw, 0) AS bigint) AS n_words,
+        |       cast(coalesce(e.nu, 0) AS bigint) AS n_bpe_units
+        |FROM documents d LEFT JOIN enc e USING (doc_id)""".stripMargin,
     "q_pii_redact" -> {
       import graft.text.TextAnalysis.{EmailRe, PhoneRe, IpRe}
       s"""WITH p AS (SELECT doc_id,

@@ -7,12 +7,21 @@ import graft.core.GraftSession
   * (min-of-N, full materialization like Bench). */
 object TimeOne {
   def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: graft.apps.TimeOne <queryName> [sfDir] [n]")
+      sys.exit(2)
+    }
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val n = if (args.length > 2) args(2).toInt else 3
     val spark = GraftSession.build("graft-timeone")
-    val fn = SparkEntry.queries(name)
-    fn(spark, "/root/testdata/sf0.001").queryExecution.toRdd.count() // warm
+    val fn = SparkEntry.queries.getOrElse(name, {
+      System.err.println(s"unknown query '$name'; known: " +
+        SparkEntry.queries.keys.toSeq.sorted.mkString(", "))
+      sys.exit(2)
+      throw new IllegalStateException("unreachable")
+    })
+    fn(spark, dir).queryExecution.toRdd.count() // warm on the target dir
     val times = (1 to n).map { _ =>
       val t0 = System.nanoTime()
       fn(spark, dir).queryExecution.toRdd.count()

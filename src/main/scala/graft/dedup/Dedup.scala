@@ -714,6 +714,10 @@ object Dedup {
   def compactBandStoreRetain(spark: org.apache.spark.sql.SparkSession,
                              storeDir: String, destDir: String,
                              minBatch: Long): (Long, Long) = {
+    // enforced, not just documented: an in-place rewrite would overwrite
+    // the store while before.count() below still needs to re-read it
+    require(destDir != storeDir,
+      s"compaction must write to a fresh directory, got destDir == storeDir == $storeDir")
     val before = spark.read.parquet(storeDir)
     val compacted = before
       .groupBy(col("bkey"))
@@ -763,9 +767,14 @@ object Dedup {
         levenshtein(col("pa"), col("pb"), maxDist).as("editdist"))
   }
 
-  /** Duplicated-span coverage: per document, the EXACT fraction of token
+  /** Duplicated-span coverage: per document, the fraction of token
     * positions lying inside at least one n-gram that also occurs in a
-    * DIFFERENT document — the sub-document signal behind suffix-array
+    * DIFFERENT document — exact modulo 64-bit hash collisions (n-grams
+    * travel as xxhash64 keys; a collision would count a non-duplicated
+    * span as duplicated with probability ~N²/2⁶⁵ over N distinct
+    * n-grams — negligible but nonzero, and the reason the DuckDB oracle,
+    * which compares full strings, could in principle diverge at extreme
+    * corpus sizes) — the sub-document signal behind suffix-array
     * "exact substring" training-data dedup (find the copied spans, not
     * just near-identical whole docs). Unlike [[chunkDedup]]'s fixed
     * k-token chunks, spans here are position-free: a copied paragraph is

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{
-  Alias, Attribute, EqualTo, Expression, IntegerLiteral, LessThan,
-  LessThanOrEqual, Literal, NamedExpression, PredicateHelper, RowNumber,
+  Alias, Attribute, DenseRank, EqualTo, Expression, IntegerLiteral, LessThan,
+  LessThanOrEqual, Literal, NamedExpression, PredicateHelper, Rank, RowNumber,
   SortOrder, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical.{
-  Filter, GlobalLimit, Limit, LocalLimit, LogicalPlan, Sort, Window}
+  Filter, GlobalLimit, Limit, LocalLimit, LogicalPlan, Sort, Window,
+  WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Optimizer rule (`SparkSessionExtensions.injectOptimizerRule`, the
@@ -53,6 +54,7 @@ object BoundGlobalTopK extends Rule[LogicalPlan] with PredicateHelper {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
       case LessThan(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k - 1)
       case EqualTo(a: Attribute, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
+      case EqualTo(IntegerLiteral(k), a: Attribute) if a.semanticEquals(rn) => Some(k)
       case GreaterThanOrEqualSwapped(a, k) if a.semanticEquals(rn) => Some(k)
       case _ => None
     }
@@ -86,20 +88,65 @@ object BoundGlobalTopK extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
 
+  /** rank()/dense_rank() as the sole window function over an
+    * UNPARTITIONED ordered spec. These can tie: `rank <= k` may keep
+    * MORE than k rows (every member of the tie group straddling position
+    * k survives), so the row_number rewrite — `Limit(k, Sort)` — would
+    * silently drop tied rows. The ties-safe bound is the logical
+    * [[WindowGroupLimit]] node instead: its Partial mode prunes each map
+    * partition to the rows whose PARTITION-LOCAL rank ≤ k (a superset of
+    * the global survivors, k plus local ties), so the single final
+    * partition receives O(tasks·(k+ties)) rows, never the corpus.
+    * Spark's own InferWindowGroupLimit inserts the same node, but only
+    * below `spark.sql.optimizer.windowGroupLimitThreshold` and only for
+    * the shapes it recognizes; this path closes the defect class
+    * mechanically whenever that rule has not already fired. */
+  private def isRankLikeOnly(exprs: Seq[NamedExpression]): Option[(Attribute, Expression)] =
+    exprs match {
+      case Seq(a @ Alias(WindowExpression(r: Rank,
+          WindowSpecDefinition(Nil, os, _)), _)) if os.nonEmpty =>
+        Some((a.toAttribute, r))
+      case Seq(a @ Alias(WindowExpression(r: DenseRank,
+          WindowSpecDefinition(Nil, os, _)), _)) if os.nonEmpty =>
+        Some((a.toAttribute, r))
+      case _ => None
+    }
+
+  /** Idempotence guard for the rank path: an order-compatible
+    * WindowGroupLimit with limit <= k already bounds the child. */
+  private def alreadyGroupLimited(child: LogicalPlan, order: Seq[SortOrder],
+                                  k: Int): Boolean = child match {
+    case WindowGroupLimit(Nil, so, _, k2, _) =>
+      k2 <= k && so.length == order.length &&
+        so.zip(order).forall { case (a, b) => a.semanticEquals(b) }
+    case _ => false
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond,
         w @ Window(wexprs, Nil, orderSpec, child, _)) =>
+      def boundIn(rn: Attribute): Option[Int] =
+        splitConjunctivePredicates(cond).flatMap(boundOf(_, rn))
+          .reduceOption(math.min).filter(_ > 0)
       isRowNumberOnly(wexprs) match {
         case Some(rn) =>
-          val bounds = splitConjunctivePredicates(cond).flatMap(boundOf(_, rn))
-          bounds.reduceOption(math.min) match {
-            case Some(k) if k > 0 && !alreadyBounded(child, orderSpec, k) =>
+          boundIn(rn) match {
+            case Some(k) if !alreadyBounded(child, orderSpec, k) =>
               val bounded = Limit(Literal(k),
                 Sort(orderSpec, global = true, child))
               f.copy(child = w.copy(child = bounded))
             case _ => f
           }
-        case None => f
+        case None => isRankLikeOnly(wexprs) match {
+          case Some((rn, rankFn)) =>
+            boundIn(rn) match {
+              case Some(k) if !alreadyGroupLimited(child, orderSpec, k) =>
+                val bounded = WindowGroupLimit(Nil, orderSpec, rankFn, k, child)
+                f.copy(child = w.copy(child = bounded))
+              case _ => f
+            }
+          case None => f
+        }
       }
   }
 }

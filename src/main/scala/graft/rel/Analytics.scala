@@ -104,27 +104,39 @@ object Analytics {
     * who completed step 1; later-step timestamps NULL where the chain
     * broke (both engines agree on the left-join semantics).
     *
-    * Scale shape: each step is (filter → join on user → min-agg) — every
-    * frame is hash-partitioned on the SAME user key, so after the first
-    * exchange the chain reuses partitioning (no per-step re-shuffle of the
-    * event table; the step filters prune at the scan). Strictly-sequential
-    * min is NOT a groupBy-pivot — `min(ts WHERE step=2)` without the
-    * `> t1` constraint would count out-of-order events as conversions. */
+    * Scale shape: ONE shuffle, period. The per-step (filter → join →
+    * min-agg) chain the r5 nit flagged re-shuffled every step scan (10
+    * exchanges for 3 steps) AND duplicated the accumulator subtree per
+    * fold level (2^steps plan growth for deep funnels). Instead: a
+    * single `groupBy(user)` collects each step's timestamps as a sorted
+    * array (collect_list partial-aggregates map-side; per-user state is
+    * that user's own step events — session-sized, never corpus-sized),
+    * and the strictly-after chain becomes a per-row native-HOF fold:
+    * t1 = first of list₁, tᵢ = first element of listᵢ greater than
+    * tᵢ₋₁ (`get(filter(...), 0)` — null-safe: a broken chain propagates
+    * NULL through the comparison and every later step stays NULL, the
+    * left-join semantics both engines agree on). The exchange bound (≤1
+    * hash exchange) is pinned in PlanSpec; the `isin` filter prunes at
+    * the scan. Strictly-sequential extraction is NOT a groupBy-pivot —
+    * `min(ts WHERE step=2)` without the `> t1` constraint would count
+    * out-of-order events as conversions. */
   def funnel(events: DataFrame, steps: Seq[String],
              typeCol: String = "event_type", userCol: String = "user_id",
              tsCol: String = "ts_us"): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
-    val base = events.filter(col(typeCol) === steps.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
-    steps.zipWithIndex.drop(1).foldLeft(base) { case (acc, (step, i)) =>
-      val prev = s"t$i"
-      val cur = s"t${i + 1}"
-      val next = events.filter(col(typeCol) === step)
-        .join(acc.select(col(userCol), col(prev)), userCol)
-        .filter(col(tsCol) > col(prev))
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
-      acc.join(next.select(col(userCol), col(cur)), Seq(userCol), "left_outer")
+    val aggs = steps.zipWithIndex.map { case (step, i) =>
+      array_sort(collect_list(when(col(typeCol) === step, col(tsCol))))
+        .as(s"l${i + 1}")
     }
+    val lists = events.filter(col(typeCol).isin(steps: _*))
+      .groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+    val chained = steps.indices.foldLeft(lists) { case (df, i) =>
+      if (i == 0) df.withColumn("t1", get(col("l1"), lit(0)))
+      else df.withColumn(s"t${i + 1}",
+        get(filter(col(s"l${i + 1}"), x => x > col(s"t$i")), lit(0)))
+    }
+    chained.filter(col("t1").isNotNull)
+      .select(col(userCol) +: steps.indices.map(i => col(s"t${i + 1}")): _*)
   }
 
   /** Cohort retention: bucket each user into the period of their FIRST

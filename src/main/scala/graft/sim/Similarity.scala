@@ -363,10 +363,17 @@ object Similarity {
     * Scale shape — exactly the IVF layout: centroids are tiny and
     * broadcast, assignment is one map-side arg-max pass, and the pair
     * scan is confined WITHIN clusters (one shuffle on the cluster id,
-    * expected cluster size N/nlist — `nlist` is the fan-in knob). The
-    * per-cluster loop early-exits on the first ≥-threshold earlier
-    * neighbor, and `maxCluster` caps a degenerate cluster (members kept,
-    * dedup skipped — mirrored in the oracle) so skew can't go quadratic.
+    * expected cluster size N/nlist — `nlist` is the fan-in knob).
+    * `maxCluster` caps a degenerate cluster (members kept, dedup skipped
+    * — mirrored in the oracle), and the cap is enforced BEFORE the
+    * grouping: cluster sizes come from one ≤nlist-row aggregate whose
+    * result broadcast-joins back onto the assignment, oversized clusters
+    * take a map-side keep=1 path that never enters the `groupByKey`, and
+    * only the bounded remainder is grouped — so the per-task buffer is
+    * ≤ maxCluster members by construction (a near-duplicate-rich corpus
+    * at 100 TB produces exactly the degenerate clusters that would
+    * otherwise OOM an executor, r5 verdict #3). The per-cluster loop
+    * also early-exits on the first ≥-threshold earlier neighbor.
     * The drop rule is "any earlier-id member", not "any earlier KEPT
     * member": one pass, order-free, and SQL-expressible — a kept-chain
     * greedy would serialize the cluster scan for marginal extra recall.
@@ -380,33 +387,69 @@ object Similarity {
     val cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nlist)
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val bcCents = spark.sparkContext.broadcast(cents)
-    assignCorpus(v, bcCents)
+    val assigned = assignCorpus(v, bcCents)
       .select(col("list"), col("neighbor_id").as("vec_id"), col("v"))
+    // ≤nlist-row size table, broadcast back onto the map-side assignment
+    val sizes = assigned.groupBy(col("list")).agg(count(lit(1)).as("csz"))
+    val sized = assigned.join(broadcast(sizes), Seq("list"))
+    // oversized clusters bypass the grouping entirely: their contract is
+    // keep=1/dedup-skipped, which needs no pair scan and no buffer
+    val oversized = sized.filter(col("csz") > maxCluster)
+      .select(col("vec_id"), col("list").as("cid"), lit(1).as("keep"))
+    val bounded = sized.filter(col("csz") <= maxCluster)
+      .select(col("list"), col("vec_id"), col("v"))
       .as[(Long, Long, Seq[Double])]
       .groupByKey(_._1)
       .flatMapGroups { (cid, it) =>
-        // every member is emitted (the contract is the FULL corpus with a
-        // keep flag), so the group is buffered either way; maxCluster
-        // bounds the O(n²) pair CPU, not the O(n) buffer
+        // buffer bounded by maxCluster — the > maxCluster rows were
+        // routed around this operator above
         val items = it.map(t => (t._2, t._3.toArray)).toArray.sortBy(_._1)
-        val oversized = items.length > maxCluster
         val n = items.length
         val out = new Array[(Long, Long, Int)](n)
         var i = 0
         while (i < n) {
           var dropped = false
-          if (!oversized) {
-            var j = 0
-            while (j < i && !dropped) {
-              if (cosineLocal(items(j)._2, items(i)._2) >= threshold) dropped = true
-              j += 1
-            }
+          var j = 0
+          while (j < i && !dropped) {
+            if (cosineLocal(items(j)._2, items(i)._2) >= threshold) dropped = true
+            j += 1
           }
           out(i) = (items(i)._1, cid, if (dropped) 0 else 1)
           i += 1
         }
         out.iterator
       }.toDF("vec_id", "cid", "keep")
+    bounded.unionByName(oversized)
+  }
+
+  /** The measured drop-rate CURVE over the (nlist, threshold) grid —
+    * SemDeDup's two knobs. A deployment tunes threshold against a
+    * target dedup aggressiveness and nlist against cluster fan-in; this
+    * sweep records what each setting actually drops on a clustered
+    * corpus (written to SEMDEDUP_CURVE.json by SemDedupCurveSpec, next
+    * to ANN_CURVE.json — the same ship-the-measurement rule). Driver
+    * loop is over the ≤|nlists|·|thresholds| grid, never over data; the
+    * input is checkpointed once so grid points share the materialized
+    * corpus. At fixed nlist the drop set at a higher threshold is a
+    * SUBSET of the drop set at a lower one (the drop predicate
+    * `cos ≥ t` only tightens), so drop_rate is provably monotone
+    * non-increasing in threshold — pinned in the spec. */
+  def semDedupCurve(embeddings: DataFrame, nlists: Seq[Int],
+                    thresholds: Seq[Double],
+                    maxCluster: Int = 100000): DataFrame = {
+    require(nlists.nonEmpty && thresholds.nonEmpty)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.localCheckpoint()
+    val rows = for { nl <- nlists; t <- thresholds } yield {
+      val r = semanticDedup(v, nl, t, maxCluster)
+        .agg(count(lit(1)),
+          sum(when(col("keep") === 0, 1L).otherwise(0L))).head()
+      val total = r.getLong(0)
+      val dropped = r.getLong(1)
+      (nl, t, total, dropped, dropped.toDouble / total)
+    }
+    rows.toDF("nlist", "threshold", "n_total", "n_dropped", "drop_rate")
   }
 
   /** Deterministic clustered synthetic corpus for ANN knob sweeps at

@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.functions.xxhash64
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.agg.HeavyHitters
 
@@ -54,15 +55,34 @@ object StreamingHeavyHitters {
     (counters.toMap, state._2 + items.size)
   }
 
+  /** Shared per-trigger emission: the lane's live candidates plus a
+    * tombstone per item that fell out since the previous trigger — ONE
+    * definition consumed by both state APIs, so their update streams
+    * cannot diverge. */
+  private def emit(bucket: Int, prevCounters: Map[String, Long],
+                   counters: Map[String, Long], n: Long): Iterator[Candidate] = {
+    val live = counters.map { case (item, c) => Candidate(bucket, item, c, n) }
+    val tombstones = (prevCounters.keySet -- counters.keySet)
+      .map(item => Candidate(bucket, item, 0L, n))
+    (live ++ tombstones).toSeq.sortBy(_.item).iterator
+  }
+
   def fn(k: Int)(bucket: Int, rows: Iterator[BucketItem],
                  state: GroupState[(Map[String, Long], Long)]): Iterator[Candidate] = {
     val prev = state.getOption.getOrElse((Map.empty[String, Long], 0L))
     val (counters, n) = advance(prev, rows.map(_.item).toSeq, k)
     state.update((counters, n))
-    val live = counters.map { case (item, c) => Candidate(bucket, item, c, n) }
-    val tombstones = (prev._1.keySet -- counters.keySet)
-      .map(item => Candidate(bucket, item, 0L, n))
-    (live ++ tombstones).toSeq.sortBy(_.item).iterator
+    emit(bucket, prev._1, counters, n)
+  }
+
+  /** Lane assignment shared by both runtimes: xxhash64 (restart-stable)
+    * normalized into [0, buckets) — Spark's % keeps the sign. */
+  private def bucketed(items: Dataset[String], buckets: Int): Dataset[BucketItem] = {
+    import items.sparkSession.implicits._
+    items.toDF("item")
+      .select(xxhash64($"item").mod(buckets).cast("int").as("bucket"), $"item")
+      .withColumn("bucket", (($"bucket" % buckets) + buckets) % buckets)
+      .as[BucketItem]
   }
 
   /** Items (one string column named `item`) → live candidate sets.
@@ -71,12 +91,48 @@ object StreamingHeavyHitters {
   def run(items: Dataset[String], k: Int, buckets: Int): Dataset[Candidate] = {
     require(k >= 2 && buckets >= 1)
     import items.sparkSession.implicits._
-    items.toDF("item")
-      .select(xxhash64($"item").mod(buckets).cast("int").as("bucket"), $"item")
-      // xxhash64 can be negative; mod keeps sign in Spark → normalize
-      .withColumn("bucket", (($"bucket" % buckets) + buckets) % buckets)
-      .as[BucketItem]
+    bucketed(items, buckets)
       .groupByKey(_.bucket)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn(k))
+  }
+
+  /** v2-state twin state record: ValueState needs a Product encoder. */
+  case class LaneState(counters: Map[String, Long], n: Long)
+
+  /** The same operator on Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`) —
+    * the per-state-variable runtime with TTL/timer support and RocksDB
+    * changelog checkpointing at scale. Wraps the SAME [[advance]] fold
+    * and [[emit]] projection as the v1 path, so the spec can assert the
+    * two APIs produce identical candidate sets AND tombstones, batch and
+    * stream (the established twin pattern: TopSpeed, RunningCount). */
+  class HeavyHittersProcessor(k: Int)
+      extends StatefulProcessor[Int, BucketItem, Candidate] {
+    @transient private var state: ValueState[LaneState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LaneState]("mgLaneState",
+        Encoders.product[LaneState], TTLConfig.NONE)
+    override def handleInputRows(bucket: Int, rows: Iterator[BucketItem],
+                                 timerValues: TimerValues): Iterator[Candidate] = {
+      val prev = Option(state.get()).getOrElse(LaneState(Map.empty, 0L))
+      val (counters, n) = advance((prev.counters, prev.n),
+        rows.map(_.item).toSeq, k)
+      state.update(LaneState(counters, n))
+      emit(bucket, prev.counters, counters, n)
+    }
+  }
+
+  /** [[run]]'s twin on the v2 state API. */
+  def runTws(items: Dataset[String], k: Int, buckets: Int): Dataset[Candidate] = {
+    require(k >= 2 && buckets >= 1)
+    import items.sparkSession.implicits._
+    // batch transformWithState needs the StateStoreCoordinator RPC
+    // endpoint, bootstrapped by touching the StreamingQueryManager
+    // (same workaround as TopSpeed.runTws)
+    items.sparkSession.streams
+    bucketed(items, buckets)
+      .groupByKey(_.bucket)
+      .transformWithState(new HeavyHittersProcessor(k),
+        TimeMode.None(), OutputMode.Update)
   }
 }

@@ -79,6 +79,24 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("funnel: one hash exchange regardless of step count") {
+    // the r5 nit: the old per-step (filter → join → agg) chain cost 10
+    // exchanges for 3 steps and doubled the plan per fold level. The
+    // collect-sorted-lists formulation is ONE user-key shuffle; a fourth
+    // step must not add another.
+    import org.apache.spark.sql.functions._
+    for (steps <- Seq(Seq("view", "click", "purchase"),
+                      Seq("view", "click", "purchase", "view"))) {
+      val ev = Tables.events(spark, sf)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us"))
+      val df = graft.rel.Analytics.funnel(ev, steps)
+      val plan = executed(df).split("== Initial Plan ==").head
+      val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(ex <= 1, s"funnel(${steps.size} steps) grew to $ex exchanges:\n$plan")
+    }
+  }
+
   test("chunkDedup: rank filter is pushed below the shuffle (WindowGroupLimit)") {
     // the reason first-occurrence selection uses row_number + filter
     // rather than groupBy-min + join-back: Catalyst rewrites rank<=1

@@ -61,6 +61,60 @@ class BoundedTopKSpec extends SparkSuite {
     assert(per.forall(_._2 <= 2))
   }
 
+  test("mirrored literal-on-the-left equality bound fires (rn = k written as k = rn)") {
+    val naive = counts
+      .withColumn("rn", row_number().over(Window.orderBy(order: _*)))
+      .filter(lit(5) === col("rn"))
+    val plan = naive.queryExecution.executedPlan
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"mirrored EqualTo did not bound the window:\n$plan")
+    val got = naive.as[(String, Long, Int)].collect()
+    assert(got.length == 1 && got.head._3 == 5)
+  }
+
+  private def tied = Seq(
+    ("a", 10L), ("b", 9L), ("c", 9L), ("d", 9L), ("e", 5L), ("f", 5L), ("g", 1L)
+  ).toDF("tok", "cnt")
+
+  test("rank <= k with ties: ties-safe WindowGroupLimit bound, all tied rows kept") {
+    // disable Spark's own InferWindowGroupLimit so the assertion proves
+    // OUR rule closes the shape, then check against the enabled default
+    withSQLConf("spark.sql.optimizer.windowGroupLimitThreshold" -> "-1") {
+      val naive = tied
+        .withColumn("r", rank().over(Window.orderBy(col("cnt").desc)))
+        .filter(col("r") <= 2)
+      val got = naive.as[(String, Long, Int)].collect().sortBy(_._1)
+      // rank 2 is a THREE-way tie: 4 survivors from k=2 — Limit(2) would
+      // have dropped two of them
+      assert(got.map(_._1).toSeq === Seq("a", "b", "c", "d"))
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"rank shape not bounded with the built-in rule disabled:\n$plan")
+      assert(!plan.contains("TakeOrderedAndProject"),
+        s"tie-unsafe row_number rewrite applied to rank():\n$plan")
+    }
+    // default conf: Spark's rule fires first; ours must leave it alone
+    // (idempotence) and results must be identical
+    val dflt = tied
+      .withColumn("r", rank().over(Window.orderBy(col("cnt").desc)))
+      .filter(col("r") <= 2)
+      .as[(String, Long, Int)].collect().sortBy(_._1)
+    assert(dflt.map(_._1).toSeq === Seq("a", "b", "c", "d"))
+  }
+
+  test("dense_rank <= k bounds via WindowGroupLimit and keeps whole value classes") {
+    withSQLConf("spark.sql.optimizer.windowGroupLimitThreshold" -> "-1") {
+      val naive = tied
+        .withColumn("r", dense_rank().over(Window.orderBy(col("cnt").desc)))
+        .filter(col("r") <= 3)
+      val got = naive.as[(String, Long, Int)].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq === Seq("a", "b", "c", "d", "e", "f"))
+      val plan = naive.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"dense_rank shape not bounded:\n$plan")
+    }
+  }
+
   test("windows computing anything besides row_number are not rewritten") {
     // a full-frame sum must see every row; the rule must not bound it
     val df = counts

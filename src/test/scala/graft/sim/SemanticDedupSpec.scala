@@ -34,6 +34,35 @@ class SemanticDedupSpec extends SparkSuite {
     assert(r.size === 10 && r.forall(_._3 === 1))
   }
 
+  test("oversized clusters bypass the groupByKey; bounded ones still dedup") {
+    // cluster 0 (east): 9 members > maxCluster=5 → map-side keep=1 path;
+    // cluster 1 (north): 3 members ≤ 5 → grouped, scaled copy drops
+    val emb = (Seq((0L, east(1f)), (1L, north(1f)),
+      (10L, north(3f)), (11L, Array(0.5f, 1f, 0f, 0f))) ++
+      (2L until 10L).map(i => (i, east(1f + i)))).toDF("vec_id", "embedding")
+    val df = Similarity.semanticDedup(emb, nlist = 2, threshold = 0.99,
+      maxCluster = 5)
+    val r = df.as[(Long, Long, Int)].collect().sortBy(_._1).toSeq
+    // east members (0, 2..9): kept wholesale; north: 10 duplicates 1's
+    // direction and drops, 11 is off-axis and survives
+    assert(r.filter(t => t._2 == 0L).forall(_._3 == 1))
+    assert(r.find(_._1 == 10L).get._3 === 0)
+    assert(r.find(_._1 == 11L).get._3 === 1)
+    assert(r.size === 12)
+    // the buffer bound is structural, not behavioral: the grouped path
+    // sits above a csz <= maxCluster filter, the > maxCluster rows join
+    // the result through a group-free projection
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("MapGroups"), s"no grouped path in plan:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("Filter") &&
+      l.contains("csz") && l.contains("<= 5")),
+      s"grouped path is not size-bounded:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("Filter") &&
+      l.contains("csz") && l.contains("> 5")),
+      s"no bypass route for oversized clusters:\n$plan")
+  }
+
   test("drop rule is earlier-ID, not earlier-KEPT: a dropped doc still shields") {
     // chain: 0 ~ 1 (>= t), 1 ~ 2 (>= t), 0 !~ 2. Earlier-id rule drops
     // BOTH 1 (via 0) and 2 (via the already-dropped 1) — one pass,
