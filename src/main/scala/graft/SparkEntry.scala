@@ -251,6 +251,24 @@ object SparkEntry {
     // per-key count distribution as an integer-exact log2 histogram
     "q_skew_profile" -> ((s, d) =>
       Analytics.skewProfile(Tables.orders(s, d), "o_custkey")),
+    // gap-based sessionization over cold logs (batch twin of the
+    // streaming session window; == gap merges, > gap breaks)
+    "q_sessionize" -> ((s, d) =>
+      Analytics.sessionize(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("ts_us")), gapUs = SessionGapUs)),
+    // sweep-line interval counting: lineitems in transit per order day —
+    // prefix sums over the day-level delta stream, never a BETWEEN join.
+    // The corpus has no receipt date, so transit time is synthesized
+    // deterministically (ship + orderkey%30 days), mirrored in the oracle
+    "q_interval_count" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d).select(
+        to_date(col("l_shipdate")).as("ship"),
+        date_add(to_date(col("l_shipdate")),
+          (col("l_orderkey") % 30).cast("int")).as("receipt"))
+      Analytics.activeIntervalsAt(iv, "ship", "receipt",
+        Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day")), "day")
+    }),
     // profile → pick → execute: the skew histogram chooses the physical
     // join (broadcast here — the urgent-orders dim is small); any picked
     // strategy returns the same rows, so the oracle is the plain join
@@ -650,6 +668,11 @@ object SparkEntry {
     * sides. */
   private val FunnelSteps = Seq("view", "click", "purchase")
   private val CohortPeriodSec = 86400L
+
+  /** q_sessionize gap (30 s in µs — same operating point as
+    * q_session_sum's 30 s so the two session views describe the same
+    * corpus behavior), interpolated into both sides. */
+  private val SessionGapUs = 30000000L
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -1359,6 +1382,35 @@ object SparkEntry {
         |       count(*) AS n_keys, cast(sum(cnt) AS bigint) AS n_rows,
         |       max(cnt) AS max_cnt
         |FROM c GROUP BY 1""".stripMargin,
+    "q_sessionize" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+         |           FROM events),
+         |b AS (SELECT user_id, event_id, ts_us,
+         |             CASE WHEN ts_us - lag(ts_us) OVER w > $SessionGapUs
+         |                  THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |s AS (SELECT user_id, ts_us,
+         |             sum(brk) OVER (PARTITION BY user_id
+         |                            ORDER BY ts_us, event_id
+         |                            ROWS UNBOUNDED PRECEDING) AS session_idx
+         |      FROM b)
+         |SELECT user_id, cast(session_idx AS bigint) AS session_idx,
+         |       count(*) AS n_events,
+         |       min(ts_us) AS t_start_us, max(ts_us) AS t_end_us,
+         |       max(ts_us) - min(ts_us) AS dur_us
+         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // the oracle IS the naive BETWEEN join the operator refuses to run —
+    // DuckDB's IEJoin handles it at gate scale; the sweep-line must agree
+    "q_interval_count" ->
+      """WITH days AS (SELECT DISTINCT cast(o_orderdate AS date) AS day
+        |              FROM orders),
+        |iv AS (SELECT cast(l_shipdate AS date) AS ship,
+        |              cast(l_shipdate AS date) + cast(l_orderkey % 30 AS int)
+        |                AS receipt
+        |       FROM lineitem)
+        |SELECT day, cast(count(ship) AS bigint) AS n_active
+        |FROM days LEFT JOIN iv ON ship <= day AND receipt >= day
+        |GROUP BY day""".stripMargin,
     "q_bloom_join" ->
       """SELECT l_returnflag,
         |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,

@@ -343,6 +343,81 @@ object Analytics {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Gap-based sessionization: assign each event a per-user session
+    * index (a new session starts when the gap to the previous event
+    * EXCEEDS `gapUs` — exactly-equal gaps merge, matching Spark's own
+    * `session_window` semantics), then aggregate one row per session:
+    * event count, start/end, duration. The batch twin of the streaming
+    * session window — the form a training pipeline runs over cold logs.
+    *
+    * Scale shape: one exchange on user_id; the break-flag lag() and the
+    * running session-index sum share the same partitioning and sort, and
+    * the final per-(user, session) aggregate's grouping keys are a
+    * SUPERSET of the partition key, so it reuses the partitioning too —
+    * the whole operator is one shuffle and one per-user sort, both
+    * bounded by a user's own history. All arithmetic stays in integer
+    * microseconds (cross-engine exact). */
+  def sessionize(events: DataFrame, gapUs: Long,
+                 userCol: String = "user_id", tsCol: String = "ts_us",
+                 idCol: String = "event_id"): DataFrame = {
+    require(gapUs > 0, s"session gap must be positive: $gapUs")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("brk",
+        when(col(tsCol) - lag(col(tsCol), 1).over(w) > gapUs, 1L)
+          .otherwise(0L)) // first event per user: lag NULL → no break
+      .withColumn("session_idx", sum(col("brk")).over(run))
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("t_start_us"),
+        max(col(tsCol)).as("t_end_us"),
+        (max(col(tsCol)) - min(col(tsCol))).as("dur_us"))
+  }
+
+  /** Interval-overlap counting by SWEEP-LINE: for each query day, how
+    * many [start, end] intervals contain it. The naive formulation is a
+    * non-equi BETWEEN join — O(|points|·|intervals|) pairs with no hash
+    * key, the classic quadratic trap (at 100 TB it simply never
+    * finishes). The sweep-line identity replaces it with prefix sums:
+    * active(d) = #{start ≤ d} − #{end < d}, so one linear pass builds a
+    * per-day delta stream (+1 at each start, −1 the day after each end,
+    * 0 at each query day so every point is representable) and a running
+    * sum over the DAY-LEVEL aggregate — a frame bounded by the calendar
+    * span, never the row count — reads off every answer.
+    *
+    * Requires end ≥ start per interval (else the −1 would precede its
+    * +1 and the subtraction identity breaks); date-typed columns.
+    *
+    * Even the tiny day-level running sum avoids a global sort: it
+    * partitions by YEAR, and cross-year offsets compose via a
+    * triangular self-join on the ≤|years|-row totals frame — the same
+    * band-and-compose shape as [[rankFamily]], so the plan stays free
+    * of unbounded single-partition sorts (the sp1 lint) at any scale. */
+  def activeIntervalsAt(intervals: DataFrame, startCol: String, endCol: String,
+                        points: DataFrame, pointCol: String): DataFrame = {
+    val starts = intervals.groupBy(col(startCol).as("day"))
+      .agg(count(lit(1)).as("delta"))
+    val ends = intervals.groupBy(date_add(col(endCol), 1).as("day"))
+      .agg((-count(lit(1))).as("delta"))
+    val days = points.select(col(pointCol).as("day")).distinct()
+    val deltas = starts.unionByName(ends)
+      .unionByName(days.withColumn("delta", lit(0L)))
+      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+      .withColumn("yr", year(col("day")))
+    val wRun = Window.partitionBy("yr").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val run = deltas.withColumn("run", sum(col("delta")).over(wRun))
+    val ytot = deltas.groupBy(col("yr")).agg(sum(col("delta")).as("ytot"))
+    val yoff = ytot.as("a")
+      .join(ytot.as("b"), col("b.yr") < col("a.yr"), "left_outer")
+      .groupBy(col("a.yr").as("yr"))
+      .agg(coalesce(sum(col("b.ytot")), lit(0L)).as("off"))
+    run.join(broadcast(yoff), "yr")
+      .join(days, Seq("day"), "left_semi")
+      .select(col("day"), (col("off") + col("run")).as("n_active"))
+  }
+
   /** Key-skew profiler: the distribution of per-key row counts as a
     * log2 histogram (bucket = floor(log2(cnt)), computed integer-exactly
     * as len(bin(cnt))-1 — no floating log at exact powers of two), with

@@ -241,6 +241,76 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getLong(0) == 20000L && r.getLong(1) == 20000L)
   }
 
+  test("sessionize: breaks strictly beyond the gap, == gap merges, sessions cover all events") {
+    import spark.implicits._
+    // u1: 0,10 | (gap 30 exactly merges) 40 | 100 breaks (60 > 30);
+    // u2: single event
+    val ev = Seq(
+      (1L, 1L, 0L), (1L, 2L, 10L), (1L, 3L, 40L), (1L, 4L, 100L),
+      (2L, 5L, 7L)
+    ).toDF("user_id", "event_id", "ts_us")
+    val r = Analytics.sessionize(ev, gapUs = 30L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(r === Seq(
+      (1L, 0L, 3L, 0L, 40L, 40L),   // 0,10,40 one session (== gap merges)
+      (1L, 1L, 1L, 100L, 100L, 0L), // 100 breaks
+      (2L, 0L, 1L, 7L, 7L, 0L)))
+    // real corpus: session event counts cover the table; one exchange
+    val events = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("ts_us"))
+    val sess = Analytics.sessionize(events, gapUs = 30000000L)
+    assert(sess.agg(sum("n_events")).head.getLong(0) == events.count())
+    sess.collect()
+    val plan = sess.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"sessionize grew beyond one exchange:\n$plan")
+  }
+
+  test("activeIntervalsAt: sweep-line equals the naive BETWEEN join; no global sort") {
+    import spark.implicits._
+    val iv = Seq(
+      ("1994-01-02", "1994-01-10"), ("1994-01-05", "1994-01-05"),
+      ("1994-12-30", "1995-01-03"), // interval crossing a YEAR boundary
+      ("1995-06-01", "1995-06-02")
+    ).toDF("s", "e").select(col("s").cast("date").as("s"), col("e").cast("date").as("e"))
+    val pts = Seq("1994-01-01", "1994-01-05", "1994-12-31", "1995-01-02",
+      "1995-03-03", "1995-06-02", "1995-06-02" // duplicate point: one output row
+    ).toDF("p").select(col("p").cast("date").as("p"))
+    val df = Analytics.activeIntervalsAt(iv, "s", "e", pts, "p")
+    val got = df.select(col("day").cast("string"), col("n_active"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      ("1994-01-01", 0L), // before everything: zero-active day still emitted
+      ("1994-01-05", 2L),
+      ("1994-12-31", 1L),
+      ("1995-01-02", 1L), // the cross-year interval is still open
+      ("1995-03-03", 0L),
+      ("1995-06-02", 1L)))
+    // naive join agreement on the real tables at sf0.001 (same synthetic
+    // receipt construction as q_interval_count)
+    val li = Tables.lineitem(spark, sf).select(
+      to_date(col("l_shipdate")).as("ship"),
+      date_add(to_date(col("l_shipdate")),
+        (col("l_orderkey") % 30).cast("int")).as("receipt"))
+    val od = Tables.orders(spark, sf)
+      .select(to_date(col("o_orderdate")).as("oday"))
+    val sweep = Analytics.activeIntervalsAt(li, "ship", "receipt", od, "oday")
+      .select(col("day").cast("string"), col("n_active"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    val naive = od.select(col("oday").as("day")).distinct()
+      .join(li, col("ship") <= col("day") &&
+        col("receipt") >= col("day"), "left_outer")
+      .groupBy(col("day")).agg(count(col("ship")).as("n_active"))
+      .select(col("day").cast("string"), col("n_active"))
+      .as[(String, Long)].collect().sortBy(_._1).toSeq
+    assert(sweep === naive)
+    // the whole point: no unbounded single-partition sort anywhere
+    df.collect()
+    assert(graft.core.PlanAudit.unboundedSinglePartitionSorts(
+      df.queryExecution.executedPlan) == 0)
+  }
+
   test("urgentHighNotPending: algebra matches a hand-filtered computation") {
     import spark.implicits._
     val o = Tables.orders(spark, sf)
