@@ -370,6 +370,10 @@ object SparkEntry {
     // top-k token types, for several k
     "q_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, d), CoverageKs)),
+    // forward skip-gram co-occurrence counts off the token array — no
+    // positional self-join (the quadratic trap); shuffle = pair vocab
+    "q_skipgram" -> ((s, d) =>
+      TextAnalysis.skipgramPairs(Tables.documents(s, d), SkipgramWindow)),
     // distributed BPE tokenizer training + greedy encode. A sequential
     // data-dependent argmax chain is not SQL-expressible as a corpus
     // query, but the gate's corpus is FIXED (sf0.01), so both carry full
@@ -627,6 +631,10 @@ object SparkEntry {
   /** q_vocab_coverage curve points; 40 > |vocab| (31 types) exercises the
     * k-larger-than-vocabulary clamp. */
   private val CoverageKs = Seq(5, 15, 40)
+
+  /** q_skipgram forward context width (word2vec's default is 5),
+    * interpolated into both sides. */
+  private val SkipgramWindow = 5
 
   /** q_window_ranks ntile bucket count and q_setops price threshold
     * (~40 surviving customers at sf0.01), interpolated into both sides. */
@@ -1712,6 +1720,14 @@ object SparkEntry {
          |SELECT k, cast(sum(cnt) AS bigint) AS covered, total
          |FROM ks JOIN rk ON rk.rk <= ks.k CROSS JOIN tot
          |GROUP BY k, total""".stripMargin,
+    "q_skipgram" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |p AS (SELECT tk, i FROM t,
+         |      unnest(generate_series(1, len(tk))) AS u(i)),
+         |pr AS (SELECT tk[i] AS w1, tk[j] AS w2 FROM p,
+         |       unnest(generate_series(i + 1, least(i + $SkipgramWindow,
+         |                                           len(tk)))) AS v(j))
+         |SELECT w1, w2, count(*) AS cnt FROM pr GROUP BY w1, w2""".stripMargin,
     "q_mixture_rates" -> s"""$MixtureOracleRates
          |SELECT stratum, cast(cnt AS bigint) AS cnt, cap * share / cnt AS rate
          |FROM f CROSS JOIN cap""".stripMargin,

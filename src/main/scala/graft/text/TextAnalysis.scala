@@ -387,6 +387,27 @@ object TextAnalysis {
     * [[vocabEncode]] (no unbounded single-partition sort); the ≤ max(k)
     * survivors then rank in a bounded window and theta-join against the
     * tiny k list. The full vocabulary never leaves the aggregation. */
+  /** Skip-gram co-occurrence counts: for every token position i, the
+    * FORWARD context pairs (tk[i], tk[j]) with i < j ≤ i+window, freq-
+    * counted corpus-wide — the co-occurrence statistic word2vec-family
+    * embedding training consumes (Mikolov et al. 2013). Pairs generate
+    * straight off each document's token ARRAY (posexplode + a column-
+    * indexed slice), so there is NO positional self-join anywhere — the
+    * naive formulation joins a corpus-sized position table to itself on
+    * a band predicate, which at 100 TB is the same quadratic trap as
+    * the BETWEEN join. One explode per position (bounded fan-out:
+    * `window` rows each) and one count shuffle whose cardinality is the
+    * pair VOCABULARY (Zipf-bounded), not the corpus. */
+  def skipgramPairs(df: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"context window must be >= 1: $window")
+    df.select(col("doc_id"), toks(col("text")).as("tk"))
+      .select(col("tk"), posexplode(col("tk")))
+      .select(col("col").as("w1"),
+        explode(slice(col("tk"), col("pos") + 2, lit(window))).as("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   def vocabCoverage(df: DataFrame, ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ > 0), s"ks must be positive: $ks")
     val tok = df.select(explode(toks(col("text"))).as("tok"))

@@ -8,6 +8,22 @@ class TextAnalysisSpec extends SparkSuite {
   private def docs(texts: String*) =
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
+  test("skipgramPairs: forward window pairs off the array, no self-join in the plan") {
+    val df = TextAnalysis.skipgramPairs(docs("a b c d", "a b"), window = 2)
+    val got = df.as[(String, String, Long)].collect()
+      .map(t => ((t._1, t._2), t._3)).toMap
+    // doc1 window-2 forward pairs: ab ac bc bd cd; doc2 adds ab again
+    assert(got === Map(("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("b", "d") -> 1L, ("c", "d") -> 1L))
+    // edge: window past the end clamps; single-token and empty docs emit 0
+    assert(TextAnalysis.skipgramPairs(docs("x", ""), window = 5).count() == 0)
+    // the scale property: pairs generate from each row's own array — a
+    // positional SELF-JOIN (quadratic at corpus scale) must not appear
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"positional join crept in:\n$plan")
+  }
+
   test("langId: empty doc yields ratio 0.0 and 'und', never NaN") {
     val rows = TextAnalysis.langId(docs("", "   ", "the cat sat on the mat"))
       .as[(Long, Double, String)].collect().sortBy(_._1).toSeq
