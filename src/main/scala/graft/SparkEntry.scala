@@ -370,6 +370,16 @@ object SparkEntry {
     // top-k token types, for several k
     "q_vocab_coverage" -> ((s, d) =>
       TextAnalysis.vocabCoverage(Tables.documents(s, d), CoverageKs)),
+    // the naive global rank()+filter top-k — written the "wrong" way on
+    // purpose: BoundGlobalTopK rewrites it to a ties-safe
+    // WindowGroupLimit bound, so the gate exercises the optimizer rule
+    "q_rank_topk" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tokenize.wordCount(Tables.documents(s, d), "text")
+        .withColumn("rnk", rank().over(
+          Window.orderBy(col("cnt").desc, col("word").asc)).cast("bigint"))
+        .filter(col("rnk") <= RankTopK)
+    }),
     // forward skip-gram co-occurrence counts off the token array — no
     // positional self-join (the quadratic trap); shuffle = pair vocab
     "q_skipgram" -> ((s, d) =>
@@ -443,6 +453,11 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, d) => dedupClustersMemo(s, d)),
     "q_dedup_keep" -> ((s, d) =>
       Dedup.applyClusters(Tables.documents(s, d), dedupClustersMemo(s, d))),
+    // keep the LONGEST member per cluster (production dedup retains the
+    // most complete copy, not the arbitrary min-id one)
+    "q_canonical_keep" -> ((s, d) =>
+      Dedup.canonicalKeep(Tables.documents(s, d), dedupClustersMemo(s, d),
+        "n_chars")),
     // dedup impact report: how big do near-dup clusters get (the skew
     // question for the keep-one join) — two tiny aggs over the memo
     "q_cluster_sizes" -> ((s, d) =>
@@ -635,6 +650,9 @@ object SparkEntry {
   /** q_skipgram forward context width (word2vec's default is 5),
     * interpolated into both sides. */
   private val SkipgramWindow = 5
+
+  /** q_rank_topk global-rank cut, interpolated into both sides. */
+  private val RankTopK = 5
 
   /** q_window_ranks ntile bucket count and q_setops price threshold
     * (~40 surviving customers at sf0.01), interpolated into both sides. */
@@ -913,6 +931,16 @@ object SparkEntry {
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS word
         |      FROM documents) t
         |WHERE length(word) > 0 GROUP BY word""".stripMargin,
+    "q_rank_topk" ->
+      s"""WITH vc AS (SELECT word, count(*) AS cnt
+         |            FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\W+')) AS word
+         |                  FROM documents) t
+         |            WHERE length(word) > 0 GROUP BY word)
+         |SELECT word, cnt, rnk FROM (
+         |  SELECT word, cnt,
+         |         cast(rank() OVER (ORDER BY cnt DESC, word) AS bigint) AS rnk
+         |  FROM vc) r
+         |WHERE rnk <= $RankTopK""".stripMargin,
     "q_tokenize_ws" ->
       """SELECT word, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(text, '\s')) AS word
@@ -1666,6 +1694,24 @@ object SparkEntry {
          |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
          |       (c.cluster_id IS NULL OR d.doc_id = c.cluster_id) AS keep
          |FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id""".stripMargin,
+    "q_canonical_keep" ->
+      s"""WITH RECURSIVE $duckLshPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |cc(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.node = e.src
+         |),
+         |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node),
+         |assigned AS (SELECT d.doc_id,
+         |                    coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |                    d.n_chars
+         |             FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, cluster_id,
+         |       (row_number() OVER (PARTITION BY cluster_id
+         |                           ORDER BY n_chars DESC, doc_id) = 1) AS keep
+         |FROM assigned""".stripMargin,
     "q_hash_sample" ->
       s"""SELECT doc_id, n_chars FROM documents
          |WHERE substring(md5(cast(doc_id AS varchar)), 1, 8) < '${Sampling.thresholdHex(0.25)}'""".stripMargin,

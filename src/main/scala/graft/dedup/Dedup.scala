@@ -364,6 +364,32 @@ object Dedup {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
         (col("cluster_id").isNull || col("doc_id") === col("cluster_id")).as("keep"))
 
+  /** Canonical-document selection: per near-dup cluster keep the BEST
+    * member by `scoreCol` (ties → min doc_id), not the arbitrary
+    * min-id representative [[applyClusters]] keeps — production dedup
+    * retains the most complete/highest-quality copy, and which copy
+    * survives changes the training mix. Unclustered docs are their own
+    * singleton (keep=true).
+    *
+    * Scale shape: the cluster assignment join is the same left join as
+    * [[applyClusters]]; the argmax is a row_number over the CLUSTER
+    * partitioning — clusters are near-dup groups (small by
+    * construction; q_cluster_sizes is the audit), so the per-partition
+    * sort is bounded by the largest cluster, never the corpus. */
+  def canonicalKeep(docs: DataFrame, clusters: DataFrame,
+                    scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col(scoreCol))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col(scoreCol))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("cluster_id"), col("keep"))
+  }
+
   /** Benchmark decontamination — drop training documents that share any
     * word n-gram with an evaluation set (the step that keeps test
     * benchmarks out of the training mix). `benchDocs` is (doc_id, text)

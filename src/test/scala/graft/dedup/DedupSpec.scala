@@ -204,6 +204,23 @@ class DedupSpec extends SparkSuite {
     assert(r.toSeq === Seq((0L, 2L, 2L, "a b c d"), (1L, 2L, 1L, "e f")))
   }
 
+  test("canonicalKeep: best-by-score survives per cluster, not min-id; singletons keep") {
+    // cluster 10: docs 10 (len 5), 11 (len 9), 12 (len 9) → 11 wins the
+    // tie against 12 by id, and min-id 10 does NOT survive; 99 is
+    // unclustered → singleton keep
+    val d = Seq((10L, 5L), (11L, 9L), (12L, 9L), (99L, 1L))
+      .toDF("doc_id", "n_chars")
+    val clusters = Seq((10L, 10L), (11L, 10L), (12L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val r = Dedup.canonicalKeep(d, clusters, "n_chars")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(r === Seq((10L, 10L, false), (11L, 10L, true),
+      (12L, 10L, false), (99L, 99L, true)))
+    // exactly one survivor per cluster, always
+    val perCluster = r.groupBy(_._2).view.mapValues(_.count(_._3)).toMap
+    assert(perCluster.values.forall(_ == 1))
+  }
+
   test("chunkDedup: ragged tail chunk is its own unit and result is partition-independent") {
     val d = docs("p q r s t", "p q r s t")  // k=2 → ["p q","r s","t"]
     val r1 = Dedup.chunkDedup(d, k = 2).as[(Long, Long, Long, String)]
