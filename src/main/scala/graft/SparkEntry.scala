@@ -272,6 +272,18 @@ object SparkEntry {
     // profile → pick → execute: the skew histogram chooses the physical
     // join (broadcast here — the urgent-orders dim is small); any picked
     // strategy returns the same rows, so the oracle is the plain join
+    // exact per-type quartiles read off the banded rank infrastructure
+    // (no percentile_approx estimation, no monolithic per-type sort)
+    "q_group_quantiles" -> ((s, d) =>
+      Analytics.groupQuantiles(s, d, QuantileSpecs)),
+    // last-touch attribution: latest preceding click per purchase, one
+    // exchange + one sort via a prefix-max of struct(ts, id)
+    "q_attribution" -> ((s, d) =>
+      Analytics.attribution(s, d, AttrTouch, AttrConv)),
+    // incremental SCD2 maintenance: merge the newer half as a delta
+    // batch into the SCD2 of the older half; the oracle is the FULL
+    // rebuild — the merge path must be indistinguishable
+    "q_scd2_merge" -> ((s, d) => Analytics.scd2MergeQuery(s, d)),
     "q_adaptive_join" -> ((s, d) => {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
@@ -366,6 +378,15 @@ object SparkEntry {
     // n-gram novelty: per-doc count of corpus-unique bigram shingles
     "q_novelty" -> ((s, d) =>
       TextAnalysis.noveltyScore(Tables.documents(s, d))),
+    // C4-style boilerplate: docs sharing a first-k-token prefix with
+    // >= minDocs others get the prefix stripped from their token count
+    "q_boilerplate" -> ((s, d) =>
+      TextAnalysis.boilerplate(Tables.documents(s, d),
+        BoilerPrefixLen, BoilerMinDocs)),
+    // bounded inverted index: df + first-k postings per token; the
+    // top-k runs as WindowGroupLimit so stopwords never flood a shuffle
+    "q_postings" -> ((s, d) =>
+      TextAnalysis.postings(Tables.documents(s, d), PostingsK)),
     // tokenizer-sizing measurement: token-occurrence mass covered by the
     // top-k token types, for several k
     "q_vocab_coverage" -> ((s, d) =>
@@ -699,6 +720,40 @@ object SparkEntry {
     * q_session_sum's 30 s so the two session views describe the same
     * corpus behavior), interpolated into both sides. */
   private val SessionGapUs = 30000000L
+
+  /** q_group_quantiles: quartiles as exact (num, den) rationals —
+    * interpolated into both sides so the ceil-target arithmetic is
+    * literally the same integers. */
+  private val QuantileSpecs = Seq((1, 4), (2, 4), (3, 4))
+
+  /** The SCD2 full-rebuild oracle — shared verbatim by q_scd2 and
+    * q_scd2_merge: the incremental merge's correctness claim IS
+    * equality with the full rebuild. */
+  private val Scd2RebuildSql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      |                  event_type
+      |           FROM events),
+      |ch AS (SELECT user_id, event_id, ts_us, event_type
+      |       FROM (SELECT *, lag(event_type) OVER
+      |               (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+      |             FROM e)
+      |       WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_id, event_type, ts_us AS valid_from,
+      |       lead(ts_us) OVER w AS valid_to,
+      |       (lead(ts_us) OVER w IS NULL) AS is_current
+      |FROM ch
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin
+
+  /** q_attribution touch/conversion event types. */
+  private val AttrTouch = "click"
+  private val AttrConv = "purchase"
+
+  /** q_boilerplate prefix length (tokens) and minimum sharer count. */
+  private val BoilerPrefixLen = 3
+  private val BoilerMinDocs = 2
+
+  /** q_postings per-token posting-list cap. */
+  private val PostingsK = 8
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -1397,20 +1452,38 @@ object SparkEntry {
          |SELECT o_custkey FROM orders WHERE o_totalprice > $SetOpsMinPrice
          |EXCEPT
          |SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""".stripMargin,
-    "q_scd2" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
-        |                  event_type
-        |           FROM events),
-        |ch AS (SELECT user_id, event_id, ts_us, event_type
-        |       FROM (SELECT *, lag(event_type) OVER
-        |               (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
-        |             FROM e)
-        |       WHERE prev IS NULL OR prev <> event_type)
-        |SELECT user_id, event_id, event_type, ts_us AS valid_from,
-        |       lead(ts_us) OVER w AS valid_to,
-        |       (lead(ts_us) OVER w IS NULL) AS is_current
-        |FROM ch
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+    "q_scd2" -> Scd2RebuildSql,
+    // incremental merge vs the FULL rebuild: same oracle by design
+    "q_scd2_merge" -> Scd2RebuildSql,
+    "q_group_quantiles" ->
+      s"""WITH r AS (SELECT event_type, value,
+         |                  rank() OVER (PARTITION BY event_type
+         |                               ORDER BY value, event_id) AS rn,
+         |                  count(*) OVER (PARTITION BY event_type) AS n
+         |           FROM events),
+         |q AS (SELECT * FROM (VALUES ${QuantileSpecs
+        .map { case (p, d) => s"($p, $d)" }.mkString(", ")})
+         |      t(p_num, p_den))
+         |SELECT event_type, 'q' || p_num || '_' || p_den AS q_label, n,
+         |       value AS q_value
+         |FROM r JOIN q ON rn = (n * p_num + p_den - 1) // p_den""".stripMargin,
+    "q_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         |                  event_type
+         |           FROM events),
+         |s AS (SELECT *, sum(CASE WHEN event_type = '$AttrTouch'
+         |                         THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS seq
+         |      FROM e),
+         |t AS (SELECT user_id, seq, event_id AS touch_id,
+         |             ts_us AS touch_ts_us
+         |      FROM s WHERE event_type = '$AttrTouch'),
+         |c AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts_us, seq
+         |      FROM s WHERE event_type = '$AttrConv')
+         |SELECT c.user_id, conv_id, conv_ts_us, touch_id, touch_ts_us,
+         |       conv_ts_us - touch_ts_us AS gap_us
+         |FROM c LEFT JOIN t ON c.user_id = t.user_id AND c.seq = t.seq""".stripMargin,
     "q_skew_profile" ->
       """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders
         |           GROUP BY o_custkey)
@@ -1756,6 +1829,34 @@ object SparkEntry {
          |       CASE WHEN n_novel * 2 >= n_shingles THEN 'novel' ELSE 'stock' END
          |         AS novelty_band
          |FROM d""".stripMargin,
+    "q_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |b AS (SELECT doc_id, cast(len(tk) AS bigint) AS n_tokens,
+         |             CASE WHEN len(tk) >= $BoilerPrefixLen
+         |                  THEN array_to_string(tk[1:$BoilerPrefixLen], ' ')
+         |             END AS prefix
+         |      FROM t),
+         |h AS (SELECT prefix, count(*) AS n_docs FROM b
+         |      WHERE prefix IS NOT NULL
+         |      GROUP BY prefix HAVING count(*) >= $BoilerMinDocs)
+         |SELECT doc_id, n_tokens, (n_docs IS NOT NULL) AS had_boilerplate,
+         |       CASE WHEN n_docs IS NOT NULL
+         |            THEN n_tokens - $BoilerPrefixLen
+         |            ELSE n_tokens END AS clean_tokens
+         |FROM b LEFT JOIN h USING (prefix)""".stripMargin,
+    "q_postings" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($DuckToks) AS tk
+         |           FROM documents),
+         |p AS (SELECT doc_id, unnest(tk) AS token FROM t),
+         |d AS (SELECT token, count(*) AS df FROM p GROUP BY token),
+         |r AS (SELECT token, doc_id,
+         |             row_number() OVER (PARTITION BY token
+         |                                ORDER BY doc_id) AS rn
+         |      FROM p),
+         |s AS (SELECT token, string_agg(cast(doc_id AS varchar), ','
+         |                               ORDER BY doc_id) AS postings
+         |      FROM r WHERE rn <= $PostingsK GROUP BY token)
+         |SELECT d.token, df, postings FROM d JOIN s USING (token)""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |tok AS (SELECT unnest(tk) AS tok FROM t),

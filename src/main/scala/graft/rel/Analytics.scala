@@ -357,12 +357,18 @@ object Analytics {
     * (ts, event_id), so the plan is one exchange and one sort; the
     * change filter shrinks the frame before the second window evaluates.
     * valid_to is NULL on each user's current row (is_current). */
-  def scd2(spark: SparkSession, dir: String): DataFrame = {
+  def scd2(spark: SparkSession, dir: String): DataFrame =
+    scd2Core(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type")))
+
+  /** SCD2 compaction core over (user_id, event_id, ts_us, event_type) —
+    * see [[scd2]]. Exposed separately so [[scd2Merge]] can recompact an
+    * arbitrary change-stream frame. */
+  def scd2Core(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts_us"), col("event_id"))
-    val changed = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"),
-        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+    val changed = events
       .withColumn("prev", lag(col("event_type"), 1).over(w))
       .filter(col("prev").isNull || col("prev") =!= col("event_type"))
       .drop("prev")
@@ -371,6 +377,59 @@ object Analytics {
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("ts_us").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"))
+  }
+
+  /** Incremental SCD2 maintenance: apply an append-only `delta` batch of
+    * raw events to an existing compacted SCD2 table `base` WITHOUT
+    * rebuilding history for users the batch never touched. The scheduled
+    * production shape: the nightly batch is a sliver of the corpus, so
+    * the merge must cost O(|delta| + |affected users' history|), not
+    * O(|base|) window work.
+    *
+    *  - untouched users: their base rows pass through a broadcast
+    *    anti-join — no window, no sort, no per-user state.
+    *  - affected users (those with >= 1 delta event): their compacted
+    *    base rows ARE a sufficient change-stream (consecutive rows
+    *    always differ, and compaction is idempotent on an already-
+    *    compacted stream), so re-running [[scd2Core]] over
+    *    (base change rows ∪ delta events) reproduces exactly what a
+    *    full rebuild over (raw base ∪ delta) would emit — the spec
+    *    asserts this equality, and the gate query's oracle IS the
+    *    full-rebuild SQL.
+    *
+    * CONTRACT: `delta` is append-only per user — every delta event of a
+    * user orders (ts_us, event_id)-after all of that user's base events.
+    * A late event older than a user's latest base change would need rows
+    * compaction already dropped; feeding one produces a history that
+    * disagrees with the full rebuild (exactly as it would in a stored
+    * SCD2 table in production). */
+  def scd2Merge(base: DataFrame, delta: DataFrame): DataFrame = {
+    val affected = delta.select(col("user_id")).distinct()
+    val untouched = base.join(broadcast(affected), Seq("user_id"), "left_anti")
+    val reopened = base.join(broadcast(affected), Seq("user_id"), "left_semi")
+      .select(col("user_id"), col("event_id"),
+        col("valid_from").as("ts_us"), col("event_type"))
+    untouched.unionByName(
+      scd2Core(reopened.unionByName(delta)))
+  }
+
+  /** Gate form of [[scd2Merge]]: split the corpus at its midpoint
+    * timestamp (computed in-plan — one tiny agg broadcast back, no
+    * driver collect), build the SCD2 base from the older half, merge
+    * the newer half as the delta batch. The oracle is the FULL-rebuild
+    * SQL over all events — the merge path must be indistinguishable. */
+  def scd2MergeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+    val split = ev.agg(
+      expr("(min(ts_us) + max(ts_us)) div 2").as("split_us"))
+    val withSplit = ev.crossJoin(broadcast(split))
+    val base = scd2Core(withSplit.filter(col("ts_us") < col("split_us"))
+      .drop("split_us"))
+    val delta = withSplit.filter(col("ts_us") >= col("split_us"))
+      .drop("split_us")
+    scd2Merge(base, delta)
   }
 
   /** Gap-based sessionization: assign each event a per-user session
@@ -446,6 +505,96 @@ object Analytics {
     run.join(broadcast(yoff), "yr")
       .join(days, Seq("day"), "left_semi")
       .select(col("day"), (col("off") + col("run")).as("n_active"))
+  }
+
+  /** Exact per-group discrete quantiles, composed on the banded
+    * [[rankFamily]] infrastructure — the scalable answer to "median per
+    * group" when the group domain is small and closed (the same
+    * parallelism trap [[windowRanks]] fixes). quantile p/d of a group =
+    * the value at global position ceil(p·n/d) in the (value, event_id)
+    * order; because event_id is unique, rankFamily's composite rank IS
+    * that position, so selection is a broadcast join of per-group
+    * targets against the already-banded ranks — no new sort, no
+    * percentile_approx estimation error, integer-exact target
+    * arithmetic, and the output value is copied bit-for-bit from the
+    * source column. One infrastructure (banded ranking), three
+    * consumers (windowRanks, rank-top-k gates, quantiles).
+    *
+    * Requires a unique tie-break id per row ([[rankFamily]]'s event_id)
+    * — duplicate (value, event_id) pairs would make rank() skip the
+    * target position. */
+  def groupQuantiles(spark: SparkSession, dir: String,
+                     quantiles: Seq[(Int, Int)], bands: Int = 32): DataFrame =
+    groupQuantilesOf(Tables.events(spark, dir)
+      .select(col("event_id"), col("event_type"), col("value")),
+      quantiles, bands)
+
+  /** Core of [[groupQuantiles]] over (event_id, event_type, value);
+    * `rowsPerBand` threads through to [[rankFamily]] so specs can force
+    * the banded path. */
+  def groupQuantilesOf(events: DataFrame, quantiles: Seq[(Int, Int)],
+                       bands: Int, rowsPerBand: Long = 1L << 20): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (p, d) =>
+      require(p >= 1 && p <= d, s"quantile must be in (0, 1]: $p/$d") }
+    val ranked = rankFamily(events, buckets = 4, bands, rowsPerBand)
+      .select(col("event_type"), col("value"), col("rnk"))
+    val qArr = array(quantiles.map { case (p, d) =>
+      struct(lit(p).as("p_num"), lit(d).as("p_den")) }: _*)
+    val targets = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), explode(qArr).as("q"))
+      .select(col("event_type"), col("n"),
+        col("q.p_num").as("p_num"), col("q.p_den").as("p_den"))
+      .withColumn("target", expr("(n * p_num + p_den - 1) div p_den"))
+    ranked.join(broadcast(targets), Seq("event_type"))
+      .filter(col("rnk") === col("target"))
+      .select(col("event_type"),
+        concat(lit("q"), col("p_num"), lit("_"), col("p_den")).as("q_label"),
+        col("n"), col("value").as("q_value"))
+  }
+
+  /** Last-touch attribution: for every conversion event, the most
+    * recent preceding touch event of the same user — "which click gets
+    * credit for this purchase", the marketing-analytics join every
+    * event warehouse runs. "Preceding" is by the total order
+    * (ts_us, event_id), so same-microsecond ties resolve
+    * deterministically; a conversion with no preceding touch keeps NULL
+    * touch columns (left semantics both engines agree on).
+    *
+    * Scale shape: ONE exchange on user_id and ONE per-user sort —
+    * not an as-of join. The latest preceding touch is the MAX of
+    * struct(ts_us, event_id) over touch rows in the ordered prefix
+    * frame (non-touch rows contribute NULL, which max skips;
+    * struct comparison is lexicographic, so max = last in sort order),
+    * a running window aggregate over the same sort the row order
+    * already has. Per-row state is one struct; nothing buffers. */
+  def attribution(spark: SparkSession, dir: String,
+                  touchType: String = "click",
+                  convType: String = "purchase"): DataFrame =
+    attributionOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type")),
+      touchType, convType)
+
+  /** Core of [[attribution]] over (user_id, event_id, ts_us,
+    * event_type). */
+  def attributionOf(events: DataFrame, touchType: String,
+                    convType: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("last_touch",
+        max(when(col("event_type") === touchType,
+          struct(col("ts_us"), col("event_id")))).over(w))
+      .filter(col("event_type") === convType)
+      .select(col("user_id"),
+        col("event_id").as("conv_id"),
+        col("ts_us").as("conv_ts_us"),
+        col("last_touch.event_id").as("touch_id"),
+        col("last_touch.ts_us").as("touch_ts_us"),
+        (col("ts_us") - col("last_touch.ts_us")).as("gap_us"))
   }
 
   /** Key-skew profiler: the distribution of per-key row counts as a

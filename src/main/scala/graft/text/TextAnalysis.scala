@@ -427,4 +427,66 @@ object TextAnalysis {
       .crossJoin(broadcast(tot))
       .select(col("k"), col("covered"), col("total"))
   }
+
+  /** Shared-prefix boilerplate detection (the C4/Gopher-style cleaning
+    * step for scraped corpora, where templated headers repeat across
+    * thousands of pages): group documents by their first-`prefixLen`
+    * tokens; a prefix shared by >= `minDocs` documents is boilerplate.
+    * Emits one row per document: the flag and the token count after
+    * stripping a detected prefix (non-boilerplate docs keep all
+    * tokens; docs shorter than `prefixLen` can never match — their
+    * prefix key is NULL and NULL groups are never boilerplate).
+    *
+    * Scale shape: the prefix key is a bounded `prefixLen`-token string
+    * computed map-side; one count shuffle whose cardinality is the
+    * DISTINCT-prefix domain (boilerplate-rich corpora compress hard),
+    * and one broadcast-able join back on the prefix — at 100 TB the
+    * flagged-prefix table is tiny (only prefixes with >= minDocs
+    * copies), so the join never shuffles the corpus. */
+  def boilerplate(df: DataFrame, prefixLen: Int, minDocs: Int): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be >= 1: $prefixLen")
+    require(minDocs >= 2, s"boilerplate needs >= 2 sharers: $minDocs")
+    val based = df.select(col("doc_id"), toks(col("text")).as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("bigint"))
+      .withColumn("prefix",
+        when(col("n_tokens") >= prefixLen,
+          concat_ws(" ", slice(col("tk"), 1, prefixLen))))
+    val hot = based.filter(col("prefix").isNotNull)
+      .groupBy(col("prefix")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    based.join(broadcast(hot), Seq("prefix"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        col("n_docs").isNotNull.as("had_boilerplate"),
+        when(col("n_docs").isNotNull, col("n_tokens") - prefixLen)
+          .otherwise(col("n_tokens")).as("clean_tokens"))
+  }
+
+  /** Bounded inverted-index postings: per token, the document frequency
+    * and the FIRST `k` doc_ids (ascending, comma-joined) — the search /
+    * decontamination index build, with the posting list explicitly
+    * capped so no token's row is ever corpus-sized.
+    *
+    * Scale shape: the per-token top-k runs as a `row_number <= k`
+    * window filter, which Spark plans as WindowGroupLimit — each map
+    * task keeps only k postings per token BEFORE the exchange, so a
+    * stopword's shuffle contribution is O(k·tasks), never its true df.
+    * The full df comes from a separate count aggregate (map-side
+    * combined, carries one long per token) over the same deduplicated
+    * (token, doc) frame, joined co-partitioned on token. */
+  def postings(df: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"postings cap must be >= 1: $k")
+    val pairs = df
+      .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("token"))
+    val dfreq = pairs.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("token")).orderBy(col("doc_id"))
+    val firstK = pairs
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(col("token"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(col("doc_id"))),
+          d => d.cast("string"))).as("postings"))
+    dfreq.join(firstK, Seq("token"))
+  }
 }

@@ -243,4 +243,25 @@ class PlanSpec extends SparkSuite {
     assert(!readSchema.contains("n_tokens") && !readSchema.contains("n_chars"),
       s"scan reads unused columns: $readSchema")
   }
+
+  test("postings: per-token cap is a map-side WindowGroupLimit; df agg is partial") {
+    // a stopword's postings must never flood the exchange: the rn <= k
+    // filter has to plan as WindowGroupLimit so each map task ships at
+    // most k (token, doc) pairs per token
+    val plan = executed(graft.text.TextAnalysis.postings(
+      Tables.documents(spark, sf), k = 8))
+    assert(plan.contains("WindowGroupLimit"),
+      s"postings cap not pushed below the shuffle:\n$plan")
+    assert(plan.contains("partial_count"), "df lost map-side combine")
+  }
+
+  test("scd2Merge: untouched users bypass via broadcast anti-join, no window") {
+    // the incremental promise: the merge must not re-run window work
+    // over users the delta never touched — their rows flow through a
+    // BroadcastHashJoin LeftAnti, and only the affected slice re-sorts
+    import org.apache.spark.sql.functions._
+    val plan = executed(graft.rel.Analytics.scd2MergeQuery(spark, sf))
+    assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
+      s"untouched-user bypass lost its broadcast anti-join:\n$plan")
+  }
 }

@@ -369,4 +369,79 @@ class AnalyticsSpec extends SparkSuite {
       .agg(sum("n_users")).head.getLong(0)
     assert(offset0 == ev.select("user_id").distinct().count())
   }
+
+  test("groupQuantilesOf: exact order-statistic targets; banded path identical") {
+    import spark.implicits._
+    // type a: 10 rows with values 1..10; type b: 5 rows with values 1..5
+    // (inserted shuffled so nothing depends on input order)
+    val ev = (Seq(7, 3, 10, 1, 5, 8, 2, 9, 4, 6).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", v.toDouble) } ++
+      Seq(4, 1, 5, 2, 3).zipWithIndex
+        .map { case (v, i) => (100L + i, "b", v.toDouble) })
+      .toDF("event_id", "event_type", "value")
+    val qs = Seq((1, 4), (2, 4), (3, 4))
+    def run(rowsPerBand: Long) =
+      Analytics.groupQuantilesOf(ev, qs, bands = 4, rowsPerBand)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(3))).toSet
+    // a (n=10): targets ceil(10p/4) = 3, 5, 8 → 3rd/5th/8th smallest
+    // b (n=5):  targets ceil(5p/4)  = 2, 3, 4
+    val expect = Set(
+      ("a", "q1_4", 3.0), ("a", "q2_4", 5.0), ("a", "q3_4", 8.0),
+      ("b", "q1_4", 2.0), ("b", "q2_4", 3.0), ("b", "q3_4", 4.0))
+    assert(run(1L << 20) === expect, "monolithic path")
+    assert(run(4L) === expect, "banded path (forced)")
+  }
+
+  test("attributionOf: latest preceding touch by (ts, id); NULLs without a touch") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, 100L, "click"),
+      (1L, 2L, 200L, "click"),
+      // same µs as click 2 but a later event_id → the click precedes it
+      (1L, 3L, 200L, "purchase"),
+      (1L, 4L, 300L, "purchase"),
+      (2L, 5L, 100L, "purchase"), // user 2 never clicked
+      (3L, 6L, 100L, "view")      // not a conversion — absent from output
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val r = Analytics.attributionOf(ev, "click", "purchase").collect()
+    assert(r.length == 3)
+    val byConv = r.map(x => x.getLong(1) ->
+      (if (x.isNullAt(3)) None else Some((x.getLong(3), x.getLong(5))))).toMap
+    assert(byConv(3L) === Some((2L, 0L)), "same-µs earlier-id click attributed")
+    assert(byConv(4L) === Some((2L, 100L)), "latest click wins, gap exact")
+    assert(byConv(5L) === None, "no preceding touch → NULL columns")
+  }
+
+  test("scd2Merge: incremental merge == full rebuild; untouched users bypass the window") {
+    import spark.implicits._
+    val baseEv = Seq(
+      (1L, 1L, 100L, "view"), (1L, 2L, 200L, "view"), (1L, 3L, 300L, "click"),
+      (2L, 4L, 100L, "view"),
+      (3L, 5L, 100L, "click") // user 3 gets no delta — must pass through
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val delta = Seq(
+      (1L, 6L, 400L, "click"), // equals user 1's current state → absorbed
+      (1L, 7L, 500L, "view"),  // real change → new current row
+      (2L, 8L, 400L, "view"),  // absorbed
+      (4L, 9L, 400L, "signup") // user seen for the first time in the delta
+    ).toDF("user_id", "event_id", "ts_us", "event_type")
+    val full = Analytics.scd2Core(baseEv.unionByName(delta))
+    val merged = Analytics.scd2Merge(Analytics.scd2Core(baseEv), delta)
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0,
+      "incremental merge diverged from the full rebuild")
+    // the absorbed delta event must NOT open a new interval
+    assert(merged.filter(col("event_id") === 6L).count() == 0)
+    // delta-only user appears with a single current row
+    val u4 = merged.filter(col("user_id") === 4L).collect()
+    assert(u4.length == 1 && u4.head.getAs[Boolean]("is_current"))
+  }
+
+  test("scd2MergeQuery on real events equals the full scd2 rebuild") {
+    val merged = Analytics.scd2MergeQuery(spark, sf)
+    val full = Analytics.scd2(spark, sf)
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0)
+  }
 }

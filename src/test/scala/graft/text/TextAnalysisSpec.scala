@@ -186,4 +186,29 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(String, String, String, Long)].collect().sortBy(_._3)
     assert(r.toSeq === Seq(("s0", "en", "en", 1L), ("s0", "en", "und", 1L)))
   }
+
+  test("boilerplate: shared prefixes flagged and stripped; short docs never match") {
+    val d = docs(
+      "the quick brown fox jumps",  // 0: shares 3-token prefix with 1
+      "the quick brown cat sits",   // 1
+      "a different start here",     // 2: unique prefix
+      "the quick")                  // 3: shorter than the prefix length
+    val r = TextAnalysis.boilerplate(d, prefixLen = 3, minDocs = 2)
+      .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(r === Seq(
+      (0L, 5L, true, 2L), (1L, 5L, true, 2L),
+      (2L, 4L, false, 4L), (3L, 2L, false, 2L)))
+  }
+
+  test("postings: df is the full count, postings capped at k and ascending") {
+    // token 'x' in 5 docs (cap at 3), 'y' in 2, 'z' repeated within one
+    // doc (must dedup to df 1)
+    val d = docs("x y z z", "x y", "x", "x", "x")
+    val r = TextAnalysis.postings(d, k = 3)
+      .as[(String, Long, String)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(r === Map(
+      "x" -> ((5L, "0,1,2")),
+      "y" -> ((2L, "0,1")),
+      "z" -> ((1L, "0"))))
+  }
 }
