@@ -10,7 +10,7 @@ import graft.gen.{SampleData, Sampling}
 import graft.join.{AdaptiveSkewJoin, BloomJoin, WindowJoin}
 import graft.multimodal.Multimodal
 import graft.ops.{AsyncMap, RowOps, Tokenize, TweetJson}
-import graft.rel.{Analytics, Relational}
+import graft.rel.{Analytics, Graph, Relational}
 import graft.sim.Similarity
 import graft.state.TopSpeed
 import graft.text.TextAnalysis
@@ -284,6 +284,29 @@ object SparkEntry {
     // batch into the SCD2 of the older half; the oracle is the FULL
     // rebuild — the merge path must be indistinguishable
     "q_scd2_merge" -> ((s, d) => Analytics.scd2MergeQuery(s, d)),
+    // rolling 7-day distinct active users: per-user interval merge +
+    // the sweep-line — never a |days| × |events| BETWEEN join; the
+    // oracle IS that naive join (IEJoin handles it at gate scale)
+    "q_rolling_active" -> ((s, d) =>
+      Analytics.rollingActiveQuery(s, d, RollingDays)),
+    // SLA funnel: each step must land within 24 h of the previous one —
+    // same one-exchange HOF chain as q_funnel, bound composed in
+    "q_funnel_within" -> ((s, d) =>
+      Analytics.funnel(Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us")),
+        FunnelSteps, maxGapUs = Some(FunnelMaxGapUs))),
+    // degree-oriented triangle census over the thresholded co-occurrence
+    // graph — wedge fan-out bounded by sqrt(m), never hub degree; the
+    // oracle is the naive 3-way join the operator refuses to run
+    "q_triangles" -> ((s, d) =>
+      Graph.triangleCensus(
+        TextAnalysis.skipgramPairs(Tables.documents(s, d), SkipgramWindow)
+          .groupBy(least(col("w1"), col("w2")).as("a"),
+            greatest(col("w1"), col("w2")).as("b"))
+          .agg(sum(col("cnt")).as("pc"))
+          .filter(col("a") =!= col("b") && col("pc") >= CooccurMinCount)
+          .select(col("a"), col("b")))),
     "q_adaptive_join" -> ((s, d) => {
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
@@ -754,6 +777,19 @@ object SparkEntry {
 
   /** q_postings per-token posting-list cap. */
   private val PostingsK = 8
+
+  /** q_rolling_active window width (the WAU operating point). */
+  private val RollingDays = 7
+
+  /** q_funnel_within max inter-step gap (24 h in µs — 150→60→25 user
+    * attrition on the sf0.01 corpus, non-trivial at every level). */
+  private val FunnelMaxGapUs = 86400000000L
+
+  /** q_triangles edge threshold: skip-gram co-occurrence pairs seen at
+    * least this often form an edge (~p75 of the pair-count distribution
+    * at sf0.01 → a sparse 110-edge graph instead of the near-complete
+    * 464-edge one). */
+  private val CooccurMinCount = 300L
 
   /** Oracle for Aggregations.valueStats: the same fixed-bin histogram
     * percentile, op-for-op — bin = round(value*100) (exact for 2-decimal
@@ -1484,6 +1520,50 @@ object SparkEntry {
          |SELECT c.user_id, conv_id, conv_ts_us, touch_id, touch_ts_us,
          |       conv_ts_us - touch_ts_us AS gap_us
          |FROM c LEFT JOIN t ON c.user_id = t.user_id AND c.seq = t.seq""".stripMargin,
+    "q_funnel_within" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+         |           FROM events),
+         |s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+         |       WHERE event_type = '${FunnelSteps(0)}' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, min(ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = '${FunnelSteps(1)}'
+         |         AND ts_us > t1 AND ts_us <= t1 + $FunnelMaxGapUs
+         |       GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = '${FunnelSteps(2)}'
+         |         AND ts_us > t2 AND ts_us <= t2 + $FunnelMaxGapUs
+         |       GROUP BY e.user_id)
+         |SELECT s1.user_id, t1, t2, t3
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q_triangles" ->
+      s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+         |p AS (SELECT tk, i FROM t,
+         |      unnest(generate_series(1, len(tk))) AS u(i)),
+         |pr AS (SELECT tk[i] AS w1, tk[j] AS w2 FROM p,
+         |       unnest(generate_series(i + 1, least(i + $SkipgramWindow,
+         |                                           len(tk)))) AS v(j)),
+         |pc AS (SELECT least(w1, w2) AS u, greatest(w1, w2) AS v,
+         |              count(*) AS c
+         |       FROM pr WHERE w1 <> w2 GROUP BY 1, 2),
+         |e AS (SELECT u, v FROM pc WHERE c >= $CooccurMinCount),
+         |n AS (SELECT count(DISTINCT x) AS n_nodes FROM
+         |      (SELECT u AS x FROM e UNION ALL SELECT v FROM e)),
+         |tri AS (SELECT count(*) AS n_triangles
+         |        FROM e e1
+         |        JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+         |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+         |SELECT n_nodes, (SELECT count(*) FROM e) AS n_edges, n_triangles
+         |FROM n, tri""".stripMargin,
+    "q_rolling_active" ->
+      s"""WITH e AS (SELECT DISTINCT user_id,
+         |             DATE '1970-01-01'
+         |               + CAST(epoch_ns(ts) // 1000 // 86400000000
+         |                      AS INTEGER) AS day
+         |           FROM events),
+         |d AS (SELECT DISTINCT day FROM e)
+         |SELECT d.day, count(DISTINCT e.user_id) AS n_active
+         |FROM d JOIN e ON e.day BETWEEN d.day - ${RollingDays - 1} AND d.day
+         |GROUP BY d.day""".stripMargin,
     "q_skew_profile" ->
       """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders
         |           GROUP BY o_custkey)

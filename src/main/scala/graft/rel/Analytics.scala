@@ -122,18 +122,28 @@ object Analytics {
     * out-of-order events as conversions. */
   def funnel(events: DataFrame, steps: Seq[String],
              typeCol: String = "event_type", userCol: String = "user_id",
-             tsCol: String = "ts_us"): DataFrame = {
+             tsCol: String = "ts_us",
+             maxGapUs: Option[Long] = None): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    maxGapUs.foreach(g => require(g > 0, s"max step gap must be positive: $g"))
     val aggs = steps.zipWithIndex.map { case (step, i) =>
       array_sort(collect_list(when(col(typeCol) === step, col(tsCol))))
         .as(s"l${i + 1}")
     }
     val lists = events.filter(col(typeCol).isin(steps: _*))
       .groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
+    // step i qualifies strictly after t_{i-1}; with a gap bound, also at
+    // or before t_{i-1} + maxGap — "converted within an hour", the form
+    // attribution windows and SLA funnels need. The bound composes into
+    // the same HOF (first qualifying element of the sorted list), so the
+    // plan shape (ONE exchange) is identical with or without it.
     val chained = steps.indices.foldLeft(lists) { case (df, i) =>
       if (i == 0) df.withColumn("t1", get(col("l1"), lit(0)))
       else df.withColumn(s"t${i + 1}",
-        get(filter(col(s"l${i + 1}"), x => x > col(s"t$i")), lit(0)))
+        get(filter(col(s"l${i + 1}"), x => maxGapUs match {
+          case Some(g) => x > col(s"t$i") && x <= col(s"t$i") + g
+          case None    => x > col(s"t$i")
+        }), lit(0)))
     }
     chained.filter(col("t1").isNotNull)
       .select(col(userCol) +: steps.indices.map(i => col(s"t${i + 1}")): _*)
@@ -596,6 +606,55 @@ object Analytics {
         col("last_touch.ts_us").as("touch_ts_us"),
         (col("ts_us") - col("last_touch.ts_us")).as("gap_us"))
   }
+
+  /** Rolling-window distinct active users per day (the DAU/WAU metric
+    * family) WITHOUT the quadratic BETWEEN join and WITHOUT a
+    * distinct-over-range window (which no engine has): a user active on
+    * day a covers days [a, a+w−1], so "distinct users active in the
+    * last w days of d" = "users with ≥ 1 coverage interval containing
+    * d". Per user, overlapping coverage intervals are merged (standard
+    * sweep: a new interval starts when the day exceeds the running-max
+    * end of all previous rows — merged intervals are disjoint, so no
+    * user is ever counted twice), and the merged-interval frame feeds
+    * [[activeIntervalsAt]]'s prefix-sum sweep-line.
+    *
+    * Scale shape: one distinct on (user, day) (map-side partial), one
+    * user-partitioned window over each user's own ACTIVE-DAY list
+    * (bounded by the calendar, not the event count), then the
+    * day-level sweep — every frame after the first distinct is
+    * calendar- or user-bounded. The naive formulation explodes
+    * |days| × |events| pairs; this never builds a pair frame at all. */
+  def rollingActive(events: DataFrame, windowDays: Int,
+                    userCol: String = "user_id",
+                    dayCol: String = "day"): DataFrame = {
+    require(windowDays >= 1, s"window must be >= 1 day: $windowDays")
+    val ud = events.select(col(userCol), col(dayCol)).distinct()
+    val w = Window.partitionBy(col(userCol)).orderBy(col(dayCol))
+    val prevEnd = max(date_add(col(dayCol), windowDays - 1))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val intervals = ud
+      .withColumn("new_iv",
+        when(prevEnd.isNull || col(dayCol) > prevEnd, 1L).otherwise(0L))
+      .withColumn("iv", sum(col("new_iv"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("iv"))
+      .agg(min(col(dayCol)).as("iv_start"),
+        date_add(max(col(dayCol)), windowDays - 1).as("iv_end"))
+    val points = ud.select(col(dayCol).as("day")).distinct()
+    activeIntervalsAt(intervals, "iv_start", "iv_end", points, "day")
+  }
+
+  /** Gate form of [[rollingActive]] on the events table. The event day
+    * is integer epoch-day arithmetic rebased onto a DATE (`1970-01-01 +
+    * ts_us div 86400e6`) — no to_date(timestamp) anywhere, so the day
+    * boundary cannot depend on either engine's session timezone. */
+  def rollingActiveQuery(spark: SparkSession, dir: String,
+                         windowDays: Int): DataFrame =
+    rollingActive(Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("date_add(DATE '1970-01-01', " +
+          "cast(ts_ns div 1000 div 86400000000 as int))").as("day")),
+      windowDays)
 
   /** Key-skew profiler: the distribution of per-key row counts as a
     * log2 histogram (bucket = floor(log2(cnt)), computed integer-exactly

@@ -264,4 +264,54 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("LeftAnti") && plan.contains("BroadcastHashJoin"),
       s"untouched-user bypass lost its broadcast anti-join:\n$plan")
   }
+
+  test("rollingActive: no pair frame — every join keyed, no unbounded sort") {
+    // the operator's reason to exist is NOT being the |days| × |events|
+    // BETWEEN join: any nested-loop/cartesian join in the plan means
+    // the pair frame crept back in
+    val df = graft.rel.Analytics.rollingActiveQuery(spark, sf, 7)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val s = plan.toString.split("== Initial Plan ==").head
+    assert(!s.contains("CartesianProduct"),
+      s"rolling distinct fell back to a pair join:\n$s")
+    // the ONE tolerated nested-loop join is activeIntervalsAt's
+    // triangular year-offset compose — a ≤|years|-row frame by
+    // construction; any other nested loop means the day×event pair
+    // frame crept back in
+    val bnlj = s.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 1 && bnlj.forall(_.contains("yr")),
+      s"unexpected nested-loop join beyond the year compose:\n$s")
+    assert(graft.core.PlanAudit.unboundedSinglePartitionSorts(plan) == 0)
+  }
+
+  test("triangleCensus: all joins keyed; degree agg partial before its exchange") {
+    val edges = graft.text.TextAnalysis.skipgramPairs(
+        Tables.documents(spark, sf), 5)
+      .groupBy(org.apache.spark.sql.functions.least(
+          org.apache.spark.sql.functions.col("w1"),
+          org.apache.spark.sql.functions.col("w2")).as("a"),
+        org.apache.spark.sql.functions.greatest(
+          org.apache.spark.sql.functions.col("w1"),
+          org.apache.spark.sql.functions.col("w2")).as("b"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .select("a", "b")
+    val df = graft.rel.Graph.triangleCensus(edges)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the wedge and closing joins MUST be keyed (hash/sort-merge); the
+    // only tolerated unkeyed joins are the two 1-row × 1-row crossJoins
+    // assembling the census totals
+    val unkeyed = s.linesIterator.filter(l =>
+      l.contains("CartesianProduct") ||
+        l.contains("BroadcastNestedLoopJoin")).size
+    assert(unkeyed <= 2,
+      s"an unkeyed join crept into the census itself:\n$s")
+    assert(s.contains("BroadcastHashJoin") || s.contains("SortMergeJoin"),
+      "wedge/closing joins are not keyed joins")
+    assert(s.contains("partial_count"), "degree count lost map-side combine")
+  }
 }

@@ -108,6 +108,22 @@ class AnalyticsSpec extends SparkSuite {
       (4L, 35L, Some(50L), None)))
   }
 
+  test("funnel maxGap: a step exactly at the bound converts, one past it breaks the chain") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      (2L, "view", 100L), (2L, "click", 201L), // gap 101 > 100 → chain breaks
+      (3L, "view", 100L), (3L, "click", 200L), (3L, "purchase", 301L)
+    ).toDF("user_id", "event_type", "ts_us")
+    val r = Analytics.funnel(ev, Seq("view", "click", "purchase"),
+        maxGapUs = Some(100L))
+      .collect().map(x => x.getLong(0) ->
+        (x.isNullAt(2), x.isNullAt(3))).toMap
+    assert(r(1L) === ((false, false)), "gap == bound converts at both steps")
+    assert(r(2L) === ((true, true)), "gap == bound + 1 breaks the chain")
+    assert(r(3L) === ((false, true)), "second gap 101 breaks only step 3")
+  }
+
   test("funnel: a same-timestamp later step does NOT convert (strict >)") {
     import spark.implicits._
     val ev = Seq((1L, "view", 10L), (1L, "click", 10L), (1L, "purchase", 11L))
@@ -443,5 +459,44 @@ class AnalyticsSpec extends SparkSuite {
     val full = Analytics.scd2(spark, sf)
     assert(merged.exceptAll(full).count() == 0 &&
       full.exceptAll(merged).count() == 0)
+  }
+
+  test("rollingActive: interval-merge sweep equals the naive BETWEEN join; no double count") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(n: Int) = Date.valueOf(java.time.LocalDate.ofEpochDay(n.toLong))
+    // user 1: merge (1, 3), gap to 20; user 2: adjacent-day chain 5..8;
+    // user 3: one day, shared with user 1's window
+    val ev = Seq(
+      (1L, 1), (1L, 3), (1L, 20), (1L, 3), // duplicate activity collapses
+      (2L, 5), (2L, 6), (2L, 7), (2L, 8),
+      (3L, 2))
+      .map { case (u, day) => (u, d(day)) }.toDF("user_id", "day")
+    val got = Analytics.rollingActive(ev, windowDays = 7)
+      .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+    // brute force on the same frame (tiny, test-only)
+    val days = ev.select("day").distinct().as[Date].collect()
+    val acts = ev.distinct().as[(Long, Date)].collect()
+    val expect = days.map { day =>
+      day -> acts.filter { case (_, a) =>
+        !a.after(day) && a.toLocalDate.plusDays(6).compareTo(day.toLocalDate) >= 0
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    assert(got === expect)
+    // merged intervals are disjoint per user → nobody counts twice:
+    // day 7 sits in user 1's [1,7] AND [3,9] pre-merge coverage but the
+    // merged [1,9] counts once; users 2 ([5,14]) and 3 ([2,8]) also cover
+    assert(got(d(7)) == 3L, "three users on day 7, user 1 exactly once")
+  }
+
+  test("rollingActiveQuery on real events: window-1 equals plain daily distinct") {
+    val daily = Analytics.rollingActiveQuery(spark, sf, windowDays = 1)
+    val expect = Tables.events(spark, sf)
+      .selectExpr("user_id",
+        "date_add(DATE '1970-01-01', cast(ts_ns div 1000 div 86400000000 as int)) AS day")
+      .groupBy("day")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    assert(daily.exceptAll(expect).count() == 0 &&
+      expect.exceptAll(daily).count() == 0)
   }
 }
