@@ -61,6 +61,36 @@ object Layout {
       .drop("z")
       .write.mode("overwrite").parquet(path)
 
+  /** Write `df` with a parquet BLOOM FILTER on `bloomCol` — the pruning
+    * tool for POINT LOOKUPS on a high-cardinality column the layout is
+    * NOT clustered on. Range/z-order layouts make min/max stats tight on
+    * the sort dimensions; every other column's stats span the whole
+    * domain in every row group, so an id-probe scan reads the full
+    * table. A bloom filter answers "might this row group contain v?"
+    * per group, so the probe reads ~1 group + footers instead.
+    *
+    * Dictionary encoding is disabled on the bloom column: at 100 TB a
+    * unique-id column overflows the dictionary page limit and falls
+    * back to plain encoding anyway (at which point dictionary-page
+    * pruning — the other point-lookup pruner — silently stops working;
+    * the bloom filter is the one that survives scale). Mirroring that
+    * here keeps the test honest about WHICH mechanism prunes. */
+  def writeWithBloom[T](df: Dataset[T], path: String, bloomCol: String,
+                        expectedNdv: Long, files: Int): Unit = {
+    // expectedNdv sizes the bitset PER ROW GROUP — pass the per-file
+    // distinct estimate, not the table's (an over-sized bloom wastes
+    // read bytes on every probe; the bitset is ~1.2 bytes per NDV at
+    // the default 1% false-positive rate)
+    require(expectedNdv > 0 && files > 0)
+    df.repartition(files)
+      .write.mode("overwrite")
+      .option(s"parquet.bloom.filter.enabled#$bloomCol", "true")
+      .option(s"parquet.bloom.filter.expected.ndv#$bloomCol",
+        expectedNdv.toString)
+      .option(s"parquet.enable.dictionary#$bloomCol", "false")
+      .parquet(path)
+  }
+
   /** Small-file compaction, preserving range clustering — the table
     * maintenance job every long-running ingest needs: streaming/
     * incremental writers emit one file per micro-batch per partition, and

@@ -14,11 +14,19 @@ import org.apache.spark.sql.functions._
   * input metrics, not on plan text. */
 class LayoutSpec extends SparkSuite {
 
-  private def bytesReadOf(action: => Unit): Long = {
+  private def bytesReadOf(action: => Unit): Long =
+    inputMetricOf(_.bytesRead)(action)
+
+  private def recordsReadOf(action: => Unit): Long =
+    inputMetricOf(_.recordsRead)(action)
+
+  private def inputMetricOf(
+      f: org.apache.spark.executor.InputMetrics => Long)(
+      action: => Unit): Long = {
     val bytes = new java.util.concurrent.atomic.AtomicLong
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+        bytes.addAndGet(f(t.taskMetrics.inputMetrics))
     }
     spark.sparkContext.addSparkListener(listener)
     try {
@@ -139,5 +147,53 @@ class LayoutSpec extends SparkSuite {
     val bSplintered = bytesReadOf(sliceAgg(spark.read.parquet(s"$tmp/splintered")))
     assert(bCompacted * 2 < bSplintered,
       s"compacted layout lost clustering: compacted=$bCompacted splintered=$bSplintered")
+  }
+
+  test("bloom-filter layout prunes an id point-probe that min/max stats cannot") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
+    // The probe column must be UNCORRELATED with write order — a
+    // monotone id gets page-level column-index pruning for free and
+    // needs no bloom. The production shape blooms exist for is a random
+    // high-cardinality UNIQUE id (uuid, content hash): every page and
+    // row group spans the whole id domain, so neither stats nor the
+    // column index can skip anything. xxhash64 over a unique range
+    // models exactly that; 1M rows so row-group data dwarfs footers AND
+    // the input-metrics granularity (both tests above hit the same
+    // floor at 100k). Dictionary encoding is off on the id column in
+    // BOTH layouts (see writeWithBloom's scaladoc) — blooms are the
+    // only pruner in play.
+    val n = 1000000L
+    val ev = spark.range(n)
+      .select(xxhash64(col("id")).as("doc_hash"),
+        (col("id") % 997).cast("double").as("value"))
+    ev.repartition(8).write.mode("overwrite")
+      .option("parquet.enable.dictionary#doc_hash", "false")
+      .parquet(s"$tmp/plain")
+    Layout.writeWithBloom(ev, s"$tmp/bloomed", "doc_hash",
+      expectedNdv = n / 8, files = 8)
+
+    // probe an INTERIOR id (an arbitrary row's hash) — an extreme value
+    // (global min/max) would be prunable by plain stats after all
+    val probeId = ev.head.getLong(0)
+    def probe(df: DataFrame): Long = {
+      val r = df.filter(col("doc_hash") === probeId).agg(
+        count(lit(1)), sum("value")).head
+      r.getLong(0)
+    }
+    val expected = probe(ev)
+    var gotPlain = 0L; var gotBloom = 0L
+    // assert on RECORDS DECODED, not bytes: executor bytesRead
+    // under-reports for these local snappy files (a full 9 MB scan
+    // reports ~40 KB), while recordsRead is exact — the plain probe
+    // must decode every row (no mechanism can prune a random interior
+    // id), the bloomed probe only the groups whose bloom answers
+    // "maybe" (1 true hit + false positives at the default 1% fpp).
+    val rPlain = recordsReadOf { gotPlain = probe(spark.read.parquet(s"$tmp/plain")) }
+    val rBloom = recordsReadOf { gotBloom = probe(spark.read.parquet(s"$tmp/bloomed")) }
+    assert(gotPlain == expected && gotBloom == expected && expected > 0)
+    assert(rPlain == n, s"plain layout unexpectedly pruned: $rPlain of $n")
+    // 1 of 8 groups is a true hit; allow one more as bloom FP slack
+    assert(rBloom * 4 <= n,
+      s"bloom filter did not prune the point probe: bloom=$rBloom plain=$rPlain")
   }
 }
