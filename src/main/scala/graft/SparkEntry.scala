@@ -465,6 +465,14 @@ object SparkEntry {
     }),
     "q_quantize_int8" -> ((s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d))),
+    // per-label centroid accumulators in quantized space — integer sums
+    // and counts, one (label, dim) shuffle; consumers divide
+    "q_label_centroids" -> ((s, d) =>
+      Similarity.labelCentroidsQ(Tables.embeddings(s, d))),
+    // nearest-centroid confusion matrix: integer dot products against
+    // broadcast centroids, argmax via WindowGroupLimit, tiny crosstab
+    "q_centroid_confusion" -> ((s, d) =>
+      Similarity.centroidConfusion(Tables.embeddings(s, d))),
     // ---- M7: deduplication -------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d))),
@@ -1760,6 +1768,39 @@ object SparkEntry {
         |SELECT vec_id, cast(ip - 1 AS int) AS i,
         |       cast(CASE WHEN amax > 0 THEN round(v[ip] * 127.0 / amax) ELSE 0 END AS int) AS qv
         |FROM x""".stripMargin,
+    "q_label_centroids" ->
+      """WITH e AS (SELECT label, list_transform(embedding, x -> cast(x AS double)) AS v
+        |           FROM embeddings),
+        |a AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |x AS (SELECT label, unnest(generate_series(1, len(v))) AS ip, v, amax FROM a)
+        |SELECT label, cast(ip - 1 AS int) AS i,
+        |       cast(sum(cast(CASE WHEN amax > 0
+        |                          THEN round(v[ip] * 127.0 / amax)
+        |                          ELSE 0 END AS int)) AS bigint) AS sum_q,
+        |       count(*) AS n_vecs
+        |FROM x GROUP BY label, ip""".stripMargin,
+    "q_centroid_confusion" ->
+      """WITH e AS (SELECT vec_id, label,
+        |                  list_transform(embedding, x -> cast(x AS double)) AS v
+        |           FROM embeddings),
+        |a AS (SELECT vec_id, label, v,
+        |             list_max(list_transform(v, x -> abs(x))) AS amax FROM e),
+        |q AS (SELECT vec_id, label, cast(ip - 1 AS int) AS i,
+        |             cast(CASE WHEN amax > 0
+        |                       THEN round(v[ip] * 127.0 / amax)
+        |                       ELSE 0 END AS int) AS qv
+        |      FROM a, unnest(generate_series(1, len(v))) AS u(ip)),
+        |c AS (SELECT label AS c_label, i, cast(sum(qv) AS bigint) AS sum_q
+        |      FROM q GROUP BY label, i),
+        |s AS (SELECT q.vec_id, q.label, c.c_label,
+        |             sum(q.qv * c.sum_q) AS score
+        |      FROM q JOIN c USING (i) GROUP BY q.vec_id, q.label, c.c_label),
+        |p AS (SELECT vec_id, label, c_label,
+        |             row_number() OVER (PARTITION BY vec_id
+        |                                ORDER BY score DESC, c_label ASC) AS rn
+        |      FROM s)
+        |SELECT label, c_label AS pred_label, count(*) AS n
+        |FROM p WHERE rn = 1 GROUP BY label, c_label""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t)

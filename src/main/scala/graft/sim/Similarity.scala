@@ -524,13 +524,65 @@ object Similarity {
     * engines round half away from zero, and the scale arithmetic is
     * order-identical, so qv is exact. */
   def quantizeInt8(embeddings: DataFrame): DataFrame =
+    explodedInt8(embeddings, Seq("vec_id"))
+
+  /** Shared int8 projection: explode `embeddings.embedding` to
+    * (carryCols..., i, qv) scalar rows under the [[quantizeInt8]]
+    * formula — map-side only, reused by the centroid/confusion ops so
+    * the quantizer cannot fork. */
+  private def explodedInt8(embeddings: DataFrame,
+                           carryCols: Seq[String]): DataFrame =
     embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(carryCols.map(col) :+ asDouble(col("embedding")).as("v"): _*)
       .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
-      .select(col("vec_id"), col("amax"), posexplode(col("v")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i").cast("int").as("i"),
+      .select(carryCols.map(col) ++
+        Seq(col("amax"), posexplode(col("v")).as(Seq("i", "x"))): _*)
+      .select(carryCols.map(col) ++ Seq(col("i").cast("int").as("i"),
         when(col("amax") > 0, round(col("x") * lit(127.0) / col("amax")))
-          .otherwise(lit(0)).cast("int").as("qv"))
+          .otherwise(lit(0)).cast("int").as("qv")): _*)
+
+  /** Per-label centroid ACCUMULATORS in the int8-quantized space:
+    * (label, dim) → (Σ qv, n). Sums and counts stay integer — the
+    * cross-engine-exact form; consumers divide when they need the mean
+    * (and [[centroidConfusion]] never needs to: nearest-centroid
+    * comparisons multiply through by the counts instead). The label
+    * travels THROUGH the quantize projection rather than joining back
+    * on vec_id — at corpus scale a (vec_id → label) join side is the
+    * full vector count, not broadcastable. One shuffle on (label, dim),
+    * partial-aggregated map-side; output is |labels|·dims rows. */
+  def labelCentroidsQ(embeddings: DataFrame): DataFrame =
+    explodedInt8(embeddings, Seq("label"))
+      .groupBy(col("label"), col("i"))
+      .agg(sum(col("qv")).as("sum_q"), count(lit(1)).as("n_vecs"))
+
+  /** Nearest-centroid confusion matrix, integer-exact end to end: each
+    * vector's quantized form scores against every label centroid by the
+    * UNNORMALIZED dot product Σᵢ qvᵢ·sum_qᵢ (same argmax as against the
+    * mean centroid when all labels have equal counts; comparisons stay
+    * in integer space either way — no division, no doubles, no
+    * cross-engine rounding surface). Ties break to the smaller label.
+    * Output: (true label, predicted label, n) — the clustering-quality
+    * audit for an embedding space.
+    *
+    * Scale shape: the centroid table (|labels|·dims rows) broadcasts;
+    * the per-vector fan-out is |labels| score partials aggregated in
+    * ONE (vec_id, label) shuffle; the argmax is a WindowGroupLimit
+    * filter; the final crosstab is label-domain-sized. */
+  def centroidConfusion(embeddings: DataFrame): DataFrame = {
+    val cents = labelCentroidsQ(embeddings)
+      .select(col("label").as("c_label"), col("i"), col("sum_q"))
+    val scores = explodedInt8(embeddings, Seq("vec_id", "label"))
+      .join(broadcast(cents), "i")
+      .groupBy(col("vec_id"), col("label"), col("c_label"))
+      .agg(sum(col("qv") * col("sum_q")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").desc, col("c_label").asc)
+    scores
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("label"), col("c_label").as("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 
   /** LSH-bucketed ANN: queries only compare against corpus vectors in the
     * same hyperplane-sign bucket. Same output shape as brute force; lower

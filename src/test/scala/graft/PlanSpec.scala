@@ -244,6 +244,19 @@ class PlanSpec extends SparkSuite {
       s"scan reads unused columns: $readSchema")
   }
 
+  test("centroidConfusion: centroids broadcast; argmax is a WindowGroupLimit") {
+    val df = graft.sim.Similarity.centroidConfusion(
+      Tables.embeddings(spark, sf))
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(s.contains("BroadcastHashJoin"),
+      s"centroid table not broadcast:\n$s")
+    assert(s.contains("WindowGroupLimit"),
+      s"nearest-centroid argmax not limited map-side:\n$s")
+    assert(s.contains("partial_sum"), "score partials lost map-side combine")
+  }
+
   test("postings: per-token cap is a map-side WindowGroupLimit; df agg is partial") {
     // a stopword's postings must never flood the exchange: the rn <= k
     // filter has to plan as WindowGroupLimit so each map task ships at

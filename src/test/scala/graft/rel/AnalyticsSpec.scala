@@ -489,6 +489,32 @@ class AnalyticsSpec extends SparkSuite {
     assert(got(d(7)) == 3L, "three users on day 7, user 1 exactly once")
   }
 
+  test("rollingActive property: equals brute force on seeded random activity, several widths") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(n: Int) = Date.valueOf(java.time.LocalDate.ofEpochDay(n.toLong))
+    val rnd = new scala.util.Random(20260813)
+    for (c <- 1 to 4) {
+      val acts = (for {
+        u <- 1 to (2 + rnd.nextInt(4))
+        _ <- 1 to (1 + rnd.nextInt(12))
+      } yield (u.toLong, d(rnd.nextInt(40)))).distinct
+      val ev = acts.toDF("user_id", "day")
+      for (w <- Seq(1, 3, 7)) {
+        val got = Analytics.rollingActive(ev, windowDays = w)
+          .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+        val days = acts.map(_._2).distinct
+        val expect = days.map { day =>
+          day -> acts.filter { case (_, a) =>
+            !a.after(day) &&
+              a.toLocalDate.plusDays(w - 1).compareTo(day.toLocalDate) >= 0
+          }.map(_._1).distinct.size.toLong
+        }.toMap
+        assert(got === expect, s"case $c width $w")
+      }
+    }
+  }
+
   test("rollingActiveQuery on real events: window-1 equals plain daily distinct") {
     val daily = Analytics.rollingActiveQuery(spark, sf, windowDays = 1)
     val expect = Tables.events(spark, sf)

@@ -34,4 +34,29 @@ class GraphSpec extends SparkSuite {
     val rim = Seq(("x1", "x2"), ("x3", "x4"))
     assert(census(star ++ rim) === ((11L, 12L, 2L)))
   }
+
+  test("triangleCensus property: equals the set-based count on seeded random graphs") {
+    val rnd = new scala.util.Random(20260813)
+    for (c <- 1 to 8) {
+      val n = 4 + rnd.nextInt(9)
+      val nodes = (0 until n).map(i => s"v$i")
+      val edges = (for {
+        i <- 0 until n; j <- (i + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (nodes(i), nodes(j))).toSeq
+      if (edges.nonEmpty) {
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val naive = (for {
+          i <- 0 until n; j <- (i + 1) until n; k <- (j + 1) until n
+          if adj.getOrElse(nodes(i), Set()).contains(nodes(j)) &&
+            adj.getOrElse(nodes(j), Set()).contains(nodes(k)) &&
+            adj.getOrElse(nodes(i), Set()).contains(nodes(k))
+        } yield 1).size.toLong
+        val present = edges.flatMap(e => Seq(e._1, e._2)).distinct.size.toLong
+        assert(census(edges) === ((present, edges.size.toLong, naive)),
+          s"case $c: n=$n edges=${edges.size}")
+      }
+    }
+  }
 }

@@ -131,4 +131,35 @@ class SimilaritySpec extends SparkSuite {
       brute.get((q, n)).foreach(bc => assert(bc === c)) }
     assert(ivf.nonEmpty)
   }
+
+  test("labelCentroidsQ: hand-computed integer accumulators per (label, dim)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),   // q = (127, 0)
+      (1L, Seq(0.5f, 0.5f), 1),   // q = (127, 127)
+      (2L, Seq(0.0f, -2.0f), 2)   // q = (0, -127)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.labelCentroidsQ(emb)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    assert(r === Map(
+      (1, 0) -> ((254L, 2L)), (1, 1) -> ((127L, 2L)),
+      (2, 0) -> ((0L, 1L)), (2, 1) -> ((-127L, 1L))))
+  }
+
+  test("centroidConfusion: separable clusters sit on the diagonal; ties break low") {
+    import spark.implicits._
+    // two clean clusters on orthogonal axes + one zero vector whose
+    // scores tie at 0 against every centroid → predicted label must be
+    // the SMALLEST label (deterministic tie-break)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.9f, 0.1f), 1),
+      (2L, Seq(0.0f, 1.0f), 2), (3L, Seq(0.1f, 0.9f), 2),
+      (4L, Seq(0.0f, 0.0f), 9)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidConfusion(emb)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(r((1, 1)) == 2L && r((2, 2)) == 2L, s"clusters off-diagonal: $r")
+    assert(r((9, 1)) == 1L, s"zero vector must tie-break to label 1: $r")
+  }
 }
