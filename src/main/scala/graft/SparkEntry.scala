@@ -503,6 +503,18 @@ object SparkEntry {
       Dedup.pairEditDistance(Tables.documents(s, d), lshPairsMemo(s, d),
         prefixLen = EditPrefix, maxDist = EditMaxDist)),
     "q_dedup_clusters" -> ((s, d) => dedupClustersMemo(s, d)),
+    // dedup-aware split audit: near-dup clusters with members on BOTH
+    // sides of the train/test cut — the contamination a doc-level split
+    // cannot see (reuses the memoized clusters + the same split hash)
+    "q_split_leakage" -> ((s, d) =>
+      dedupClustersMemo(s, d)
+        .join(Sampling.trainTestSplit(Tables.documents(s, d)
+          .select(col("doc_id")), "doc_id", 0.1), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .filter(col("n_train") > 0 && col("n_test") > 0)),
     "q_dedup_keep" -> ((s, d) =>
       Dedup.applyClusters(Tables.documents(s, d), dedupClustersMemo(s, d))),
     // keep the LONGEST member per cluster (production dedup retains the
@@ -523,6 +535,12 @@ object SparkEntry {
     "q_train_test_split" -> ((s, d) =>
       Sampling.trainTestSplit(Tables.documents(s, d)
         .select("doc_id", "n_chars"), "doc_id", 0.1)),
+    // budget-based mixture: keep docs per source in deterministic hash
+    // order until the char budget is crossed — two-level bucket cut, no
+    // per-stratum monolithic sort (the rankFamily closed-domain trap)
+    "q_token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetSample(Tables.documents(s, d),
+        "source", "doc_id", "n_chars", TokenBudget)),
     // training-mix downsampling: per-source keep rates, absent sources
     // keep the default rate
     "q_stratified_sample" -> ((s, d) =>
@@ -788,6 +806,10 @@ object SparkEntry {
 
   /** q_rolling_active window width (the WAU operating point). */
   private val RollingDays = 7
+
+  /** q_token_budget per-source budget (chars; ~half of each sf0.01
+    * source's ~7k total, so every stratum exercises the boundary cut). */
+  private val TokenBudget = 4000L
 
   /** q_funnel_within max inter-step gap (24 h in µs — 150→60→25 user
     * attrition on the sf0.01 corpus, non-trivial at every level). */
@@ -1861,6 +1883,30 @@ object SparkEntry {
          |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.node = e.src
          |)
          |SELECT node AS doc_id, min(lbl) AS cluster_id FROM cc GROUP BY node""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH RECURSIVE $duckLshPairCtes,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM lsh_pairs),
+         |cc(node, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, cc.lbl FROM cc JOIN edges e ON cc.node = e.src
+         |),
+         |clusters AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+         |             FROM cc GROUP BY node),
+         |sp AS (SELECT doc_id,
+         |              CASE WHEN substring(md5(cast(doc_id AS varchar)), 1, 8)
+         |                     < '${Sampling.thresholdHex(0.1)}'
+         |                   THEN 'test' ELSE 'train' END AS split
+         |       FROM documents)
+         |SELECT cluster_id,
+         |       cast(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS bigint)
+         |         AS n_train,
+         |       cast(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS bigint)
+         |         AS n_test
+         |FROM clusters JOIN sp USING (doc_id)
+         |GROUP BY cluster_id
+         |HAVING n_train > 0 AND n_test > 0""".stripMargin,
     "q_cluster_sizes" ->
       s"""WITH RECURSIVE $duckLshPairCtes,
          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM lsh_pairs
@@ -1914,6 +1960,17 @@ object SparkEntry {
          |       CASE WHEN substring(md5(cast(doc_id AS varchar)), 1, 8) < '${Sampling.thresholdHex(0.1)}'
          |            THEN 'test' ELSE 'train' END AS split
          |FROM documents""".stripMargin,
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source, cast(n_chars AS bigint) AS n_tokens,
+         |                  substring(md5(cast(doc_id AS varchar)), 1, 8) AS h
+         |           FROM documents),
+         |o AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |                  PARTITION BY source ORDER BY h, doc_id
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |                0) AS before
+         |      FROM t)
+         |SELECT doc_id, source, n_tokens FROM o
+         |WHERE before < $TokenBudget""".stripMargin,
     "q_stratified_sample" -> {
       val cases = StratifiedRates.toSeq.sortBy(_._1).map { case (k, r) =>
         s"WHEN '$k' THEN '${Sampling.stratumThreshold(r)}'"

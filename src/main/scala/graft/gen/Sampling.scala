@@ -195,4 +195,56 @@ object Sampling {
       .filter(bucketHex(col(idCol)) < col("__mix_thr"))
       .drop("__mix_stratum", "__mix_thr")
   }
+
+  /** TOKEN-budget sampling: per stratum, keep documents in deterministic
+    * (id-hash, id) order until `budgetTokens` is reached — "give me B
+    * tokens of web, B of code", the unit training mixtures are actually
+    * specified in (doc-count rates like [[mixtureSample]] over-sample
+    * strata with long documents). A doc is kept iff the token total of
+    * docs BEFORE it (in that order) is < budget, so the straddling doc
+    * is included and every stratum gets ≥ 1 doc (budget ≥ 1).
+    *
+    * The naive formulation is a running sum over (stratum ORDER BY hash)
+    * — a per-stratum monolithic sort whose parallelism is the stratum
+    * count, the same closed-domain trap `rankFamily` exists for. This is
+    * the two-level cut instead: docs land in 256 hash-prefix buckets;
+    * per-(stratum, bucket) token sums (a tiny aggregate) give exact
+    * bucket prefix offsets, which classify whole buckets as
+    * keep-all (off + btok < budget), drop-all (off ≥ budget), or THE
+    * boundary bucket (≤ 1 per stratum) — and only boundary-bucket docs
+    * (1/256 of the stratum) pay the ordered within-bucket scan. The
+    * same banding argument as rankFamily: recursion on the boundary
+    * bucket would cut another 256× if a stratum ever needed it.
+    *
+    * Output: kept docs as (idCol, stratumCol, n_tokens). */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+                        tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 1, s"budget must be >= 1 token: $budgetTokens")
+    val base = df.select(col(idCol), col(stratumCol),
+        col(tokensCol).cast("bigint").as("n_tokens"))
+      .withColumn("__h", bucketHex(col(idCol)))
+      .withColumn("__b", substring(col("__h"), 1, 2))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__b"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val buckets = base.groupBy(col(stratumCol), col("__b"))
+      .agg(sum(col("n_tokens")).as("__btok"))
+      .withColumn("__boff", coalesce(sum(col("__btok")).over(wB), lit(0L)))
+    val tagged = base.join(broadcast(buckets), Seq(stratumCol, "__b"))
+    val keepAll = tagged
+      .filter(col("__boff") + col("__btok") < budgetTokens)
+    val boundary = tagged
+      .filter(col("__boff") < budgetTokens &&
+        col("__boff") + col("__btok") >= budgetTokens)
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val boundaryKept = boundary
+      .withColumn("__before",
+        col("__boff") + coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
+      .filter(col("__before") < budgetTokens)
+    keepAll.unionByName(boundaryKept.drop("__before"))
+      .select(col(idCol), col(stratumCol), col("n_tokens"))
+  }
 }

@@ -138,4 +138,39 @@ class SamplingSpec extends SparkSuite {
       .as[(Long, String)].collect()
     assert(again.sortBy(_._1).toSeq === out.sortBy(_._1).toSeq)
   }
+
+  test("tokenBudgetSample: equals the naive prefix rule; straddler kept; " +
+    "zero-weight docs; under-budget stratum keeps everything") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260813)
+    val docs = ((1 to 400).map(i =>
+      (i.toLong, s"s${i % 3}", rnd.nextInt(50).toLong)) ++ // incl. 0-token docs
+      (1000 to 1004).map(i => (i.toLong, "tiny", 10L))     // total 50 < budget
+      ).toDF("doc_id", "stratum", "ntok")
+    val budget = 800L
+    val got = Sampling.tokenBudgetSample(docs, "stratum", "doc_id", "ntok", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // naive reference: per stratum, hash order, keep while before < budget
+    def hex(id: Long) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes)
+      md.take(4).map(b => f"${b & 0xff}%02x").mkString
+    }
+    val expect = docs.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        val ordered = rows.toSeq.sortBy(t => (hex(t._1), t._1))
+        val cums = ordered.scanLeft(0L)(_ + _._3)
+        ordered.zip(cums).filter(_._2 < budget).map(_._1)
+      }.toSet
+    assert(got === expect)
+    // the under-budget stratum keeps all its docs
+    assert(got.count(_._2 == "tiny") == 5)
+    // budgets bind: each big stratum keeps a nonempty strict subset
+    val perStratum = docs.collect().groupBy(_.getString(1)).view.mapValues(_.length)
+    for (s <- Seq("s0", "s1", "s2")) {
+      val kept = got.count(_._2 == s)
+      assert(kept > 0 && kept < perStratum(s), s"stratum $s kept $kept")
+    }
+  }
 }
