@@ -473,6 +473,11 @@ object SparkEntry {
     // broadcast centroids, argmax via WindowGroupLimit, tiny crosstab
     "q_centroid_confusion" -> ((s, d) =>
       Similarity.centroidConfusion(Tables.embeddings(s, d))),
+    // filtered vector search: label predicate PRE-filters the corpus
+    // (pushed to the scan) so top-k is always k true in-filter hits
+    "q_filtered_topk" -> ((s, d) =>
+      Similarity.filteredTopK(Tables.embeddings(s, d),
+        nQueries = 10, k = 5, labels = FilteredLabels)),
     // ---- M7: deduplication -------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d))),
@@ -810,6 +815,9 @@ object SparkEntry {
   /** q_token_budget per-source budget (chars; ~half of each sf0.01
     * source's ~7k total, so every stratum exercises the boundary cut). */
   private val TokenBudget = 4000L
+
+  /** q_filtered_topk label constraint, interpolated into both sides. */
+  private val FilteredLabels = Seq(1, 2, 3)
 
   /** q_funnel_within max inter-step gap (24 h in µs — 150→60→25 user
     * attrition on the sf0.01 corpus, non-trivial at every level). */
@@ -2314,6 +2322,21 @@ object SparkEntry {
          |           FROM sym)
          |SELECT doc_id, neighbor, jaccard, rnk FROM ranked WHERE rnk <= $KnnK""".stripMargin,
     "q_cosine_topk" -> duckBruteTopK,
+    "q_filtered_topk" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |                  list_transform(embedding, x -> cast(x AS double)) AS v
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+         |c AS (SELECT vec_id, label, v FROM e
+         |      WHERE label IN (${FilteredLabels.mkString(", ")})),
+         |s AS (SELECT query_id, c.vec_id AS neighbor_id, c.label,
+         |             ${duckCos("qv", "c.v")} AS cos_sim
+         |      FROM c CROSS JOIN q WHERE c.vec_id <> q.query_id)
+         |SELECT query_id, neighbor_id, label, cos_sim, cast(rn AS int) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn
+         |      FROM s) t
+         |WHERE rn <= 5""".stripMargin,
     "q_lsh_topk" -> duckLshTopK,
     "q_ann_recall" ->
       s"""WITH brute AS ($duckBruteTopK),

@@ -65,6 +65,36 @@ object Similarity {
     topK(scored, k)
   }
 
+  /** Label-FILTERED vector search — the vector-db shape where a
+    * metadata predicate constrains the candidate set ("nearest docs
+    * with label ∈ L"). This is PRE-filtering: the corpus is filtered
+    * BEFORE scoring, so the top-k is always k true in-filter neighbors
+    * — post-filtering (search first, filter the hits) silently returns
+    * fewer than k when the filter is selective, the classic filtered-ANN
+    * correctness trap. The label predicate pushes down to the parquet
+    * scan (asserted in PlanSpec), so at 100 TB a selective filter
+    * reduces I/O, not just compute; the same pre-filter composes in
+    * front of [[ivfTopK]] when approximate search is wanted. */
+  def filteredTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                   labels: Seq[Int]): DataFrame = {
+    require(labels.nonEmpty, "filtered search needs a label set")
+    val queries = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("q"))
+    val corpus = embeddings.filter(col("label").isin(labels: _*))
+      .select(col("vec_id").as("neighbor_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+    val scored = corpus
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        cosine(col("q"), col("v")).as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "label", "cos_sim", "rank")
+  }
+
   /** ANN quality measurement: per-query recall of an approximate top-k
     * result against the brute-force ground truth ("measure, don't
     * guess" — recall is a first-class pipeline signal, not a guess).

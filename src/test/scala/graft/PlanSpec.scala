@@ -244,6 +244,17 @@ class PlanSpec extends SparkSuite {
       s"scan reads unused columns: $readSchema")
   }
 
+  test("filteredTopK: label pre-filter is pushed to the parquet scan") {
+    val df = graft.sim.Similarity.filteredTopK(
+      Tables.embeddings(spark, sf), nQueries = 5, k = 3, labels = Seq(1, 2))
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val pushed = s.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("In(label") || pushed.contains("EqualTo(label"),
+      s"label filter not pushed to the scan:\n$pushed")
+  }
+
   test("centroidConfusion: centroids broadcast; argmax is a WindowGroupLimit") {
     val df = graft.sim.Similarity.centroidConfusion(
       Tables.embeddings(spark, sf))

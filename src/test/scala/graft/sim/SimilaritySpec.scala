@@ -132,6 +132,27 @@ class SimilaritySpec extends SparkSuite {
     assert(ivf.nonEmpty)
   }
 
+  test("filteredTopK: every hit is in-filter; pre-filter beats post-filter when selective") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labels = Seq(1, 2)
+    val pre = Similarity.filteredTopK(emb, nQueries = 5, k = 3, labels)
+      .collect()
+    assert(pre.nonEmpty)
+    assert(pre.forall(r => labels.contains(r.getInt(2))), "out-of-filter hit")
+    // pre-filter yields k in-filter hits per query (when enough exist);
+    // post-filtering the UNfiltered top-k returns strictly fewer here
+    val perQ = pre.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 3), s"short result lists: ${perQ.toMap}")
+    val post = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("label")),
+        "neighbor_id")
+      .filter(col("label").isin(labels: _*))
+      .collect()
+    assert(post.length < pre.length,
+      s"post-filter unexpectedly kept ${post.length} >= ${pre.length}")
+  }
+
   test("labelCentroidsQ: hand-computed integer accumulators per (label, dim)") {
     import spark.implicits._
     val emb = Seq(
