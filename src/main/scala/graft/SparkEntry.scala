@@ -611,6 +611,11 @@ object SparkEntry {
     "q_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, nlist = 16,
         nprobe = 2)),
+    // pre-filter composed into IVF: only in-filter vectors are assigned
+    // and probed; queries and centroid seeds stay unfiltered
+    "q_filtered_ivf" -> ((s, d) =>
+      Similarity.filteredIvfTopK(Tables.embeddings(s, d), nQueries = 10,
+        k = 5, nlist = 16, labels = FilteredLabels, nprobe = 2)),
     "q_ann_recall" -> ((s, d) =>
       Similarity.annRecall(
         annGtMemo(s, d),
@@ -2372,6 +2377,25 @@ object SparkEntry {
          |r AS (SELECT vec_id, v, cid, row_number() OVER (
          |        PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM a0),
          |corpus AS (SELECT vec_id, v, cid AS list FROM r WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, v AS qv, cid AS list FROM r
+         |      WHERE vec_id < 10 AND rn <= 2),
+         |s AS (SELECT query_id, corpus.vec_id AS neighbor_id, ${duckCos("qv", "corpus.v")} AS cos_sim
+         |      FROM corpus JOIN q USING (list) WHERE corpus.vec_id <> query_id)
+         |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
+         |WHERE rn <= 5""".stripMargin,
+    "q_filtered_ivf" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |                  list_transform(embedding, x -> cast(x AS double)) AS v
+         |           FROM embeddings),
+         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |a0 AS (SELECT e.vec_id, e.label, e.v, c.cid, ${duckCos("e.v", "c.cv")} AS csim
+         |       FROM e CROSS JOIN c),
+         |r AS (SELECT vec_id, label, v, cid, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn FROM a0),
+         |corpus AS (SELECT vec_id, v, cid AS list FROM r
+         |           WHERE rn = 1 AND label IN (${FilteredLabels.mkString(", ")})),
          |q AS (SELECT vec_id AS query_id, v AS qv, cid AS list FROM r
          |      WHERE vec_id < 10 AND rn <= 2),
          |s AS (SELECT query_id, corpus.vec_id AS neighbor_id, ${duckCos("qv", "corpus.v")} AS cos_sim

@@ -357,6 +357,33 @@ object Similarity {
     probeSearch(assignCorpus(v, bcCents), probeQueries(v, bcCents, nQueries, nprobe), k)
   }
 
+  /** [[filteredTopK]]'s pre-filter composed into the IVF path: the label
+    * predicate constrains the corpus BEFORE list assignment, so only
+    * surviving vectors are assigned and probed — the index never stores
+    * out-of-filter candidates, and a selective filter shrinks the scan
+    * AND every probe join. Queries come from the UNFILTERED set (a query
+    * need not satisfy its own filter — "nearest label-L docs to this
+    * doc" is the common case); centroid seeds also stay unfiltered so
+    * the list geometry matches [[ivfTopK]]'s. Same pre-over-post recall
+    * argument as the brute variant: every returned hit is in-filter, and
+    * no list is cut short by post-hoc filtering. */
+  def filteredIvfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                      nlist: Int, labels: Seq[Int],
+                      nprobe: Int = 1): DataFrame = {
+    require(labels.nonEmpty, "filtered search needs a label set")
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, $nlist]")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val all = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents: Array[(Long, Array[Double])] = all.filter(col("vec_id") < nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val corpus = embeddings.filter(col("label").isin(labels: _*))
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    probeSearch(assignCorpus(corpus, bcCents),
+      probeQueries(all, bcCents, nQueries, nprobe), k)
+  }
+
   /** nprobe SWEEP sharing ONE corpus list assignment: the assigned corpus
     * is `localCheckpoint`'d (materialized once, lineage truncated) and
     * probed at each grid point, so a P-point sweep costs one assignment

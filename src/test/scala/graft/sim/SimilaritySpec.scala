@@ -153,6 +153,25 @@ class SimilaritySpec extends SparkSuite {
       s"post-filter unexpectedly kept ${post.length} >= ${pre.length}")
   }
 
+  test("filteredIvfTopK: hits are in-filter; scores bit-match the filtered brute force") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val labels = Seq(1, 2)
+    val ivf = Similarity.filteredIvfTopK(emb, nQueries = 5, k = 3,
+        nlist = 8, labels = labels, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(ivf.nonEmpty)
+    val inFilter = emb.filter(col("label").isin(labels: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.forall(t => inFilter.contains(t._2)), "out-of-filter hit")
+    // every (query, neighbor) the filtered brute force also ranked must
+    // carry the SAME cosine — the filter must not perturb scoring
+    val brute = Similarity.filteredTopK(emb, nQueries = 5, k = 3, labels)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    ivf.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(bc === c)) }
+  }
+
   test("labelCentroidsQ: hand-computed integer accumulators per (label, dim)") {
     import spark.implicits._
     val emb = Seq(
