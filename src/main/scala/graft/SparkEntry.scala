@@ -296,6 +296,14 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"),
           expr("ts_ns div 1000").as("ts_us")),
         FunnelSteps, maxGapUs = Some(FunnelMaxGapUs))),
+    // per-VISIT funnel: the step chain scoped to gap-based sessions
+    // over the funnel-relevant events; still one exchange (the session
+    // window's partitioning is reused by the (user, session) agg)
+    "q_session_funnel" -> ((s, d) =>
+      Analytics.sessionFunnel(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us")),
+        FunnelSteps, gapUs = SessionFunnelGapUs)),
     // degree-oriented triangle census over the thresholded co-occurrence
     // graph — wedge fan-out bounded by sqrt(m), never hub degree; the
     // oracle is the naive 3-way join the operator refuses to run
@@ -823,6 +831,11 @@ object SparkEntry {
 
   /** q_filtered_topk label constraint, interpolated into both sides. */
   private val FilteredLabels = Seq(1, 2, 3)
+
+  /** q_session_funnel gap (24 h in µs — funnel-step events are sparse,
+    * so a browse-session gap would splinter every step; 24 h yields
+    * 1073→516→234 session-level attrition at sf0.01). */
+  private val SessionFunnelGapUs = 86400000000L
 
   /** q_funnel_within max inter-step gap (24 h in µs — 150→60→25 user
     * attrition on the sf0.01 corpus, non-trivial at every level). */
@@ -1597,6 +1610,37 @@ object SparkEntry {
          |        JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
          |SELECT n_nodes, (SELECT count(*) FROM e) AS n_edges, n_triangles
          |FROM n, tri""".stripMargin,
+    "q_session_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  epoch_ns(ts) // 1000 AS ts_us
+         |           FROM events
+         |           WHERE event_type IN (${FunnelSteps
+        .map(s => s"'$s'").mkString(", ")})),
+         |b AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w
+         |                       > $SessionFunnelGapUs
+         |                     THEN 1 ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id
+         |                          ORDER BY ts_us, event_id)),
+         |s AS (SELECT *, cast(sum(brk) OVER (PARTITION BY user_id
+         |                       ORDER BY ts_us, event_id
+         |                       ROWS UNBOUNDED PRECEDING) AS bigint)
+         |                  AS session_idx
+         |      FROM b),
+         |s1 AS (SELECT user_id, session_idx, min(ts_us) AS t1 FROM s
+         |       WHERE event_type = '${FunnelSteps(0)}' GROUP BY 1, 2),
+         |s2 AS (SELECT s.user_id, s.session_idx, min(ts_us) AS t2
+         |       FROM s JOIN s1 ON s.user_id = s1.user_id
+         |                     AND s.session_idx = s1.session_idx
+         |       WHERE event_type = '${FunnelSteps(1)}' AND ts_us > t1
+         |       GROUP BY 1, 2),
+         |s3 AS (SELECT s.user_id, s.session_idx, min(ts_us) AS t3
+         |       FROM s JOIN s2 ON s.user_id = s2.user_id
+         |                     AND s.session_idx = s2.session_idx
+         |       WHERE event_type = '${FunnelSteps(2)}' AND ts_us > t2
+         |       GROUP BY 1, 2)
+         |SELECT s1.user_id, s1.session_idx, t1, t2, t3
+         |FROM s1 LEFT JOIN s2 USING (user_id, session_idx)
+         |        LEFT JOIN s3 USING (user_id, session_idx)""".stripMargin,
     "q_rolling_active" ->
       s"""WITH e AS (SELECT DISTINCT user_id,
          |             DATE '1970-01-01'

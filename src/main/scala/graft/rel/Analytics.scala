@@ -132,12 +132,21 @@ object Analytics {
     }
     val lists = events.filter(col(typeCol).isin(steps: _*))
       .groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
-    // step i qualifies strictly after t_{i-1}; with a gap bound, also at
-    // or before t_{i-1} + maxGap — "converted within an hour", the form
-    // attribution windows and SLA funnels need. The bound composes into
-    // the same HOF (first qualifying element of the sorted list), so the
-    // plan shape (ONE exchange) is identical with or without it.
-    val chained = steps.indices.foldLeft(lists) { case (df, i) =>
+    chainSteps(lists, steps.size, maxGapUs)
+      .select(col(userCol) +: steps.indices.map(i => col(s"t${i + 1}")): _*)
+  }
+
+  /** The strictly-ordered step chain shared by [[funnel]] and
+    * [[sessionFunnel]]: given per-key sorted step-time lists l1..lN,
+    * derive t1..tN where step i qualifies strictly after t_{i-1}; with
+    * a gap bound, also at or before t_{i-1} + maxGap — "converted
+    * within an hour", the form attribution windows and SLA funnels
+    * need. The bound composes into the same HOF (first qualifying
+    * element of the sorted list), so the plan shape is identical with
+    * or without it. Rows whose chain never starts (t1 NULL) drop. */
+  private def chainSteps(lists: DataFrame, nSteps: Int,
+                         maxGapUs: Option[Long]): DataFrame = {
+    val chained = (0 until nSteps).foldLeft(lists) { case (df, i) =>
       if (i == 0) df.withColumn("t1", get(col("l1"), lit(0)))
       else df.withColumn(s"t${i + 1}",
         get(filter(col(s"l${i + 1}"), x => maxGapUs match {
@@ -146,7 +155,44 @@ object Analytics {
         }), lit(0)))
     }
     chained.filter(col("t1").isNotNull)
-      .select(col(userCol) +: steps.indices.map(i => col(s"t${i + 1}")): _*)
+  }
+
+  /** Funnel scoped to SESSIONS: the strictly-ordered step chain
+    * evaluated within each (user, session) — "did this visit convert",
+    * the per-visit variant of [[funnel]] (which answers "did this user
+    * ever convert"). Sessionization is gap-based over the
+    * funnel-relevant events only (same `> gap` break / `== gap` merge
+    * semantics as [[sessionize]]), then the same collect-sorted-lists +
+    * HOF chain groups by (user, session).
+    *
+    * Scale shape: ONE exchange, total — the session-index window
+    * partitions by user, and the per-(user, session) aggregation's
+    * grouping keys are a superset of that partition key, so the agg
+    * reuses the window's partitioning (same reuse argument as
+    * [[sessionize]], PlanSpec-pinned). */
+  def sessionFunnel(events: DataFrame, steps: Seq[String], gapUs: Long,
+                    typeCol: String = "event_type",
+                    userCol: String = "user_id",
+                    tsCol: String = "ts_us",
+                    idCol: String = "event_id"): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
+    require(gapUs > 0, s"session gap must be positive: $gapUs")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events.filter(col(typeCol).isin(steps: _*))
+      .withColumn("brk",
+        when(col(tsCol) - lag(col(tsCol), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("brk")).over(run))
+    val aggs = steps.zipWithIndex.map { case (step, i) =>
+      array_sort(collect_list(when(col(typeCol) === step, col(tsCol))))
+        .as(s"l${i + 1}")
+    }
+    val lists = sess.groupBy(col(userCol), col("session_idx"))
+      .agg(aggs.head, aggs.tail: _*)
+    chainSteps(lists, steps.size, maxGapUs = None)
+      .select(col(userCol) +: col("session_idx") +:
+        steps.indices.map(i => col(s"t${i + 1}")): _*)
   }
 
   /** Cohort retention: bucket each user into the period of their FIRST

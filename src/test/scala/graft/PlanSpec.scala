@@ -244,6 +244,18 @@ class PlanSpec extends SparkSuite {
       s"scan reads unused columns: $readSchema")
   }
 
+  test("sessionFunnel: one hash exchange — the session window's partitioning is reused") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+    val df = graft.rel.Analytics.sessionFunnel(
+      ev, Seq("view", "click", "purchase"), gapUs = 86400000000L)
+    val plan = executed(df).split("== Initial Plan ==").head
+    val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(ex <= 1, s"session funnel grew to $ex exchanges:\n$plan")
+  }
+
   test("filteredTopK: label pre-filter is pushed to the parquet scan") {
     val df = graft.sim.Similarity.filteredTopK(
       Tables.embeddings(spark, sf), nQueries = 5, k = 3, labels = Seq(1, 2))

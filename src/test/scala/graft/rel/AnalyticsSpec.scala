@@ -124,6 +124,28 @@ class AnalyticsSpec extends SparkSuite {
     assert(r(3L) === ((false, true)), "second gap 101 breaks only step 3")
   }
 
+  test("sessionFunnel: chain resets at session boundaries; cross-session steps never convert") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1, session 0: full conversion
+      (1L, 1L, "view", 100L), (1L, 2L, "click", 200L), (1L, 3L, "purchase", 300L),
+      // user 1, session 1 (gap > 1000): view then click — no purchase
+      (1L, 4L, "view", 5000L), (1L, 5L, "click", 5100L),
+      // user 2: view in session 0, click only in session 1 → the click
+      // must NOT convert the first session's view
+      (2L, 6L, "view", 100L), (2L, 7L, "click", 9000L)
+    ).toDF("user_id", "event_id", "event_type", "ts_us")
+    val r = Analytics.sessionFunnel(ev, Seq("view", "click", "purchase"),
+        gapUs = 1000L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.isNullAt(3), x.isNullAt(4))).toMap
+    assert(r((1L, 0L)) === ((false, false)), "session 0 fully converts")
+    assert(r((1L, 1L)) === ((false, true)), "session 1 stops at click")
+    assert(r((2L, 0L)) === ((true, true)), "cross-session click must not convert")
+    // user 2 session 1 has no view → no chain start → absent
+    assert(!r.contains((2L, 1L)))
+  }
+
   test("funnel: a same-timestamp later step does NOT convert (strict >)") {
     import spark.implicits._
     val ev = Seq((1L, "view", 10L), (1L, "click", 10L), (1L, "purchase", 11L))
