@@ -46,13 +46,27 @@ object SparkEntry {
   val memoSeconds =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Double]
   private def memoized(s: SparkSession, d: String, key: String)
-                      (build: => DataFrame): DataFrame =
-    memoCache.computeIfAbsent((s, d, key), _ => {
+                      (build: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: memo builds NEST (dedup_clusters builds by
+    // calling the lsh_pairs memo), and a nested computeIfAbsent on the
+    // same ConcurrentHashMap throws "Recursive update" whenever the two
+    // keys land in the same bin — a per-run lottery, because the key
+    // holds the SparkSession and its identity hash changes every JVM.
+    // Build OUTSIDE the map update instead; the benign race (two
+    // threads building once each, first put wins) never happens in the
+    // sequential Verify/Bench drivers and would only waste work, not
+    // correctness, elsewhere.
+    val k = (s, d, key)
+    val existing = memoCache.get(k)
+    if (existing != null) existing
+    else {
       val t0 = System.nanoTime()
       val df = build.localCheckpoint()
       memoSeconds.put((d, key), (System.nanoTime() - t0) / 1e9)
-      df
-    })
+      val prev = memoCache.putIfAbsent(k, df)
+      if (prev != null) prev else df
+    }
+  }
 
   /** The canonical minhash→LSH candidate-pair frame over `documents` —
     * input to edit-distance verify, clustering, keep/drop, and the
@@ -289,6 +303,11 @@ object SparkEntry {
     // oracle IS that naive join (IEJoin handles it at gate scale)
     "q_rolling_active" -> ((s, d) =>
       Analytics.rollingActiveQuery(s, d, RollingDays)),
+    // incremental DAU/WAU state maintenance: merged intervals are a
+    // sufficient, order-independent state — fold the newer half in as
+    // a delta; the oracle is the FULL recompute
+    "q_rolling_merge" -> ((s, d) =>
+      Analytics.rollingMergeQuery(s, d, RollingDays)),
     // SLA funnel: each step must land within 24 h of the previous one —
     // same one-exchange HOF chain as q_funnel, bound composed in
     "q_funnel_within" -> ((s, d) =>
@@ -824,6 +843,21 @@ object SparkEntry {
 
   /** q_rolling_active window width (the WAU operating point). */
   private val RollingDays = 7
+
+  /** The rolling-active full-recompute oracle (the naive BETWEEN join)
+    * — shared verbatim by q_rolling_active and q_rolling_merge: the
+    * incremental merge's correctness claim IS equality with the full
+    * recompute. */
+  private lazy val RollingRebuildSql =
+    s"""WITH e AS (SELECT DISTINCT user_id,
+       |             DATE '1970-01-01'
+       |               + CAST(epoch_ns(ts) // 1000 // 86400000000
+       |                      AS INTEGER) AS day
+       |           FROM events),
+       |d AS (SELECT DISTINCT day FROM e)
+       |SELECT d.day, count(DISTINCT e.user_id) AS n_active
+       |FROM d JOIN e ON e.day BETWEEN d.day - ${RollingDays - 1} AND d.day
+       |GROUP BY d.day""".stripMargin
 
   /** q_token_budget per-source budget (chars; ~half of each sf0.01
     * source's ~7k total, so every stratum exercises the boundary cut). */
@@ -1641,16 +1675,9 @@ object SparkEntry {
          |SELECT s1.user_id, s1.session_idx, t1, t2, t3
          |FROM s1 LEFT JOIN s2 USING (user_id, session_idx)
          |        LEFT JOIN s3 USING (user_id, session_idx)""".stripMargin,
-    "q_rolling_active" ->
-      s"""WITH e AS (SELECT DISTINCT user_id,
-         |             DATE '1970-01-01'
-         |               + CAST(epoch_ns(ts) // 1000 // 86400000000
-         |                      AS INTEGER) AS day
-         |           FROM events),
-         |d AS (SELECT DISTINCT day FROM e)
-         |SELECT d.day, count(DISTINCT e.user_id) AS n_active
-         |FROM d JOIN e ON e.day BETWEEN d.day - ${RollingDays - 1} AND d.day
-         |GROUP BY d.day""".stripMargin,
+    "q_rolling_active" -> RollingRebuildSql,
+    // incremental merge vs the FULL recompute: same oracle by design
+    "q_rolling_merge" -> RollingRebuildSql,
     "q_skew_profile" ->
       """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders
         |           GROUP BY o_custkey)

@@ -675,19 +675,60 @@ object Analytics {
                     dayCol: String = "day"): DataFrame = {
     require(windowDays >= 1, s"window must be >= 1 day: $windowDays")
     val ud = events.select(col(userCol), col(dayCol)).distinct()
-    val w = Window.partitionBy(col(userCol)).orderBy(col(dayCol))
-    val prevEnd = max(date_add(col(dayCol), windowDays - 1))
+    val intervals = mergeUserIntervals(
+      ud.select(col(userCol), col(dayCol).as("iv_start"),
+        date_add(col(dayCol), windowDays - 1).as("iv_end")), userCol)
+    val points = ud.select(col(dayCol).as("day")).distinct()
+    activeIntervalsAt(intervals, "iv_start", "iv_end", points, "day")
+  }
+
+  /** Per-user interval UNION: merge overlapping [iv_start, iv_end]
+    * rows into disjoint covering intervals — one exchange on the user,
+    * the standard running-max sweep (a new interval starts when the
+    * next start exceeds the running max end of everything before it).
+    * Union is associative and order-independent, which is what lets
+    * [[rollingActiveMerge]] fold ALREADY-MERGED state together with
+    * fresh point intervals without re-expanding to days. */
+  def mergeUserIntervals(iv: DataFrame, userCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("iv_start"), col("iv_end"))
+    val prevEnd = max(col("iv_end"))
       .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val intervals = ud
-      .withColumn("new_iv",
-        when(prevEnd.isNull || col(dayCol) > prevEnd, 1L).otherwise(0L))
+    iv.withColumn("new_iv",
+        when(prevEnd.isNull || col("iv_start") > prevEnd, 1L).otherwise(0L))
       .withColumn("iv", sum(col("new_iv"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col(userCol), col("iv"))
-      .agg(min(col(dayCol)).as("iv_start"),
-        date_add(max(col(dayCol)), windowDays - 1).as("iv_end"))
-    val points = ud.select(col(dayCol).as("day")).distinct()
-    activeIntervalsAt(intervals, "iv_start", "iv_end", points, "day")
+      .agg(min(col("iv_start")).as("iv_start"),
+        max(col("iv_end")).as("iv_end"))
+      .drop("iv")
+  }
+
+  /** Incremental rolling-active maintenance — the [[scd2Merge]] pattern
+    * applied to the DAU/WAU state: the persisted per-user merged
+    * coverage intervals are a SUFFICIENT state (interval union is
+    * associative and order-independent, so re-merging them with a delta
+    * batch's fresh [day, day+w−1] point intervals equals a full rebuild
+    * — no append-only contract needed, late data folds in correctly,
+    * unlike SCD2 where compaction is lossy). Users untouched by the
+    * delta pass through a broadcast anti-join; only affected users
+    * re-merge, each over its own interval list. Returns the new state
+    * (merged intervals); feed it to [[activeIntervalsAt]] for the
+    * metric. */
+  def rollingActiveMerge(baseIntervals: DataFrame, deltaEvents: DataFrame,
+                         windowDays: Int, userCol: String = "user_id",
+                         dayCol: String = "day"): DataFrame = {
+    require(windowDays >= 1, s"window must be >= 1 day: $windowDays")
+    val deltaIv = deltaEvents.select(col(userCol), col(dayCol)).distinct()
+      .select(col(userCol), col(dayCol).as("iv_start"),
+        date_add(col(dayCol), windowDays - 1).as("iv_end"))
+    val affected = deltaIv.select(col(userCol)).distinct()
+    val untouched = baseIntervals
+      .join(broadcast(affected), Seq(userCol), "left_anti")
+    val reopened = baseIntervals
+      .join(broadcast(affected), Seq(userCol), "left_semi")
+    untouched.unionByName(
+      mergeUserIntervals(reopened.unionByName(deltaIv), userCol))
   }
 
   /** Gate form of [[rollingActive]] on the events table. The event day
@@ -701,6 +742,32 @@ object Analytics {
         expr("date_add(DATE '1970-01-01', " +
           "cast(ts_ns div 1000 div 86400000000 as int))").as("day")),
       windowDays)
+
+  /** Gate form of [[rollingActiveMerge]]: build the interval state from
+    * the older half of the corpus (midpoint split, in-plan), fold the
+    * newer half in as the delta batch, then sweep the merged state over
+    * ALL event days. The oracle is the FULL-recompute SQL — the merge
+    * path must be indistinguishable (same stance as q_scd2_merge). */
+  def rollingMergeQuery(spark: SparkSession, dir: String,
+                        windowDays: Int): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr("date_add(DATE '1970-01-01', " +
+          "cast(ts_ns div 1000 div 86400000000 as int))").as("day"))
+    val split = ev.agg(expr("(min(ts_us) + max(ts_us)) div 2").as("split_us"))
+    val withSplit = ev.crossJoin(broadcast(split))
+    val base = withSplit.filter(col("ts_us") < col("split_us"))
+    val delta = withSplit.filter(col("ts_us") >= col("split_us"))
+    val baseIv = mergeUserIntervals(
+      base.select(col("user_id"), col("day")).distinct()
+        .select(col("user_id"), col("day").as("iv_start"),
+          date_add(col("day"), windowDays - 1).as("iv_end")), "user_id")
+    val merged = rollingActiveMerge(baseIv,
+      delta.select(col("user_id"), col("day")), windowDays)
+    val points = ev.select(col("day")).distinct()
+    activeIntervalsAt(merged, "iv_start", "iv_end", points, "day")
+  }
 
   /** Key-skew profiler: the distribution of per-key row counts as a
     * log2 histogram (bucket = floor(log2(cnt)), computed integer-exactly

@@ -537,6 +537,40 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("rollingActiveMerge: merged state == full rebuild, even with LATE delta days") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(n: Int) = Date.valueOf(java.time.LocalDate.ofEpochDay(n.toLong))
+    val w = 7
+    val base = Seq((1L, d(10)), (1L, d(20)), (2L, d(15)), (3L, d(5)))
+      .toDF("user_id", "day")
+    // delta: bridges user 1's two intervals AND contains a LATE day
+    // (day 3 < every base day for user 1) — interval union is
+    // order-independent, so even late data must fold in exactly
+    val delta = Seq((1L, d(14)), (1L, d(3)), (4L, d(30)))
+      .toDF("user_id", "day")
+    val baseIv = Analytics.mergeUserIntervals(
+      base.select(col("user_id"), col("day").as("iv_start"),
+        date_add(col("day"), w - 1).as("iv_end")), "user_id")
+    val merged = Analytics.rollingActiveMerge(baseIv, delta, w)
+    val full = Analytics.mergeUserIntervals(
+      base.unionByName(delta)
+        .select(col("user_id"), col("day").as("iv_start"),
+          date_add(col("day"), w - 1).as("iv_end")), "user_id")
+    assert(merged.exceptAll(full).count() == 0 &&
+      full.exceptAll(merged).count() == 0,
+      "incremental interval state diverged from the full rebuild")
+    // user 1's bridged run [10,16]∪[14,20]∪[20,26] collapses to ONE row
+    val u1 = merged.filter(col("user_id") === 1L)
+      .collect().map(r => (r.getDate(1).toString, r.getDate(2).toString))
+    assert(u1.toSet === Set(("1970-01-04", "1970-01-10"),
+      ("1970-01-11", "1970-01-27")),
+      s"user 1 intervals wrong: ${u1.toSeq}")
+    // untouched user 3 passes through byte-identical
+    assert(merged.filter(col("user_id") === 3L).exceptAll(
+      baseIv.filter(col("user_id") === 3L)).count() == 0)
+  }
+
   test("rollingActiveQuery on real events: window-1 equals plain daily distinct") {
     val daily = Analytics.rollingActiveQuery(spark, sf, windowDays = 1)
     val expect = Tables.events(spark, sf)
