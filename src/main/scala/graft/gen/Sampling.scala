@@ -207,44 +207,69 @@ object Sampling {
     * The naive formulation is a running sum over (stratum ORDER BY hash)
     * — a per-stratum monolithic sort whose parallelism is the stratum
     * count, the same closed-domain trap `rankFamily` exists for. This is
-    * the two-level cut instead: docs land in 256 hash-prefix buckets;
+    * a RECURSIVE prefix cut instead: at each level, docs land in 256
+    * hash-prefix buckets of the current unresolved slice;
     * per-(stratum, bucket) token sums (a tiny aggregate) give exact
     * bucket prefix offsets, which classify whole buckets as
     * keep-all (off + btok < budget), drop-all (off ≥ budget), or THE
-    * boundary bucket (≤ 1 per stratum) — and only boundary-bucket docs
-    * (1/256 of the stratum) pay the ordered within-bucket scan. The
-    * same banding argument as rankFamily: recursion on the boundary
-    * bucket would cut another 256× if a stratum ever needed it.
+    * boundary bucket (≤ 1 per stratum), which descends to the next
+    * level. Each level divides the unresolved region by 256, so the
+    * final ordered scan touches 256^-levels of a stratum — `levels` = 2
+    * (default) is 1/65536, enough for any real corpus; the spec proves
+    * all depths emit identical keep sets.
     *
     * Output: kept docs as (idCol, stratumCol, n_tokens). */
   def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
-                        tokensCol: String, budgetTokens: Long): DataFrame = {
+                        tokensCol: String, budgetTokens: Long,
+                        levels: Int = 2): DataFrame = {
     require(budgetTokens >= 1, s"budget must be >= 1 token: $budgetTokens")
+    require(levels >= 1 && levels <= 4,
+      s"levels must be in [1,4] (8 hex chars available): $levels")
+    import org.apache.spark.sql.expressions.{Window => W}
     val base = df.select(col(idCol), col(stratumCol),
         col(tokensCol).cast("bigint").as("n_tokens"))
       .withColumn("__h", bucketHex(col(idCol)))
-      .withColumn("__b", substring(col("__h"), 1, 2))
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol)).orderBy(col("__b"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val buckets = base.groupBy(col(stratumCol), col("__b"))
-      .agg(sum(col("n_tokens")).as("__btok"))
-      .withColumn("__boff", coalesce(sum(col("__btok")).over(wB), lit(0L)))
-    val tagged = base.join(broadcast(buckets), Seq(stratumCol, "__b"))
-    val keepAll = tagged
-      .filter(col("__boff") + col("__btok") < budgetTokens)
-    val boundary = tagged
-      .filter(col("__boff") < budgetTokens &&
-        col("__boff") + col("__btok") >= budgetTokens)
-    val wD = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(stratumCol), col("__b"))
+      // tokens resolved BEFORE this row's current boundary slice — 0 at
+      // the root; each level folds its bucket prefix offsets in
+      .withColumn("__pboff", lit(0L))
+    // Recursive cut: at level L, slice the (per stratum, unique)
+    // boundary region by the next 2 hex chars; tiny per-bucket sums
+    // classify whole buckets keep-all / drop-all, and only the ≤ 1
+    // boundary bucket per stratum descends. Each level divides the
+    // unresolved region by 256, so `levels` = 3 bounds the final
+    // ordered scan at 1/16.7M of a stratum — deep enough for any
+    // corpus; the final window is the base case either way.
+    var keeps = List.empty[DataFrame]
+    var boundary = base
+    for (lvl <- 1 to levels) {
+      val b = boundary.withColumn("__b", substring(col("__h"), 1, 2 * lvl))
+      val wB = W.partitionBy(col(stratumCol)).orderBy(col("__b"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val buckets = b.groupBy(col(stratumCol), col("__b"))
+        .agg(sum(col("n_tokens")).as("__btok"),
+          min(col("__pboff")).as("__pb")) // constant within the slice
+        .withColumn("__boff",
+          col("__pb") + coalesce(sum(col("__btok")).over(wB), lit(0L)))
+        .drop("__pb")
+      val tagged = b.drop("__pboff")
+        .join(broadcast(buckets), Seq(stratumCol, "__b"))
+      keeps ::= tagged
+        .filter(col("__boff") + col("__btok") < budgetTokens)
+        .select(col(idCol), col(stratumCol), col("n_tokens"))
+      boundary = tagged
+        .filter(col("__boff") < budgetTokens &&
+          col("__boff") + col("__btok") >= budgetTokens)
+        .withColumn("__pboff", col("__boff"))
+        .drop("__b", "__btok", "__boff")
+    }
+    val wD = W.partitionBy(col(stratumCol))
       .orderBy(col("__h"), col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      .rowsBetween(W.unboundedPreceding, -1)
     val boundaryKept = boundary
       .withColumn("__before",
-        col("__boff") + coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
+        col("__pboff") + coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
       .filter(col("__before") < budgetTokens)
-    keepAll.unionByName(boundaryKept.drop("__before"))
       .select(col(idCol), col(stratumCol), col("n_tokens"))
+    keeps.foldLeft(boundaryKept)(_ unionByName _)
   }
 }

@@ -150,6 +150,13 @@ class SamplingSpec extends SparkSuite {
     val budget = 800L
     val got = Sampling.tokenBudgetSample(docs, "stratum", "doc_id", "ntok", budget)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // every recursion depth resolves to the SAME keep set
+    for (lv <- Seq(1, 3)) {
+      val atLv = Sampling.tokenBudgetSample(docs, "stratum", "doc_id", "ntok",
+          budget, levels = lv)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(atLv === got, s"levels=$lv diverged from the default depth")
+    }
     // naive reference: per stratum, hash order, keep while before < budget
     def hex(id: Long) = {
       val md = java.security.MessageDigest.getInstance("MD5")
