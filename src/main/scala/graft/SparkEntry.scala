@@ -308,6 +308,12 @@ object SparkEntry {
     // a delta; the oracle is the FULL recompute
     "q_rolling_merge" -> ((s, d) =>
       Analytics.rollingMergeQuery(s, d, RollingDays)),
+    // first-order Markov transition counts over ordered user events;
+    // per-from totals ride along as integers (no division on-surface)
+    "q_transitions" -> ((s, d) =>
+      Analytics.transitions(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us")))),
     // SLA funnel: each step must land within 24 h of the previous one —
     // same one-exchange HOF chain as q_funnel, bound composed in
     "q_funnel_within" -> ((s, d) =>
@@ -1678,6 +1684,21 @@ object SparkEntry {
     "q_rolling_active" -> RollingRebuildSql,
     // incremental merge vs the FULL recompute: same oracle by design
     "q_rolling_merge" -> RollingRebuildSql,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_ns(ts) // 1000 AS ts_us
+        |           FROM events),
+        |p AS (SELECT event_type AS from_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |                                    ORDER BY ts_us, event_id)
+        |               AS to_type
+        |      FROM e),
+        |t AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |      WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       cast(sum(n) OVER (PARTITION BY from_type) AS bigint)
+        |         AS n_from
+        |FROM t""".stripMargin,
     "q_skew_profile" ->
       """WITH c AS (SELECT o_custkey, count(*) AS cnt FROM orders
         |           GROUP BY o_custkey)

@@ -537,6 +537,21 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("transitions: adjacent pairs only, per-user, ordered; totals partition by from") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "a", 100L), (1L, 2L, "b", 200L), (1L, 3L, "a", 300L),
+      (2L, 4L, "a", 100L), (2L, 5L, "b", 50L) // user 2: b comes FIRST by ts
+    ).toDF("user_id", "event_id", "event_type", "ts_us")
+    val r = Analytics.transitions(ev)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3))).toMap
+    // user 1: a→b, b→a; user 2 (ordered by ts): b→a
+    assert(r === Map(
+      ("a", "b") -> ((1L, 1L)),
+      ("b", "a") -> ((2L, 2L))))
+  }
+
   test("rollingActiveMerge: merged state == full rebuild, even with LATE delta days") {
     import spark.implicits._
     import java.sql.Date
