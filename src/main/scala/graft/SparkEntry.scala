@@ -314,6 +314,25 @@ object SparkEntry {
       Analytics.transitions(Tables.events(s, d)
         .select(col("user_id"), col("event_id"), col("event_type"),
           expr("ts_ns div 1000").as("ts_us")))),
+    // second-order path mining: top-k next events per (prev, cur)
+    // context — two lead() taps on one window, WindowGroupLimit cut
+    "q_top_paths" -> ((s, d) =>
+      Analytics.topPaths(Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("ts_us")), k = TopPathsK)),
+    // weighted sweep-line: quantity in transit per order day — the
+    // value-in-flight generalization of q_interval_count (weight ≡ 1)
+    "q_weighted_interval" -> ((s, d) => {
+      val iv = Tables.lineitem(s, d).select(
+        to_date(col("l_shipdate")).as("ship"),
+        date_add(to_date(col("l_shipdate")),
+          (col("l_orderkey") % 30).cast("int")).as("receipt"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"))
+      Analytics.weightedIntervalsAt(iv, "ship", "receipt", "qty",
+          Tables.orders(s, d).select(to_date(col("o_orderdate")).as("day")),
+          "day")
+        .select(col("day"), col("w_active").cast("double").as("w_active"))
+    }),
     // SLA funnel: each step must land within 24 h of the previous one —
     // same one-exchange HOF chain as q_funnel, bound composed in
     "q_funnel_within" -> ((s, d) =>
@@ -876,6 +895,9 @@ object SparkEntry {
     * so a browse-session gap would splinter every step; 24 h yields
     * 1073→516→234 session-level attrition at sf0.01). */
   private val SessionFunnelGapUs = 86400000000L
+
+  /** q_top_paths per-context cut. */
+  private val TopPathsK = 3
 
   /** q_funnel_within max inter-step gap (24 h in µs — 150→60→25 user
     * attrition on the sf0.01 corpus, non-trivial at every level). */
@@ -1735,6 +1757,33 @@ object SparkEntry {
         |SELECT day, cast(count(ship) AS bigint) AS n_active
         |FROM days LEFT JOIN iv ON ship <= day AND receipt >= day
         |GROUP BY day""".stripMargin,
+    "q_weighted_interval" ->
+      """WITH days AS (SELECT DISTINCT cast(o_orderdate AS date) AS day
+        |              FROM orders),
+        |iv AS (SELECT cast(l_shipdate AS date) AS ship,
+        |              cast(l_shipdate AS date) + cast(l_orderkey % 30 AS int)
+        |                AS receipt,
+        |              cast(l_quantity AS decimal(18,2)) AS qty
+        |       FROM lineitem)
+        |SELECT day, cast(coalesce(sum(qty), 0) AS double) AS w_active
+        |FROM days LEFT JOIN iv ON ship <= day AND receipt >= day
+        |GROUP BY day""".stripMargin,
+    "q_top_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type,
+         |                  epoch_ns(ts) // 1000 AS ts_us
+         |           FROM events),
+         |p AS (SELECT event_type AS prev_type,
+         |             lead(event_type, 1) OVER w AS cur_type,
+         |             lead(event_type, 2) OVER w AS next_type
+         |      FROM e WINDOW w AS (PARTITION BY user_id
+         |                          ORDER BY ts_us, event_id)),
+         |t AS (SELECT prev_type, cur_type, next_type, count(*) AS n FROM p
+         |      WHERE next_type IS NOT NULL GROUP BY 1, 2, 3)
+         |SELECT prev_type, cur_type, next_type, n, cast(rn AS int) AS rnk
+         |FROM (SELECT *, row_number() OVER (
+         |        PARTITION BY prev_type, cur_type
+         |        ORDER BY n DESC, next_type) AS rn FROM t) x
+         |WHERE rn <= $TopPathsK""".stripMargin,
     "q_bloom_join" ->
       """SELECT l_returnflag,
         |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,

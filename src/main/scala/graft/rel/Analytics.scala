@@ -540,14 +540,34 @@ object Analytics {
     * band-and-compose shape as [[rankFamily]], so the plan stays free
     * of unbounded single-partition sorts (the sp1 lint) at any scale. */
   def activeIntervalsAt(intervals: DataFrame, startCol: String, endCol: String,
-                        points: DataFrame, pointCol: String): DataFrame = {
+                        points: DataFrame, pointCol: String): DataFrame =
+    sweepIntervals(intervals.withColumn("__w", lit(1L).cast("decimal(18,2)")),
+      startCol, endCol, "__w", points, pointCol)
+      .select(col("day"), col("w_active").cast("bigint").as("n_active"))
+
+  /** WEIGHTED interval sweep: per query day, the SUM of a weight over
+    * intervals containing it — concurrent load/value-in-flight, not
+    * just a count (which is the weight ≡ 1 special case —
+    * [[activeIntervalsAt]] delegates here). Same sweep-line identity
+    * with ±weight deltas; the weight must be an exact type (integer or
+    * decimal) — a double weight would make the prefix sums
+    * order-dependent and break cross-engine equality. */
+  def weightedIntervalsAt(intervals: DataFrame, startCol: String,
+                          endCol: String, weightCol: String,
+                          points: DataFrame, pointCol: String): DataFrame =
+    sweepIntervals(intervals, startCol, endCol, weightCol, points, pointCol)
+
+  private def sweepIntervals(intervals: DataFrame, startCol: String,
+                             endCol: String, weightCol: String,
+                             points: DataFrame, pointCol: String): DataFrame = {
     val starts = intervals.groupBy(col(startCol).as("day"))
-      .agg(count(lit(1)).as("delta"))
+      .agg(sum(col(weightCol)).as("delta"))
     val ends = intervals.groupBy(date_add(col(endCol), 1).as("day"))
-      .agg((-count(lit(1))).as("delta"))
+      .agg((-sum(col(weightCol))).as("delta"))
     val days = points.select(col(pointCol).as("day")).distinct()
     val deltas = starts.unionByName(ends)
-      .unionByName(days.withColumn("delta", lit(0L)))
+      .unionByName(days.withColumn("delta",
+        lit(0L).cast(starts.schema("delta").dataType)))
       .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
       .withColumn("yr", year(col("day")))
     val wRun = Window.partitionBy("yr").orderBy("day")
@@ -557,10 +577,11 @@ object Analytics {
     val yoff = ytot.as("a")
       .join(ytot.as("b"), col("b.yr") < col("a.yr"), "left_outer")
       .groupBy(col("a.yr").as("yr"))
-      .agg(coalesce(sum(col("b.ytot")), lit(0L)).as("off"))
+      .agg(coalesce(sum(col("b.ytot")),
+        lit(0L).cast(ytot.schema("ytot").dataType)).as("off"))
     run.join(broadcast(yoff), "yr")
       .join(days, Seq("day"), "left_semi")
-      .select(col("day"), (col("off") + col("run")).as("n_active"))
+      .select(col("day"), (col("off") + col("run")).as("w_active"))
   }
 
   /** Exact per-group discrete quantiles, composed on the banded
@@ -803,6 +824,32 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
     val wF = Window.partitionBy(col("from_type"))
     pairs.withColumn("n_from", sum(col("n")).over(wF))
+  }
+
+  /** Second-order path mining: the top-k next events per (prev, cur)
+    * CONTEXT — "after view→click, what happens next?" — without the
+    * quadratic positional self-join a naive path query runs. Two lead()
+    * taps on the SAME user window (one exchange, one sort), a
+    * context-triple count (map-side combined, bounded by |types|³), and
+    * a row_number ≤ k cut that Spark plans as WindowGroupLimit — the
+    * per-context top-k never shuffles the full triple table's tail.
+    * Deterministic tie-break: (count desc, next_type asc). */
+  def topPaths(events: DataFrame, k: Int, userCol: String = "user_id",
+               typeCol: String = "event_type", tsCol: String = "ts_us",
+               idCol: String = "event_id"): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1: $k")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val triples = events
+      .withColumn("cur_type", lead(col(typeCol), 1).over(w))
+      .withColumn("next_type", lead(col(typeCol), 2).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col(typeCol).as("prev_type"), col("cur_type"),
+        col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val wC = Window.partitionBy(col("prev_type"), col("cur_type"))
+      .orderBy(col("n").desc, col("next_type").asc)
+    triples.withColumn("rnk", row_number().over(wC).cast("int"))
+      .filter(col("rnk") <= k)
   }
 
   /** Key-skew profiler: the distribution of per-key row counts as a

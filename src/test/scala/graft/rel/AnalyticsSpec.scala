@@ -552,6 +552,48 @@ class AnalyticsSpec extends SparkSuite {
       ("b", "a") -> ((2L, 2L))))
   }
 
+  test("topPaths: per-context top-k with deterministic ties; paths never cross users") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: a b a b a  → (a,b)→a ×2, (b,a)→b ×1
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "a", 3L),
+      (1L, 4L, "b", 4L), (1L, 5L, "a", 5L),
+      // user 2: a b c — (a,b)→c ×1; its head must not chain onto user 1
+      (2L, 6L, "a", 1L), (2L, 7L, "b", 2L), (2L, 8L, "c", 3L)
+    ).toDF("user_id", "event_id", "event_type", "ts_us")
+    val r = Analytics.topPaths(ev, k = 1)
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getString(2), x.getLong(3))).toMap
+    // (a,b) context: next ∈ {a ×2, c ×1} → top-1 is a
+    assert(r(("a", "b")) === (("a", 2L)))
+    assert(r(("b", "a")) === (("b", 1L)))
+    // k=2 exposes the runner-up and the (count desc, name asc) tie rule
+    val r2 = Analytics.topPaths(ev, k = 2)
+      .filter(col("prev_type") === "a" && col("cur_type") === "b")
+      .collect().map(x => (x.getString(2), x.getInt(4))).toSet
+    assert(r2 === Set(("a", 1), ("c", 2)))
+  }
+
+  test("weightedIntervalsAt equals the naive weighted BETWEEN join; count is the weight-1 case") {
+    import spark.implicits._
+    import java.sql.Date
+    def d(n: Int) = Date.valueOf(java.time.LocalDate.ofEpochDay(n.toLong))
+    val iv = Seq((d(1), d(3), BigDecimal("2.50")), (d(2), d(2), BigDecimal("1.00")),
+      (d(5), d(6), BigDecimal("4.00")))
+      .toDF("s", "e", "w").select(col("s"), col("e"),
+        col("w").cast("decimal(18,2)").as("w"))
+    val pts = Seq(d(1), d(2), d(3), d(4), d(6)).toDF("day")
+    val got = Analytics.weightedIntervalsAt(iv, "s", "e", "w", pts, "day")
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay.toInt ->
+        r.getDecimal(1).doubleValue).toMap
+    assert(got === Map(1 -> 2.5, 2 -> 3.5, 3 -> 2.5, 4 -> 0.0, 6 -> 4.0))
+    // weight ≡ 1 delegates to the same core as activeIntervalsAt
+    val cnt = Analytics.activeIntervalsAt(iv, "s", "e", pts, "day")
+      .collect().map(r => r.getDate(0).toLocalDate.toEpochDay.toInt ->
+        r.getLong(1)).toMap
+    assert(cnt === Map(1 -> 1L, 2 -> 2L, 3 -> 1L, 4 -> 0L, 6 -> 1L))
+  }
+
   test("rollingActiveMerge: merged state == full rebuild, even with LATE delta days") {
     import spark.implicits._
     import java.sql.Date
