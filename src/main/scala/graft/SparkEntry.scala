@@ -442,6 +442,25 @@ object SparkEntry {
         Tables.documents(s, d)
           .select(explode(TextAnalysis.toksCol(col("text"))).as("tok")),
         "tok", k = HhK)),
+    // cross-run heavy hitters: per-run candidate sketches (here: the
+    // doc-parity halves standing in for two scheduled runs) UNION into
+    // one candidate state; the exact recount over the combined corpus
+    // must be indistinguishable from the single-pass answer — the
+    // oracle is the same exact SQL as q_heavy_hitters
+    "q_hh_merge" -> ((s, d) => {
+      def toks(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        Tables.documents(s, d).filter(p(col("doc_id")))
+          .select(explode(TextAnalysis.toksCol(col("text"))).as("tok"))
+      val merged = graft.agg.HeavyHitters
+        .candidateSketch(toks(_ % 2 === 0), "tok", HhK)
+        .unionByName(graft.agg.HeavyHitters
+          .candidateSketch(toks(_ % 2 === 1), "tok", HhK))
+        .distinct()
+      graft.agg.HeavyHitters.heavyHittersFrom(
+        Tables.documents(s, d)
+          .select(explode(TextAnalysis.toksCol(col("text"))).as("tok")),
+        "tok", HhK, merged)
+    }),
     "q_vocab_encode" -> ((s, d) =>
       TextAnalysis.vocabEncode(Tables.documents(s, d),
         minDf = VocabMinDf, vocabSize = VocabSize)),
@@ -811,6 +830,18 @@ object SparkEntry {
     * half the types clear the bar at every SF. Interpolated into both
     * sides; the result is EXACT (sketch only proposes candidates). */
   private val HhK = 32
+
+  /** The exact heavy-hitters oracle — shared verbatim by
+    * q_heavy_hitters and q_hh_merge: the cross-run candidate-union
+    * path's correctness claim IS equality with the single-pass exact
+    * answer. */
+  private lazy val HeavyHittersSql =
+    s"""WITH tok AS (SELECT unnest($DuckToks) AS tok FROM documents),
+       |tot AS (SELECT count(*) AS n_total FROM tok)
+       |SELECT tok, count(*) AS cnt, n_total
+       |FROM tok CROSS JOIN tot
+       |GROUP BY tok, n_total
+       |HAVING count(*) * $HhK > n_total""".stripMargin
 
   /** q_mixture_* target language mix (sums to 1; en-heavy so every other
     * language's observed count becomes the binding constraint). */
@@ -1921,13 +1952,9 @@ object SparkEntry {
          |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
          |FROM ng a JOIN ng b ON a.ngram = b.ngram AND a.source < b.source
          |GROUP BY 1, 2""".stripMargin,
-    "q_heavy_hitters" ->
-      s"""WITH tok AS (SELECT unnest($DuckToks) AS tok FROM documents),
-         |tot AS (SELECT count(*) AS n_total FROM tok)
-         |SELECT tok, count(*) AS cnt, n_total
-         |FROM tok CROSS JOIN tot
-         |GROUP BY tok, n_total
-         |HAVING count(*) * $HhK > n_total""".stripMargin,
+    "q_heavy_hitters" -> HeavyHittersSql,
+    // cross-run candidate union + recount vs the same exact answer
+    "q_hh_merge" -> HeavyHittersSql,
     "q_tfidf_stats" ->
       s"""WITH tf AS (SELECT doc_id, t AS word, count(*) AS tf
          |            FROM (SELECT doc_id, unnest($DuckToks) AS t FROM documents)

@@ -73,17 +73,42 @@ object HeavyHitters {
     * partial-agg shuffle, and a broadcast of the single-row total. No
     * stage's state or shuffle grows with item cardinality.
     */
-  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame =
+    heavyHittersFrom(items, itemCol, k, candidateSketch(items, itemCol, k))
+
+  /** The per-RUN candidate state for cross-run heavy hitters: the
+    * distinct Misra-Gries survivors, ≤ (k−1)·partitions rows. This is
+    * the frame a scheduled pipeline PERSISTS per run (the band-store
+    * pattern): the union of per-run candidate sets is a superset of the
+    * combined corpus's true φ-heavy hitters — if a global count exceeds
+    * N/k = (Σ n_r)/k, some run's count exceeds n_r/k (averaging over
+    * runs), and within that run some partition's local count exceeds
+    * n_p/k (averaging again), so the item survives that partition's
+    * sketch. No counter arithmetic ever merges: candidates are the
+    * whole state, and the recount supplies exact counts. */
+  def candidateSketch(items: DataFrame, itemCol: String, k: Int): DataFrame = {
     require(k >= 2, s"heavyHitters needs k >= 2, got $k")
     val spark = items.sparkSession
     import spark.implicits._
-    val vals = items.select(col(itemCol).cast("string")).filter(col(itemCol).isNotNull)
+    val vals = items.select(col(itemCol).cast("string"))
+      .filter(col(itemCol).isNotNull)
     val candidates: Dataset[String] =
       vals.as[String].mapPartitions(it => misraGries(it, k))
-    val candFrame = candidates.toDF(itemCol).distinct()
+    candidates.toDF(itemCol).distinct()
+  }
+
+  /** Exact recount + threshold over a given candidate set — the second
+    * half of [[heavyHitters]], split out so cross-run callers can feed
+    * the UNION of persisted per-run sketches (see [[candidateSketch]])
+    * and still get the exact answer for the combined corpus. */
+  def heavyHittersFrom(items: DataFrame, itemCol: String, k: Int,
+                       candidates: DataFrame): DataFrame = {
+    require(k >= 2, s"heavyHitters needs k >= 2, got $k")
+    val vals = items.select(col(itemCol).cast("string"))
+      .filter(col(itemCol).isNotNull)
     val total = vals.agg(count(lit(1)).as("n_total"))
     vals
-      .join(broadcast(candFrame), Seq(itemCol), "left_semi")
+      .join(broadcast(candidates), Seq(itemCol), "left_semi")
       .groupBy(col(itemCol))
       .agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))

@@ -60,4 +60,31 @@ class HeavyHittersSpec extends SparkSuite {
     // N=4 non-null; threshold cnt*4 > 4 → cnt >= 2 → only "a"(3)
     assert(got.toSeq === Seq(("a", 3L, 4L)))
   }
+
+  test("cross-run candidate union == single-pass answer, incl. a run-skewed hitter") {
+    // the adversarial shapes for a WRONG merge design: 'lop' has ALL
+    // its mass in run 1 (absent from run 2's sketch — an INTERSECTING
+    // merge loses it; the union must not), and the tails are noise the
+    // per-run sketches may propose but the combined exact recount must
+    // reject (a design that unions per-run ANSWERS instead of
+    // recounting keeps false positives).
+    val rnd = new Random(20260813)
+    val run1 = Seq.fill(60)("lop") ++ Seq.fill(50)("both") ++
+      Seq.fill(90)(s"t1_${rnd.nextInt(50)}")
+    val run2 = Seq.fill(50)("both") ++ Seq.fill(150)(s"t2_${rnd.nextInt(50)}")
+    val all = run1 ++ run2
+    val k = 8
+    val merged = HeavyHitters
+      .candidateSketch(run1.toDF("item"), "item", k)
+      .unionByName(HeavyHitters.candidateSketch(run2.toDF("item"), "item", k))
+      .distinct()
+    val got = HeavyHitters
+      .heavyHittersFrom(all.toDF("item"), "item", k, merged)
+      .select("item", "cnt").as[(String, Long)].collect().toMap
+    assert(got === exact(all, k), "merged path diverged from exact")
+    assert(got.contains("lop"), "the run-skewed hitter was lost")
+    val single = HeavyHitters.heavyHitters(all.toDF("item"), "item", k)
+      .select("item", "cnt").as[(String, Long)].collect().toMap
+    assert(got === single, "merge path != single-pass path")
+  }
 }
