@@ -70,16 +70,49 @@ object AdaptiveSkewJoin {
       SaltedJoin.inner(big, bigKey, small, smallKey, s)
   }
 
+  /** Count-with-ceiling: how many rows `df` has, capped at `ceiling` —
+    * `limit(ceiling)` keeps the probe LOCAL-bounded (each task stops
+    * after its share of the limit; a LocalLimit caps every scan task),
+    * so a misjudged "small" side costs a bounded probe, not a full
+    * scan. Callers only ever compare the result against thresholds
+    * < ceiling, so the truncation is invisible to the decision. */
+  def countAtMost(df: DataFrame, ceiling: Long): Long = {
+    require(ceiling > 0 && ceiling <= Int.MaxValue.toLong,
+      s"ceiling must be in (0, 2^31): $ceiling")
+    df.limit(ceiling.toInt).count()
+  }
+
   /** Profile-then-join in one call: profiles the big side's key, picks,
-    * executes. The extra profiling pass is the documented cost of an
-    * informed plan — at 100 TB one linear scan buys freedom from a
-    * straggler reducer that would otherwise dominate the stage. */
+    * executes. The profiling pass over the big side is the documented
+    * cost of an informed plan — at 100 TB one linear scan buys freedom
+    * from a straggler reducer that would otherwise dominate the stage.
+    * The small side is only PROBED (count capped at
+    * broadcastMaxRows + 1 via limit), so a caller who misjudges which
+    * side is small pays a bounded peek, not a second full scan.
+    *
+    * Callers joining the same big table in a loop should NOT use this
+    * convenience form — it re-profiles on every call. Profile once with
+    * [[graft.rel.Analytics.skewProfile]] (and count the small side
+    * once), then use the cached-profile overload below / [[pick]] +
+    * [[join]] directly. */
   def autoJoin(big: DataFrame, bigKey: String, small: DataFrame,
                smallKey: String, broadcastMaxRows: Long = 1000000L,
-               skewFactor: Double = 4.0): DataFrame = {
+               skewFactor: Double = 4.0): DataFrame =
+    autoJoin(big, bigKey, small, smallKey,
+      graft.rel.Analytics.skewProfile(big, bigKey),
+      countAtMost(small, broadcastMaxRows + 1),
+      broadcastMaxRows, skewFactor)
+
+  /** Cached-profile overload: the loop-safe form — the caller profiled
+    * the big side and counted (or ceiling-counted) the small side once,
+    * and reuses both across many joins. `smallRows` may be any value
+    * > broadcastMaxRows to mean "too big to broadcast" (exactness above
+    * the threshold never changes the decision). */
+  def autoJoin(big: DataFrame, bigKey: String, small: DataFrame,
+               smallKey: String, profile: DataFrame, smallRows: Long,
+               broadcastMaxRows: Long, skewFactor: Double): DataFrame = {
     val parts = big.sparkSession.sessionState.conf.numShufflePartitions
-    val strategy = pick(graft.rel.Analytics.skewProfile(big, bigKey),
-      small.count(), parts, broadcastMaxRows, skewFactor)
+    val strategy = pick(profile, smallRows, parts, broadcastMaxRows, skewFactor)
     join(big, bigKey, small, smallKey, strategy)
   }
 }

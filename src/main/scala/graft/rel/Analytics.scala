@@ -119,16 +119,30 @@ object Analytics {
     * hash exchange) is pinned in PlanSpec; the `isin` filter prunes at
     * the scan. Strictly-sequential extraction is NOT a groupBy-pivot —
     * `min(ts WHERE step=2)` without the `> t1` constraint would count
-    * out-of-order events as conversions. */
+    * out-of-order events as conversions.
+    *
+    * `stepListCap` bounds the per-user per-step list a NON-HUMAN key
+    * could otherwise grow without limit (a crawler with millions of
+    * page_views makes one row hold millions of timestamps — the r6
+    * advisory): each sorted list is sliced to its first `cap` entries.
+    * CONTRACT: output is identical to the uncapped funnel whenever each
+    * qualifying chain timestamp lies within the first `cap` occurrences
+    * of its step — in particular for every user with ≤ cap events per
+    * step. A bot exceeding the cap can only UNDER-report (a chain whose
+    * step-i hit sits past the cap breaks at step i); it can never invent
+    * a conversion, because the kept entries are a sorted prefix and the
+    * chain rule only ever picks the FIRST qualifying element. */
   def funnel(events: DataFrame, steps: Seq[String],
              typeCol: String = "event_type", userCol: String = "user_id",
              tsCol: String = "ts_us",
-             maxGapUs: Option[Long] = None): DataFrame = {
+             maxGapUs: Option[Long] = None,
+             stepListCap: Int = 100000): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     maxGapUs.foreach(g => require(g > 0, s"max step gap must be positive: $g"))
+    require(stepListCap >= 1, s"step-list cap must be positive: $stepListCap")
     val aggs = steps.zipWithIndex.map { case (step, i) =>
-      array_sort(collect_list(when(col(typeCol) === step, col(tsCol))))
-        .as(s"l${i + 1}")
+      slice(array_sort(collect_list(when(col(typeCol) === step, col(tsCol)))),
+        1, stepListCap).as(s"l${i + 1}")
     }
     val lists = events.filter(col(typeCol).isin(steps: _*))
       .groupBy(col(userCol)).agg(aggs.head, aggs.tail: _*)
@@ -169,14 +183,19 @@ object Analytics {
     * partitions by user, and the per-(user, session) aggregation's
     * grouping keys are a superset of that partition key, so the agg
     * reuses the window's partitioning (same reuse argument as
-    * [[sessionize]], PlanSpec-pinned). */
+    * [[sessionize]], PlanSpec-pinned). `stepListCap` bounds the
+    * per-(user, session) step lists under the same prefix contract as
+    * [[funnel]] — a bot session longer than the cap can only
+    * under-report, never invent a conversion. */
   def sessionFunnel(events: DataFrame, steps: Seq[String], gapUs: Long,
                     typeCol: String = "event_type",
                     userCol: String = "user_id",
                     tsCol: String = "ts_us",
-                    idCol: String = "event_id"): DataFrame = {
+                    idCol: String = "event_id",
+                    stepListCap: Int = 100000): DataFrame = {
     require(steps.size >= 2, s"a funnel needs >= 2 steps: $steps")
     require(gapUs > 0, s"session gap must be positive: $gapUs")
+    require(stepListCap >= 1, s"step-list cap must be positive: $stepListCap")
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val sess = events.filter(col(typeCol).isin(steps: _*))
@@ -185,8 +204,8 @@ object Analytics {
           .otherwise(0L))
       .withColumn("session_idx", sum(col("brk")).over(run))
     val aggs = steps.zipWithIndex.map { case (step, i) =>
-      array_sort(collect_list(when(col(typeCol) === step, col(tsCol))))
-        .as(s"l${i + 1}")
+      slice(array_sort(collect_list(when(col(typeCol) === step, col(tsCol)))),
+        1, stepListCap).as(s"l${i + 1}")
     }
     val lists = sess.groupBy(col(userCol), col("session_idx"))
       .agg(aggs.head, aggs.tail: _*)
@@ -285,12 +304,24 @@ object Analytics {
     require(bands >= 1, s"banding needs >= 1 band: $bands")
     require(rowsPerBand >= 1, s"rowsPerBand must be positive: $rowsPerBand")
     import org.apache.spark.sql.Column
+    // Normalize the working schema UP FRONT: the cut-key collect reads
+    // value as Double and event_id as Long, so an int/decimal caller
+    // would otherwise hit a ClassCastException ONLY on the banded path —
+    // an input-size-dependent failure (the r6 ADVICE item). Casting here
+    // makes both paths accept any numeric input; the ordering the casts
+    // induce is the ordering the window uses, so cut keys and sort can
+    // never disagree. (Callers with integer values needing > 2^53
+    // exactness in `value` should pre-scale — the double order would
+    // collapse such ties onto the event_id tie-break, which is still
+    // deterministic, just a different tie order than the exact one.)
+    val events0 = events.select(col("event_id").cast("bigint").as("event_id"),
+      col("event_type"), col("value").cast("double").as("value"))
 
     // pass 0 — size the banding to the data (ONE cheap count job), then
     // per-type composite cut keys from a bounded sample. The sample is
     // small enough to window-sort per type no matter the input size;
     // cut choice only steers parallelism, never the output.
-    val total = events.count()
+    val total = events0.count()
     val effBands = math.max(1L,
       math.min(bands.toLong, (total + rowsPerBand - 1) / rowsPerBand)).toInt
     if (effBands == 1) {
@@ -298,7 +329,7 @@ object Analytics {
       // skip the sample pass, the stats agg, and the broadcast join
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("value"), col("event_id"))
-      return events.select(col("event_id"), col("event_type"), col("value"),
+      return events0.select(col("event_id"), col("event_type"), col("value"),
         rank().over(w).cast("bigint").as("rnk"),
         dense_rank().over(w).cast("bigint").as("drnk"),
         ntile(buckets).over(w).cast("int").as(s"tile$buckets"),
@@ -309,7 +340,7 @@ object Analytics {
     val frac = if (total <= cap) 1.0 else cap.toDouble / total
     val wS = Window.partitionBy("event_type").orderBy(col("value"), col("event_id"))
     val wT = Window.partitionBy("event_type")
-    val cutRows = events.sample(withReplacement = false, frac, seed = 42L)
+    val cutRows = events0.sample(withReplacement = false, frac, seed = 42L)
       .withColumn("rn", row_number().over(wS))
       .withColumn("ns", count(lit(1)).over(wT))
       .withColumn("step", expr(s"greatest(ns div $effBands, 1)"))
@@ -345,7 +376,7 @@ object Analytics {
       .orderBy(col("value"), col("event_id"))
     val wDesc = Window.partitionBy(col("event_type"), col("band"))
       .orderBy(col("value").desc, col("event_id").desc)
-    val local = events.withColumn("band", bandCol)
+    val local = events0.withColumn("band", bandCol)
       .withColumn("lrow", row_number().over(wAsc).cast("bigint"))
       .withColumn("lrank", rank().over(wAsc).cast("bigint"))
       .withColumn("ldense", dense_rank().over(wAsc).cast("bigint"))
@@ -458,15 +489,41 @@ object Analytics {
     * A late event older than a user's latest base change would need rows
     * compaction already dropped; feeding one produces a history that
     * disagrees with the full rebuild (exactly as it would in a stored
-    * SCD2 table in production). */
-  def scd2Merge(base: DataFrame, delta: DataFrame): DataFrame = {
+    * SCD2 table in production). `validate = true` makes violations
+    * SURFACE instead of corrupting the stored table: every delta row is
+    * checked (in-stream, per row — the AsofJoin contract-check pattern)
+    * against its user's latest base change key, and the job fails fast
+    * with the offending (user, ts, event_id) rendered in the error. The
+    * check joins delta against the ≤|affected-users|-row base-max frame
+    * on user_id — delta-bounded cost, the debug/CI shape, off by default
+    * on the hot path. */
+  def scd2Merge(base: DataFrame, delta: DataFrame,
+                validate: Boolean = false): DataFrame = {
     val affected = delta.select(col("user_id")).distinct()
     val untouched = base.join(broadcast(affected), Seq("user_id"), "left_anti")
     val reopened = base.join(broadcast(affected), Seq("user_id"), "left_semi")
       .select(col("user_id"), col("event_id"),
         col("valid_from").as("ts_us"), col("event_type"))
+    val delta0 =
+      if (!validate) delta
+      else {
+        val bmax = reopened.groupBy(col("user_id"))
+          .agg(max(struct(col("ts_us"), col("event_id"))).as("__bmax"))
+        delta.join(bmax, Seq("user_id"), "left")
+          .withColumn("__chk", assert_true(
+            col("__bmax").isNull ||
+              struct(col("ts_us"), col("event_id")) > col("__bmax"),
+            concat(lit("scd2Merge contract violation: delta event (user_id="),
+              col("user_id").cast("string"), lit(", ts_us="),
+              col("ts_us").cast("string"), lit(", event_id="),
+              col("event_id").cast("string"),
+              lit(") orders before the user's latest base change at ts_us="),
+              col("__bmax.ts_us").cast("string"))))
+          .filter(col("__chk").isNull)
+          .drop("__bmax", "__chk")
+      }
     untouched.unionByName(
-      scd2Core(reopened.unionByName(delta)))
+      scd2Core(reopened.unionByName(delta0)))
   }
 
   /** Gate form of [[scd2Merge]]: split the corpus at its midpoint

@@ -42,14 +42,23 @@ object Graph {
     * Input: (a, b) string endpoint pairs, any direction, duplicates and
     * self-loops tolerated (dropped). */
   def triangleCensus(edges: DataFrame): DataFrame = {
+    // The canonical edge list and the (vertex, degree) frame are each
+    // consumed by THREE downstream subtrees (two orientation joins + a
+    // census agg each); without materialization Spark re-derives them
+    // per consumer — r6 measured 34 exchanges on this query, the
+    // suite's highest. localCheckpoint truncates the lineage so each is
+    // computed once and re-read (same persisted-table modeling as
+    // rollingActiveMerge).
     val canon = edges
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = canon
       .select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // orient: src = endpoint with (smaller degree, then smaller name);
     // carry the dst endpoint's rank key for wedge ordering
     val withDeg = canon
