@@ -21,9 +21,47 @@ import graft.core.GraftSession
   *    -1 and its error lands in the JSON `errors` map and on stderr.
   */
 object Bench {
+
+  /** Minimal extraction of the per-query seconds + sf tag from a prior
+    * bench JSON line (no JSON lib on the classpath; the file is written
+    * by this object, so the shape is known). Returns (sfDir, name→sec). */
+  def parsePrior(json: String): (String, Map[String, Double]) = {
+    val sf = "\"sf\":\"([^\"]+)\"".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    val qBlock = """"queries":\{([^}]*)\}""".r.findFirstMatchIn(json)
+      .map(_.group(1)).getOrElse("")
+    val pair = """"([A-Za-z0-9_]+)":(-?[0-9.eE+\-]+)""".r
+    (sf, pair.findAllMatchIn(qBlock)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+  }
+
+  /** Per-query regression lint (r6 verdict item 2): vs the prior
+    * committed capture AT THE SAME SF, flag queries that got BOTH
+    * >1.5x slower and >0.3 s absolutely worse — the broad-based
+    * environment drift this host shows stays below one gate or the
+    * other for most queries, so a populated list is a real signal, not
+    * ambient noise. */
+  def regressions(prior: Map[String, Double],
+                  now: Seq[(String, Double)]): Seq[(String, Double, Double)] =
+    now.collect {
+      case (name, sec) if sec >= 0 && prior.get(name).exists(p =>
+        p > 0 && sec > 1.5 * p && sec - p > 0.3) =>
+        (name, prior(name), sec)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
+    // The local capture path is overridable so off-sf captures (sf1
+    // scaling runs) don't clobber the committed sf0.1 baseline the
+    // regression lint compares against.
+    val localPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOCAL", "BENCH_LOCAL.json")
+    val prior: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get(localPath))
+        val (priorSf, qs) = parsePrior(txt)
+        if (priorSf == sfDir) qs else Map.empty[String, Double]
+      } catch { case _: Throwable => Map.empty }
     val spark = GraftSession.build("graft-bench")
 
     def runOnce(dir: String, name: String,
@@ -123,10 +161,17 @@ object Bench {
     // lost the seconds map): telemetry maps first, then the per-query
     // seconds + total + unit LAST, so any tail of the line still carries
     // the headline numbers.
+    val regressed = regressions(prior, results)
+    regressed.foreach { case (n, p, c) =>
+      System.err.println(f"[bench] REGRESSED $n: $p%.3f s -> $c%.3f s (${c / p}%.2fx)")
+    }
+    val regJson = regressed.map { case (n, p, c) =>
+      s""""$n":{"prior":$p,"now":$c}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","sf":"$sfDir","errors":$errJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
+      s"""{"metric":"total","sf":"$sfDir","errors":$errJson,"regressed":$regJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
     println(json)
-    Files.writeString(Paths.get("BENCH_LOCAL.json"), json + "\n")
+    Files.writeString(Paths.get(localPath), json + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

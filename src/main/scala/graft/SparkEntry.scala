@@ -294,6 +294,12 @@ object SparkEntry {
     // exchange + one sort via a prefix-max of struct(ts, id)
     "q_attribution" -> ((s, d) =>
       Analytics.attribution(s, d, AttrTouch, AttrConv)),
+    // asof-tied attribution: a click AT the purchase's own timestamp
+    // gets credit (inclusive touch_ts <= conv_ts, ties to max id) —
+    // the batch half of the AttributionAsof streaming twin; the only
+    // plan difference vs q_attribution is a RANGE prefix frame
+    "q_attribution_asof" -> ((s, d) =>
+      Analytics.attributionAsof(s, d, AttrTouch, AttrConv)),
     // incremental SCD2 maintenance: merge the newer half as a delta
     // batch into the SCD2 of the older half; the oracle is the FULL
     // rebuild — the merge path must be indistinguishable
@@ -1659,6 +1665,31 @@ object SparkEntry {
          |s AS (SELECT *, sum(CASE WHEN event_type = '$AttrTouch'
          |                         THEN 1 ELSE 0 END)
          |               OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                     ROWS UNBOUNDED PRECEDING) AS seq
+         |      FROM e),
+         |t AS (SELECT user_id, seq, event_id AS touch_id,
+         |             ts_us AS touch_ts_us
+         |      FROM s WHERE event_type = '$AttrTouch'),
+         |c AS (SELECT user_id, event_id AS conv_id, ts_us AS conv_ts_us, seq
+         |      FROM s WHERE event_type = '$AttrConv')
+         |SELECT c.user_id, conv_id, conv_ts_us, touch_id, touch_ts_us,
+         |       conv_ts_us - touch_ts_us AS gap_us
+         |FROM c LEFT JOIN t ON c.user_id = t.user_id AND c.seq = t.seq""".stripMargin,
+    // same seq-ordinal trick, with touches ordered BEFORE conversions at
+    // equal ts — a conversion's running touch count then includes every
+    // touch with ts <= its own ts (the inclusive asof tie), and the
+    // seq-th touch is the max-(ts, event_id) one
+    "q_attribution_asof" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+         |                  event_type
+         |           FROM events),
+         |s AS (SELECT *, sum(CASE WHEN event_type = '$AttrTouch'
+         |                         THEN 1 ELSE 0 END)
+         |               OVER (PARTITION BY user_id
+         |                     ORDER BY ts_us,
+         |                              CASE WHEN event_type = '$AttrTouch'
+         |                                   THEN 0 ELSE 1 END,
+         |                              event_id
          |                     ROWS UNBOUNDED PRECEDING) AS seq
          |      FROM e),
          |t AS (SELECT user_id, seq, event_id AS touch_id,

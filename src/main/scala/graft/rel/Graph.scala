@@ -48,7 +48,8 @@ object Graph {
     // per consumer — r6 measured 34 exchanges on this query, the
     // suite's highest. localCheckpoint truncates the lineage so each is
     // computed once and re-read (same persisted-table modeling as
-    // rollingActiveMerge).
+    // rollingActiveMerge); r7 re-measure: 34 → 17 exchanges, 1.05 →
+    // 0.73 s at sf0.1, hash unchanged.
     val canon = edges
       .select(least(col("a"), col("b")).as("u"),
         greatest(col("a"), col("b")).as("v"))

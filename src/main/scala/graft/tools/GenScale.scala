@@ -1,0 +1,108 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftSession
+
+/** Deterministic scale-up of a driver testdata directory: replicate each
+  * fact table `factor`x with key-domain offsets, preserving referential
+  * integrity, so the bench can be captured at 10x the largest provided
+  * SF (the r6 verdict's top item: turn the plan-shape scaling arguments
+  * into measured time(sf1)/time(sf0.1) ratios).
+  *
+  * Shape, not synthesis: copy c of a row offsets every key in domain D
+  * by c * stride(D), where stride(D) = max(D) + 1 from the DEFINING
+  * table — so orders.o_custkey and customer.c_custkey shift together
+  * and every FK still resolves. Non-key attributes are byte-identical
+  * across copies. Consequences, documented where they matter:
+  *
+  *  - per-key history (a user's events, an order's lineitems) is
+  *    IDENTICAL to copy 0 — per-key working sets stay constant while
+  *    key counts scale, exactly the axis a partitioned engine should
+  *    scale along;
+  *  - dimension tables (region, nation) are NOT replicated (closed
+  *    domains — nationkey references stay within 0..24), matching how
+  *    real corpora grow: facts grow, enums don't;
+  *  - documents/embeddings replicate byte-identical → every cross-copy
+  *    pair is an EXACT near-dup (10x denser duplicate structure at
+  *    factor 10). Dedup/ANN queries therefore face a HARDER instance
+  *    than organic growth, which biases the scaling ratios against us —
+  *    acceptable for a scaling audit, noted in SURVEY;
+  *  - low-id conventions (vec_id < nQueries as the query set,
+  *    vec_id < nlist as centroid seeds) keep copy 0's ids only: query
+  *    and centroid counts stay FIXED while the corpus scales — the
+  *    correct scaling protocol for ANN (work grows with corpus, not
+  *    quadratically).
+  *
+  * The events `ts` column round-trips as BIGINT epoch-nanos (the
+  * session reads parquet TIMESTAMP(NANOS) via nanosAsLong): Bench/
+  * Tables.events only need the integer, and the sf1 dir is a bench
+  * input, never a DuckDB-oracle input (the t2 gate stays on the
+  * driver's own sf0.01).
+  *
+  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> <factor> */
+object GenScale {
+
+  /** (table, key column → stride domain); a domain's stride comes from
+    * its defining table so shared domains shift in lockstep. */
+  private val keyDomains: Seq[(String, Map[String, String])] = Seq(
+    "customer" -> Map("c_custkey" -> "custkey"),
+    "supplier" -> Map("s_suppkey" -> "suppkey"),
+    "part" -> Map("p_partkey" -> "partkey"),
+    "orders" -> Map("o_orderkey" -> "orderkey", "o_custkey" -> "custkey"),
+    "lineitem" -> Map("l_orderkey" -> "orderkey", "l_partkey" -> "partkey",
+      "l_suppkey" -> "suppkey"),
+    "events" -> Map("event_id" -> "event", "user_id" -> "user"),
+    "documents" -> Map("doc_id" -> "doc"),
+    "embeddings" -> Map("vec_id" -> "vec"))
+
+  /** domain → (defining table, defining column) */
+  private val domainDef: Map[String, (String, String)] = Map(
+    "custkey" -> ("customer", "c_custkey"),
+    "suppkey" -> ("supplier", "s_suppkey"),
+    "partkey" -> ("part", "p_partkey"),
+    "orderkey" -> ("orders", "o_orderkey"),
+    "event" -> ("events", "event_id"),
+    "user" -> ("events", "user_id"),
+    "doc" -> ("documents", "doc_id"),
+    "vec" -> ("embeddings", "vec_id"))
+
+  def replicate(df: DataFrame, factor: Int,
+                keyStrides: Map[String, Long]): DataFrame = {
+    val spark = df.sparkSession
+    val copies = spark.range(factor.toLong).select(col("id").as("__copy"))
+    val cols = df.columns.toSeq.map { c =>
+      keyStrides.get(c) match {
+        case Some(stride) => (col(c) + col("__copy") * stride).as(c)
+        case None         => col(c)
+      }
+    }
+    df.crossJoin(broadcast(copies)).select(cols: _*)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val (src, dst, factor) = args match {
+      case Array(s, d, f) => (s, d, f.toInt)
+      case _ =>
+        System.err.println("usage: graft.tools.GenScale <srcDir> <dstDir> <factor>")
+        sys.exit(2)
+    }
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    val spark = GraftSession.build("graft-genscale")
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+
+    val strides: Map[String, Long] = domainDef.map { case (dom, (t, c)) =>
+      dom -> (read(t).agg(max(col(c))).head().getLong(0) + 1L)
+    }
+    for (t <- Seq("region", "nation"))
+      read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    for ((t, keys) <- keyDomains) {
+      val ks = keys.map { case (c, dom) => c -> strides(dom) }
+      replicate(read(t), factor, ks)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[genscale] $t x$factor -> $dst/$t.parquet")
+    }
+    spark.stop()
+  }
+}
