@@ -727,6 +727,19 @@ object SparkEntry {
       Multimodal.decodeFeatures(s, Tables.documents(s, d)).toDF()),
     "q_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(s, Tables.documents(s, d), nFrames = FrameCount).toDF()),
+    // perceptual image near-dup: synth BMP corpus off the documents
+    // table (+ planted brightness-shifted copies), decode → dHash →
+    // banded Hamming pairs; with maxHamming < bands the banding is
+    // EXACT (pigeonhole), so the oracle is the plain all-pairs rule
+    // recomputed from the pixel spec in SQL
+    "q_image_neardup" -> ((s, d) =>
+      graft.multimodal.ImageDedup.bandedHammingPairs(
+        graft.multimodal.ImageDedup.imageDhash(s,
+          graft.multimodal.ImageDedup.synthDocImages(
+            Tables.documents(s, d), width = ImgW, height = ImgH,
+            shiftEvery = ImgShiftEvery, shiftDelta = ImgShiftDelta,
+            copyOffset = ImgCopyOffset)),
+        maxHamming = ImgMaxHamming)),
   )
 
   /** Percentile fractions for q_value_stats — ONE definition feeding both
@@ -748,6 +761,17 @@ object SparkEntry {
   private val SemDedupNlist = 16
   private val SemDedupThreshold = 0.4
   private val FrameCount = 4
+
+  /** q_image_neardup knobs — ONE definition feeding the Spark call and
+    * the oracle SQL (shared-constant hygiene). 36×32 divides exactly
+    * into the 9×8 dHash grid (16-pixel boxes); the +8 shift can never
+    * clamp because synth pixels live in [32, 223]. */
+  private val ImgW = 36
+  private val ImgH = 32
+  private val ImgShiftEvery = 7
+  private val ImgShiftDelta = 8
+  private val ImgCopyOffset = 1L << 40
+  private val ImgMaxHamming = 3
 
   /** Per-source keep rates for q_stratified_sample — one definition, hex
     * thresholds interpolated into the oracle via Sampling.thresholdHex. */
@@ -2026,15 +2050,19 @@ object SparkEntry {
         |      FROM a, unnest(generate_series(1, len(v))) AS u(ip)),
         |c AS (SELECT label AS c_label, i, cast(sum(qv) AS bigint) AS sum_q
         |      FROM q GROUP BY label, i),
+        |nc AS (SELECT label AS c_label, count(*) AS n FROM e GROUP BY label),
         |s AS (SELECT q.vec_id, q.label, c.c_label,
         |             sum(q.qv * c.sum_q) AS score
         |      FROM q JOIN c USING (i) GROUP BY q.vec_id, q.label, c.c_label),
-        |p AS (SELECT vec_id, label, c_label,
-        |             row_number() OVER (PARTITION BY vec_id
-        |                                ORDER BY score DESC, c_label ASC) AS rn
-        |      FROM s)
+        |sn AS (SELECT s.*, nc.n FROM s JOIN nc USING (c_label)),
+        |w AS (SELECT * FROM sn a WHERE NOT EXISTS (
+        |        SELECT 1 FROM sn b WHERE b.vec_id = a.vec_id AND (
+        |          CAST(b.score AS HUGEINT) * a.n > CAST(a.score AS HUGEINT) * b.n
+        |          OR (CAST(b.score AS HUGEINT) * a.n
+        |                = CAST(a.score AS HUGEINT) * b.n
+        |              AND b.c_label < a.c_label))))
         |SELECT label, c_label AS pred_label, count(*) AS n
-        |FROM p WHERE rn = 1 GROUP BY label, c_label""".stripMargin,
+        |FROM w GROUP BY label, c_label""".stripMargin,
     "q_minhash_sig" ->
       s"""WITH t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
          |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t)
@@ -2695,5 +2723,42 @@ object SparkEntry {
         |       cast(coalesce(list_sum(list_transform(generate_series(st + 1, en),
         |              i -> ascii(substring(text, i, 1)))), 0) AS bigint) AS checksum
         |FROM s""".stripMargin,
+    // independent dHash reimplementation from the PIXEL SPEC (not the
+    // BMP bytes): pixel p of doc = 32 + delta + (ascii(text[p mod len])
+    // mod 192) over a ${ImgW}x${ImgH} row-major grid; 9x8 box averages
+    // (integer floor); gradient sign per adjacent cell pair; pair
+    // hamming = differing signs. All-pairs is exact here because
+    // maxHamming < bands makes the Spark-side banding lossless and the
+    // gate corpus is far below the maxBucket guard. text is single-byte
+    // ascii (same assumption as q_multimodal_decode), so character
+    // indexing == byte indexing.
+    "q_image_neardup" ->
+      s"""WITH imgs AS (
+         |  SELECT doc_id, text, 0 AS delta FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $ImgCopyOffset, text, $ImgShiftDelta FROM documents
+         |  WHERE doc_id % $ImgShiftEvery = 0),
+         |cells AS (
+         |  SELECT doc_id, c // 9 AS gy, c % 9 AS gx,
+         |         (list_sum(list_transform(generate_series(0, ${ImgW / 9 * ImgH / 8 - 1}), k ->
+         |            32 + delta + (CASE WHEN length(text) = 0 THEN 0 ELSE
+         |              ascii(substring(text,
+         |                ((((c // 9) * ${ImgH / 8} + k // ${ImgW / 9}) * $ImgW
+         |                  + (c % 9) * ${ImgW / 9} + (k % ${ImgW / 9}))
+         |                 % length(text)) + 1, 1)) % 192 END))))
+         |           // ${ImgW / 9 * ImgH / 8} AS cell
+         |  FROM imgs, unnest(generate_series(0, 71)) AS u(c)),
+         |signs AS (
+         |  SELECT doc_id, gy, gx,
+         |         (cell < lead(cell) OVER (PARTITION BY doc_id, gy ORDER BY gx)) AS sign
+         |  FROM cells QUALIFY gx < 8),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         sum(CASE WHEN a.sign != b.sign THEN 1 ELSE 0 END) AS h
+         |  FROM signs a JOIN signs b
+         |    ON a.gy = b.gy AND a.gx = b.gx AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(h AS int) AS hamming
+         |FROM pairs WHERE h <= $ImgMaxHamming""".stripMargin,
   )
 }

@@ -612,31 +612,53 @@ object Similarity {
       .groupBy(col("label"), col("i"))
       .agg(sum(col("qv")).as("sum_q"), count(lit(1)).as("n_vecs"))
 
-  /** Nearest-centroid confusion matrix, integer-exact end to end: each
-    * vector's quantized form scores against every label centroid by the
-    * UNNORMALIZED dot product Σᵢ qvᵢ·sum_qᵢ (same argmax as against the
-    * mean centroid when all labels have equal counts; comparisons stay
-    * in integer space either way — no division, no doubles, no
-    * cross-engine rounding surface). Ties break to the smaller label.
-    * Output: (true label, predicted label, n) — the clustering-quality
-    * audit for an embedding space.
+  /** Nearest-centroid confusion matrix, integer-exact end to end AND
+    * unbiased on imbalanced label sets: each vector's quantized form
+    * scores against every label centroid by the dot product with the
+    * centroid SUM Σᵢ qvᵢ·sum_qᵢ, and the argmax compares against the
+    * true MEAN centroids — score_a/n_a vs score_b/n_b — via
+    * count-cross-multiplied exact arithmetic (score_a·n_b vs
+    * score_b·n_a in decimal(38,0): no division, no doubles, no
+    * cross-engine rounding surface, and no bias toward populous labels
+    * — the r6 ADVICE defect of the raw-sum argmax). Ties break to the
+    * smaller label. Output: (true label, predicted label, n) — the
+    * clustering-quality audit for an embedding space.
     *
     * Scale shape: the centroid table (|labels|·dims rows) broadcasts;
     * the per-vector fan-out is |labels| score partials aggregated in
-    * ONE (vec_id, label) shuffle; the argmax is a WindowGroupLimit
-    * filter; the final crosstab is label-domain-sized. */
+    * ONE (vec_id, label) shuffle. The mean-argmax is a pairwise
+    * dominance anti-join keyed on vec_id — |labels|² comparisons per
+    * vector, bounded by the closed label domain (an exact rational
+    * argmax has no single sortable key, so a window cannot express it);
+    * the final crosstab is label-domain-sized. */
   def centroidConfusion(embeddings: DataFrame): DataFrame = {
-    val cents = labelCentroidsQ(embeddings)
+    val centroids = labelCentroidsQ(embeddings)
+    val cents = centroids
       .select(col("label").as("c_label"), col("i"), col("sum_q"))
+    // per-label vector count: n_vecs is constant across a label's dims
+    val nTab = centroids.groupBy(col("label").as("c_label"))
+      .agg(max(col("n_vecs")).as("n_c"))
+    val dec38 = "decimal(38,0)"
     val scores = explodedInt8(embeddings, Seq("vec_id", "label"))
       .join(broadcast(cents), "i")
       .groupBy(col("vec_id"), col("label"), col("c_label"))
       .agg(sum(col("qv") * col("sum_q")).as("score"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-      .orderBy(col("score").desc, col("c_label").asc)
-    scores
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .join(broadcast(nTab), "c_label")
+      .select(col("vec_id"), col("label"), col("c_label"),
+        col("score").cast(dec38).as("score"), col("n_c").cast(dec38).as("n_c"))
+      .localCheckpoint() // consumed twice by the dominance join below
+    // winner = the row no other centroid beats: b beats a iff
+    // score_b/n_b > score_a/n_a (cross-multiplied) or equal with a
+    // smaller label
+    val a = scores.as("a")
+    val b = scores.select(col("vec_id"), col("c_label").as("b_label"),
+      col("score").as("b_score"), col("n_c").as("b_n")).as("b")
+    a.join(b,
+        col("a.vec_id") === col("b.vec_id") && (
+          col("b_score") * col("a.n_c") > col("a.score") * col("b_n") ||
+            (col("b_score") * col("a.n_c") === col("a.score") * col("b_n") &&
+              col("b_label") < col("a.c_label"))),
+        "left_anti")
       .groupBy(col("label"), col("c_label").as("pred_label"))
       .agg(count(lit(1)).as("n"))
   }

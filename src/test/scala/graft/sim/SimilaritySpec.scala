@@ -202,4 +202,21 @@ class SimilaritySpec extends SparkSuite {
     assert(r((1, 1)) == 2L && r((2, 2)) == 2L, s"clusters off-diagonal: $r")
     assert(r((9, 1)) == 1L, s"zero vector must tie-break to label 1: $r")
   }
+
+  test("centroidConfusion: imbalanced labels — true-mean argmax, not raw-sum bias") {
+    import spark.implicits._
+    // label 1 has TEN vectors on the x axis, label 2 ONE vector near the
+    // y axis. The raw centroid-SUM dot product (the r6 ADVICE defect)
+    // scores the lone label-2 vector higher against label 1 (its sum is
+    // 10x a mean) — 14*1270 = 17780 vs 14*14 + 127*127 = 16325 — and
+    // would misclassify it; the count-cross-multiplied MEAN comparison
+    // (17780/10 vs 16325/1) keeps it at home.
+    val emb = ((0 until 10).map(i => (i.toLong, Seq(1.0f, 0.0f), 1)) :+
+      ((10L, Seq(0.1f, 0.9f), 2))).toDF("vec_id", "embedding", "label")
+    val r = Similarity.centroidConfusion(emb)
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getLong(2)).toMap
+    assert(r((2, 2)) == 1L,
+      s"lone minority vector must classify to its own (nearer) mean centroid: $r")
+    assert(r((1, 1)) == 10L, s"majority cluster stays on the diagonal: $r")
+  }
 }
