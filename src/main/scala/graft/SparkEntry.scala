@@ -740,6 +740,18 @@ object SparkEntry {
             shiftEvery = ImgShiftEvery, shiftDelta = ImgShiftDelta,
             copyOffset = ImgCopyOffset)),
         maxHamming = ImgMaxHamming)),
+    // the per-image hash surface itself, split hi/lo 32 bits so the
+    // oracle's bit-packing stays inside signed BIGINT — pins every
+    // decode + downsample + gradient bit, not just the pair survivors
+    "q_image_dhash" -> ((s, d) =>
+      graft.multimodal.ImageDedup.imageDhash(s,
+          graft.multimodal.ImageDedup.synthDocImages(
+            Tables.documents(s, d), width = ImgW, height = ImgH,
+            shiftEvery = ImgShiftEvery, shiftDelta = ImgShiftDelta,
+            copyOffset = ImgCopyOffset))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("hi"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("lo"))),
   )
 
   /** Percentile fractions for q_value_stats — ONE definition feeding both
@@ -772,6 +784,31 @@ object SparkEntry {
   private val ImgShiftDelta = 8
   private val ImgCopyOffset = 1L << 40
   private val ImgMaxHamming = 3
+
+  /** Shared oracle CTEs for the image queries: synth corpus (base +
+    * brightness-shifted copies) → 9×8 box-average cells → gradient sign
+    * per adjacent cell pair. ONE definition feeding q_image_neardup and
+    * q_image_dhash so the pixel-spec reimplementation cannot fork. */
+  private def imageSignsCtes: String =
+    s"""imgs AS (
+       |  SELECT doc_id, text, 0 AS delta FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $ImgCopyOffset, text, $ImgShiftDelta FROM documents
+       |  WHERE doc_id % $ImgShiftEvery = 0),
+       |cells AS (
+       |  SELECT doc_id, c // 9 AS gy, c % 9 AS gx,
+       |         (list_sum(list_transform(generate_series(0, ${ImgW / 9 * ImgH / 8 - 1}), k ->
+       |            32 + delta + (CASE WHEN length(text) = 0 THEN 0 ELSE
+       |              ascii(substring(text,
+       |                ((((c // 9) * ${ImgH / 8} + k // ${ImgW / 9}) * $ImgW
+       |                  + (c % 9) * ${ImgW / 9} + (k % ${ImgW / 9}))
+       |                 % length(text)) + 1, 1)) % 192 END))))
+       |           // ${ImgW / 9 * ImgH / 8} AS cell
+       |  FROM imgs, unnest(generate_series(0, 71)) AS u(c)),
+       |signs AS (
+       |  SELECT doc_id, gy, gx,
+       |         (cell < lead(cell) OVER (PARTITION BY doc_id, gy ORDER BY gx)) AS sign
+       |  FROM cells QUALIFY gx < 8)""".stripMargin
 
   /** Per-source keep rates for q_stratified_sample — one definition, hex
     * thresholds interpolated into the oracle via Sampling.thresholdHex. */
@@ -2733,25 +2770,7 @@ object SparkEntry {
     // ascii (same assumption as q_multimodal_decode), so character
     // indexing == byte indexing.
     "q_image_neardup" ->
-      s"""WITH imgs AS (
-         |  SELECT doc_id, text, 0 AS delta FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + $ImgCopyOffset, text, $ImgShiftDelta FROM documents
-         |  WHERE doc_id % $ImgShiftEvery = 0),
-         |cells AS (
-         |  SELECT doc_id, c // 9 AS gy, c % 9 AS gx,
-         |         (list_sum(list_transform(generate_series(0, ${ImgW / 9 * ImgH / 8 - 1}), k ->
-         |            32 + delta + (CASE WHEN length(text) = 0 THEN 0 ELSE
-         |              ascii(substring(text,
-         |                ((((c // 9) * ${ImgH / 8} + k // ${ImgW / 9}) * $ImgW
-         |                  + (c % 9) * ${ImgW / 9} + (k % ${ImgW / 9}))
-         |                 % length(text)) + 1, 1)) % 192 END))))
-         |           // ${ImgW / 9 * ImgH / 8} AS cell
-         |  FROM imgs, unnest(generate_series(0, 71)) AS u(c)),
-         |signs AS (
-         |  SELECT doc_id, gy, gx,
-         |         (cell < lead(cell) OVER (PARTITION BY doc_id, gy ORDER BY gx)) AS sign
-         |  FROM cells QUALIFY gx < 8),
+      s"""WITH $imageSignsCtes,
          |pairs AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         sum(CASE WHEN a.sign != b.sign THEN 1 ELSE 0 END) AS h
@@ -2760,5 +2779,16 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(h AS int) AS hamming
          |FROM pairs WHERE h <= $ImgMaxHamming""".stripMargin,
+    "q_image_dhash" ->
+      s"""WITH $imageSignsCtes,
+         |bits AS (SELECT doc_id, gy * 8 + gx AS bit, sign FROM signs)
+         |SELECT doc_id,
+         |       cast(coalesce(sum(CASE WHEN sign AND bit >= 32
+         |                              THEN 1::BIGINT << (bit - 32)
+         |                              ELSE 0 END), 0) AS bigint) AS hi,
+         |       cast(coalesce(sum(CASE WHEN sign AND bit < 32
+         |                              THEN 1::BIGINT << bit
+         |                              ELSE 0 END), 0) AS bigint) AS lo
+         |FROM bits GROUP BY doc_id""".stripMargin,
   )
 }
