@@ -646,7 +646,9 @@ object Similarity {
       .join(broadcast(nTab), "c_label")
       .select(col("vec_id"), col("label"), col("c_label"),
         col("score").cast(dec38).as("score"), col("n_c").cast(dec38).as("n_c"))
-      .localCheckpoint() // consumed twice by the dominance join below
+    // (no materialization: the dominance join's two sides are the SAME
+    // subplan, so AQE reuses one exchange — ReusedExchange in the plan —
+    // and the scores pipeline runs once)
     // winner = the row no other centroid beats: b beats a iff
     // score_b/n_b > score_a/n_a (cross-multiplied) or equal with a
     // smaller label

@@ -267,7 +267,7 @@ class PlanSpec extends SparkSuite {
       s"label filter not pushed to the scan:\n$pushed")
   }
 
-  test("centroidConfusion: centroids broadcast; argmax is a WindowGroupLimit") {
+  test("centroidConfusion: centroids broadcast; mean-argmax is a keyed anti-join") {
     val df = graft.sim.Similarity.centroidConfusion(
       Tables.embeddings(spark, sf))
     df.collect()
@@ -275,8 +275,13 @@ class PlanSpec extends SparkSuite {
       .split("== Initial Plan ==").head
     assert(s.contains("BroadcastHashJoin"),
       s"centroid table not broadcast:\n$s")
-    assert(s.contains("WindowGroupLimit"),
-      s"nearest-centroid argmax not limited map-side:\n$s")
+    // the true-mean argmax (r7: cross-multiplied dominance, no sortable
+    // key) must plan as an anti-join KEYED on vec_id — the inequality
+    // rides as a join condition, never a cartesian fan-out
+    assert(s.contains("LeftAnti"),
+      s"mean-argmax dominance filter not an anti-join:\n$s")
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"dominance join degenerated to an unkeyed product:\n$s")
     assert(s.contains("partial_sum"), "score partials lost map-side combine")
   }
 
