@@ -752,6 +752,21 @@ object SparkEntry {
         .select(col("doc_id"),
           shiftrightunsigned(col("dhash"), 32).as("hi"),
           col("dhash").bitwiseAND(lit(0xffffffffL)).as("lo"))),
+    // ingest-time image gate: 3/4 of the corpus seeds the band store,
+    // the remaining 1/4 arrives as a batch — kept iff no band collides
+    // with the store or an earlier-id batch image (same contract as
+    // q_incremental_neardup, lifted to perceptual hashes)
+    "q_image_incremental" -> ((s, d) => {
+      val imgs = graft.multimodal.ImageDedup.synthDocImages(
+        Tables.documents(s, d), width = ImgW, height = ImgH,
+        shiftEvery = ImgShiftEvery, shiftDelta = ImgShiftDelta,
+        copyOffset = ImgCopyOffset)
+      val store = graft.multimodal.ImageDedup.imageBandKeys(s,
+        imgs.filter(col("doc_id") % 4 =!= 0)).select("bkey").distinct()
+      graft.multimodal.ImageDedup.incrementalImageNearDup(s,
+          imgs.filter(col("doc_id") % 4 === 0), store)
+        .select("doc_id")
+    }),
   )
 
   /** Percentile fractions for q_value_stats — ONE definition feeding both
@@ -2790,5 +2805,25 @@ object SparkEntry {
          |                              THEN 1::BIGINT << bit
          |                              ELSE 0 END), 0) AS bigint) AS lo
          |FROM bits GROUP BY doc_id""".stripMargin,
+    // band values packed per 16-bit group; batch image kept iff no band
+    // value appears in the store (doc_id % 4 <> 0 side) or under an
+    // earlier batch id
+    "q_image_incremental" ->
+      s"""WITH $imageSignsCtes,
+         |bits AS (SELECT doc_id, gy * 8 + gx AS bit, sign FROM signs),
+         |bands AS (SELECT doc_id, bit // 16 AS b,
+         |                 sum(CASE WHEN sign THEN 1::BIGINT << (bit % 16)
+         |                          ELSE 0 END) AS v
+         |          FROM bits GROUP BY doc_id, bit // 16),
+         |st AS (SELECT DISTINCT b, v FROM bands WHERE doc_id % 4 <> 0),
+         |bt AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+         |dropped AS (
+         |  SELECT DISTINCT doc_id FROM bt x
+         |  WHERE EXISTS (SELECT 1 FROM st s WHERE s.b = x.b AND s.v = x.v)
+         |  UNION
+         |  SELECT DISTINCT x.doc_id FROM bt x
+         |  JOIN bt y ON x.b = y.b AND x.v = y.v AND y.doc_id < x.doc_id)
+         |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM bt) t
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
   )
 }

@@ -100,6 +100,57 @@ class ImageDedupSpec extends SparkSuite {
       "banding must have FULL recall for hamming <= bands-1 (pigeonhole)")
   }
 
+  test("incrementalImageNearDup: store and within-batch collisions gate; " +
+    "undecodable payloads pass; sink replay is idempotent") {
+    def img(seed: Int, shift: Int = 0): Array[Byte] =
+      ImageDedup.packBmpGray24(36, 32, grid(36, 32, seed).map(_ + shift))
+    // store knows image A; the batch carries a brightness-shifted copy
+    // of A (near-dup: same dHash), an in-batch near-dup pair (C, C'),
+    // a fresh image D, and an undecodable payload E
+    val storeImgs = Seq((0L, img(1))).toDF("doc_id", "payload")
+    val store = ImageDedup.imageBandKeys(spark, storeImgs)
+      .select("bkey").distinct()
+    val batch = Seq(
+      (10L, img(1, shift = 9)),          // perceptual dup of stored A
+      (11L, img(5)), (12L, img(5, shift = 4)), // in-batch pair: 12 drops
+      (13L, img(7)),                     // fresh content
+      (14L, Array[Byte](1, 2, 3))        // undecodable: no bands, kept
+    ).toDF("doc_id", "payload")
+    val kept = ImageDedup.incrementalImageNearDup(spark, batch, store)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(11L, 13L, 14L))
+    // cross-run: append the batch's keys, re-run → only the bandless
+    // payload survives the gate again
+    val store2 = store.union(ImageDedup.imageBandKeys(spark, batch)
+      .select("bkey")).distinct()
+    val kept2 = ImageDedup.incrementalImageNearDup(spark, batch, store2)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept2 === Seq(14L))
+    // sink shape: two foreachBatch invocations against a fresh store
+    // dir; batch 2 re-offers A's shifted copy → rejected via the store
+    val out = java.nio.file.Files.createTempDirectory("imgsink").toString
+    ImageDedup.incrementalImageSink(out)(storeImgs, 0L)
+    ImageDedup.incrementalImageSink(out)(batch, 1L)
+    val keptSink = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptSink === Seq(0L, 11L, 13L, 14L))
+    // replay batch 1 (failure-recovery path): same result, no dup state
+    ImageDedup.incrementalImageSink(out)(batch, 1L)
+    val replay = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(replay === keptSink, "foreachBatch replay must be idempotent")
+    // the image store compacts with the TEXT store's maintenance job —
+    // same (bkey, batch) layout, same set-membership semantics
+    val dest = java.nio.file.Files.createTempDirectory("imgstore").toString
+    val (before, after) = graft.dedup.Dedup.compactBandStore(
+      spark, s"$out/store", dest)
+    assert(after <= before && after > 0)
+    val gateCompact = ImageDedup.incrementalImageNearDup(spark, batch,
+        spark.read.parquet(dest).select("bkey"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(gateCompact === Seq(14L), "compacted store gates identically")
+  }
+
   test("end to end on documents: every planted shifted copy found at hamming 0; " +
     "byte-exact dedup sees none of them") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
