@@ -767,6 +767,28 @@ object SparkEntry {
           imgs.filter(col("doc_id") % 4 === 0), store)
         .select("doc_id")
     }),
+    // audio energy-envelope fingerprints (hi/lo 32-bit halves): WAV
+    // decode -> 65-window energy gradient hash; volume-doubled planted
+    // copies hash identically while every byte differs
+    "q_audio_fingerprint" -> ((s, d) =>
+      graft.multimodal.AudioDedup.audioFingerprints(s,
+          graft.multimodal.AudioDedup.synthDocAudio(
+            Tables.documents(s, d), windows = AudioWindows,
+            perWindow = AudioPerWindow, scaleEvery = AudioScaleEvery,
+            copyOffset = AudioCopyOffset))
+        .select(col("doc_id"),
+          shiftrightunsigned(col("dhash"), 32).as("hi"),
+          col("dhash").bitwiseAND(lit(0xffffffffL)).as("lo"))),
+    // audio near-dup pairs: same banded-Hamming machinery as images
+    // (any 64-bit perceptual hash), same pigeonhole exactness
+    "q_audio_neardup" -> ((s, d) =>
+      graft.multimodal.ImageDedup.bandedHammingPairs(
+        graft.multimodal.AudioDedup.audioFingerprints(s,
+          graft.multimodal.AudioDedup.synthDocAudio(
+            Tables.documents(s, d), windows = AudioWindows,
+            perWindow = AudioPerWindow, scaleEvery = AudioScaleEvery,
+            copyOffset = AudioCopyOffset)),
+        maxHamming = ImgMaxHamming)),
   )
 
   /** Percentile fractions for q_value_stats — ONE definition feeding both
@@ -800,6 +822,14 @@ object SparkEntry {
   private val ImgCopyOffset = 1L << 40
   private val ImgMaxHamming = 3
 
+  /** q_audio_* knobs — one definition for the Spark call and the oracle
+    * SQL. 65 windows × 16 samples; sample = (ascii − 64)·256·factor, so
+    * the ×2 volume copy stays inside int16 and is integer-exact. */
+  private val AudioWindows = 65
+  private val AudioPerWindow = 16
+  private val AudioScaleEvery = 5
+  private val AudioCopyOffset = 1L << 41
+
   /** Shared oracle CTEs for the image queries: synth corpus (base +
     * brightness-shifted copies) → 9×8 box-average cells → gradient sign
     * per adjacent cell pair. ONE definition feeding q_image_neardup and
@@ -824,6 +854,32 @@ object SparkEntry {
        |  SELECT doc_id, gy, gx,
        |         (cell < lead(cell) OVER (PARTITION BY doc_id, gy ORDER BY gx)) AS sign
        |  FROM cells QUALIFY gx < 8)""".stripMargin
+
+  /** Shared oracle CTEs for the audio queries: synth corpus (base +
+    * volume-doubled copies) → per-window energy sums → gradient sign
+    * per adjacent window. The sample expression is written ONCE here
+    * and squared by self-multiplication (DuckDB lambdas have no cheap
+    * local binding). */
+  private def audioSignsCtes: String = {
+    val sample = s"""((CASE WHEN length(text) = 0 THEN 0 ELSE
+       |              ascii(substring(text,
+       |                ((w * $AudioPerWindow + k) % length(text)) + 1, 1)) - 64
+       |              END) * 256 * factor)::BIGINT""".stripMargin
+    s"""aimgs AS (
+       |  SELECT doc_id, text, 1 AS factor FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $AudioCopyOffset, text, 2 FROM documents
+       |  WHERE doc_id % $AudioScaleEvery = 0),
+       |aen AS (
+       |  SELECT doc_id, w,
+       |         list_sum(list_transform(generate_series(0, ${AudioPerWindow - 1}), k ->
+       |           ($sample) * ($sample))) AS e
+       |  FROM aimgs, unnest(generate_series(0, ${AudioWindows - 1})) AS u(w)),
+       |asigns AS (
+       |  SELECT doc_id, w AS bit,
+       |         (e < lead(e) OVER (PARTITION BY doc_id ORDER BY w)) AS sign
+       |  FROM aen QUALIFY w < 64)""".stripMargin
+  }
 
   /** Per-source keep rates for q_stratified_sample — one definition, hex
     * thresholds interpolated into the oracle via Sampling.thresholdHex. */
@@ -2825,5 +2881,25 @@ object SparkEntry {
          |  JOIN bt y ON x.b = y.b AND x.v = y.v AND y.doc_id < x.doc_id)
          |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM bt) t
          |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    "q_audio_fingerprint" ->
+      s"""WITH $audioSignsCtes
+         |SELECT doc_id,
+         |       cast(coalesce(sum(CASE WHEN sign AND bit >= 32
+         |                              THEN 1::BIGINT << (bit - 32)
+         |                              ELSE 0 END), 0) AS bigint) AS hi,
+         |       cast(coalesce(sum(CASE WHEN sign AND bit < 32
+         |                              THEN 1::BIGINT << bit
+         |                              ELSE 0 END), 0) AS bigint) AS lo
+         |FROM asigns GROUP BY doc_id""".stripMargin,
+    "q_audio_neardup" ->
+      s"""WITH $audioSignsCtes,
+         |apairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         sum(CASE WHEN a.sign != b.sign THEN 1 ELSE 0 END) AS h
+         |  FROM asigns a JOIN asigns b
+         |    ON a.bit = b.bit AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(h AS int) AS hamming
+         |FROM apairs WHERE h <= $ImgMaxHamming""".stripMargin,
   )
 }
