@@ -30,8 +30,27 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written tables are directories
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    # GenScale-derived dirs round-trip events.ts as BIGINT epoch-nanos
+    # (Spark cannot write TIMESTAMP(NANOS)); rebuild the view so the
+    # oracles' epoch_ns(ts) keeps working. make_timestamp takes epoch
+    # MICROS — the same µs truncation DuckDB applies to a real
+    # TIMESTAMP(NANOS) column, so oracle arithmetic is unchanged.
+    try:
+        (ts_type,) = [str(t) for c, t in zip(
+            con.sql("SELECT * FROM events LIMIT 0").columns,
+            con.sql("SELECT * FROM events LIMIT 0").types) if c == "ts"]
+        if ts_type.upper() == "BIGINT":
+            src = f"{sf_dir}/events.parquet"
+            src = f"{src}/*.parquet" if os.path.isdir(f"{sf_dir}/events.parquet") else src
+            con.execute("DROP VIEW events")
+            con.execute(f"CREATE VIEW events AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM '{src}'")
+    except Exception:
+        pass  # no events table in this dir
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
     for name, sql in sorted(oracle.items()):
