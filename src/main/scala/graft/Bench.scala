@@ -35,6 +35,49 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble).toMap)
   }
 
+  /** Declared scaling classes for the cross-SF lint: how much slower a
+    * query may get when the data grows `factor`×. Three classes:
+    *  - sublinear (bound 0.9·factor): the banded/bounded/sweep
+    *    operators whose whole point is beating linear;
+    *  - linear (bound 1.6·factor, the default): honest per-row work —
+    *    the 1.6 headroom absorbs fixed JVM/planning overhead moving
+    *    between captures and ambient drift;
+    *  - pairs (bound 5·factor): pair-MATERIALIZING dedup ops whose
+    *    OUTPUT grows quadratically in duplicate-cluster size on the
+    *    GenScale replica (measured: 28,000× more intra-cluster pairs
+    *    at sf1, cost ×35-40 — the bound says "quadratically harder
+    *    instance may cost ~5× linear", catching a true all-pairs
+    *    regression which would cost ~100×).
+    * A violation means a query left its complexity class between
+    * captures — the automated form of the r7 manual sf1 audit. */
+  private val sublinearQueries = Set(
+    "q_token_budget", "q_rolling_active", "q_rolling_merge", "q_funnel",
+    "q_funnel_within", "q_weighted_interval", "q_interval_count",
+    "q_hh_merge", "q_group_quantiles", "q_window_ranks", "q_heavy_hitters",
+    "q_rank_topk", "q_topk_per_group", "q_knn_graph", "q_embed_neardup",
+    "q_cosine_topk", "q_lsh_topk", "q_ivf_topk", "q_ivf_probe2",
+    "q_filtered_topk", "q_filtered_ivf", "q_ann_recall", "q_semantic_dedup")
+  private val pairQueries = Set(
+    "q_minhash_lsh_pairs", "q_pair_editdist", "q_dedup_agreement",
+    "q_dedup_clusters", "q_split_leakage", "q_canonical_keep")
+  def scaleBound(name: String, factor: Double): Double =
+    if (sublinearQueries(name)) 0.9 * factor
+    else if (pairQueries(name)) 5.0 * factor
+    else 1.6 * factor
+
+  /** Cross-SF scaling lint: given a BASE capture at 1× and this run at
+    * `factor`× the data, flag queries whose time ratio exceeds their
+    * declared class bound (plus a 0.3 s absolute floor — sub-second
+    * queries are dominated by fixed overhead and would false-fire). */
+  def scalingViolations(base: Map[String, Double],
+                        now: Seq[(String, Double)], factor: Double)
+      : Seq[(String, Double, Double, Double)] =
+    now.collect {
+      case (name, sec) if sec >= 0 && base.get(name).exists(b =>
+        b > 0 && sec / b > scaleBound(name, factor) && sec - b > 0.3) =>
+        (name, base(name), sec, scaleBound(name, factor))
+    }
+
   /** Per-query regression lint (r6 verdict item 2): vs the prior
     * committed capture AT THE SAME SF, flag queries that got BOTH
     * >1.5x slower and >0.3 s absolutely worse — the broad-based
@@ -168,8 +211,27 @@ object Bench {
     val regJson = regressed.map { case (n, p, c) =>
       s""""$n":{"prior":$p,"now":$c}"""
     }.mkString("{", ",", "}")
+    // Cross-SF scaling lint: SPARK_GRAFT_SCALE_BASE points at a capture
+    // of the SAME code on 1/SPARK_GRAFT_SCALE_FACTOR of this run's data
+    // (the sf0.1 BENCH_LOCAL vs an sf1 run). Violations = queries that
+    // left their declared complexity class.
+    val scaling = sys.env.get("SPARK_GRAFT_SCALE_BASE").toSeq.flatMap { p =>
+      val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toDouble
+      try {
+        val (baseSf, baseQ) = parsePrior(Files.readString(Paths.get(p)))
+        if (baseSf == sfDir) Seq.empty // same data — the regression lint covers it
+        else scalingViolations(baseQ, results, factor)
+      } catch { case _: Throwable => Seq.empty }
+    }
+    scaling.foreach { case (n, b, c, bound) =>
+      System.err.println(
+        f"[bench] SCALING $n: $b%.3f s -> $c%.3f s (${c / b}%.1fx > bound $bound%.1fx)")
+    }
+    val scJson = scaling.map { case (n, b, c, bound) =>
+      s""""$n":{"base":$b,"now":$c,"bound":$bound}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","sf":"$sfDir","errors":$errJson,"regressed":$regJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
+      s"""{"metric":"total","sf":"$sfDir","errors":$errJson,"regressed":$regJson,"scaling":$scJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
     println(json)
     Files.writeString(Paths.get(localPath), json + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))

@@ -789,6 +789,19 @@ object SparkEntry {
             perWindow = AudioPerWindow, scaleEvery = AudioScaleEvery,
             copyOffset = AudioCopyOffset)),
         maxHamming = ImgMaxHamming)),
+    // ingest-time audio gate: same band-store contract as
+    // q_image_incremental, over fingerprint bands
+    "q_audio_incremental" -> ((s, d) => {
+      val audio = graft.multimodal.AudioDedup.synthDocAudio(
+        Tables.documents(s, d), windows = AudioWindows,
+        perWindow = AudioPerWindow, scaleEvery = AudioScaleEvery,
+        copyOffset = AudioCopyOffset)
+      val store = graft.multimodal.AudioDedup.audioBandKeys(s,
+        audio.filter(col("doc_id") % 4 =!= 0)).select("bkey").distinct()
+      graft.multimodal.AudioDedup.incrementalAudioNearDup(s,
+          audio.filter(col("doc_id") % 4 === 0), store)
+        .select("doc_id")
+    }),
   )
 
   /** Percentile fractions for q_value_stats — ONE definition feeding both
@@ -2901,5 +2914,21 @@ object SparkEntry {
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(h AS int) AS hamming
          |FROM apairs WHERE h <= $ImgMaxHamming""".stripMargin,
+    "q_audio_incremental" ->
+      s"""WITH $audioSignsCtes,
+         |abands AS (SELECT doc_id, bit // 16 AS b,
+         |                  sum(CASE WHEN sign THEN 1::BIGINT << (bit % 16)
+         |                           ELSE 0 END) AS v
+         |           FROM asigns GROUP BY doc_id, bit // 16),
+         |ast AS (SELECT DISTINCT b, v FROM abands WHERE doc_id % 4 <> 0),
+         |abt AS (SELECT * FROM abands WHERE doc_id % 4 = 0),
+         |adropped AS (
+         |  SELECT DISTINCT doc_id FROM abt x
+         |  WHERE EXISTS (SELECT 1 FROM ast s WHERE s.b = x.b AND s.v = x.v)
+         |  UNION
+         |  SELECT DISTINCT x.doc_id FROM abt x
+         |  JOIN abt y ON x.b = y.b AND x.v = y.v AND y.doc_id < x.doc_id)
+         |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM abt) t
+         |WHERE doc_id NOT IN (SELECT doc_id FROM adropped)""".stripMargin,
   )
 }

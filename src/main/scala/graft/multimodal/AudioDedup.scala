@@ -139,6 +139,33 @@ object AudioDedup {
       .toDF("doc_id", "dhash")
   }
 
+  /** Band keys for the incremental gate — the audio instantiation of
+    * [[ImageDedup.hashBandKeys]]; same "b#value" layout, so
+    * `Dedup.compactBandStore` maintains this store too. */
+  def audioBandKeys(spark: SparkSession, audio: DataFrame,
+                    bands: Int = 4): DataFrame =
+    ImageDedup.hashBandKeys(audioFingerprints(spark, audio), bands)
+
+  /** Ingest-time audio near-dup gate: [[ImageDedup.incrementalBandGate]]
+    * over fingerprint band keys — a new clip is rejected when any band
+    * was seen within-batch (earlier id) or in the cross-run store;
+    * undecodable/too-short payloads carry no bands and always pass.
+    * Same full-recall (hamming ≤ bands−1) pigeonhole argument, same
+    * probabilistic over-drop trade as the image and MinHash gates. */
+  def incrementalAudioNearDup(spark: SparkSession, newAudio: DataFrame,
+                              seenBands: DataFrame,
+                              bands: Int = 4): DataFrame =
+    ImageDedup.incrementalBandGate(newAudio,
+      audioBandKeys(spark, newAudio, bands), seenBands)
+
+  /** foreachBatch sink — [[ImageDedup.bandStoreSink]] with the audio
+    * key extractor; replay-idempotent, store compacts with
+    * `Dedup.compactBandStore`. */
+  def incrementalAudioSink(out: String, bands: Int = 4)(
+      batch: DataFrame, batchId: Long): Unit =
+    ImageDedup.bandStoreSink(out,
+      audioBandKeys(batch.sparkSession, _, bands))(batch, batchId)
+
   /** Deterministic audio corpus off the documents table: sample k of a
     * doc is (byte(k mod len) − 64) · 256 (ASCII ⇒ full int16 range
     * without clipping), `windows`·`perWindow` samples per doc. Every

@@ -26,6 +26,28 @@ class BenchLintSpec extends AnyFunSuite {
     assert(Bench.parsePrior("not json at all")._2.isEmpty)
   }
 
+  test("scalingViolations: class bounds — sublinear fires at linear, linear at quadratic, " +
+    "pairs tolerate the replica's density blowup") {
+    val base = Map(
+      "q_token_budget" -> 0.5,      // sublinear: bound 9x at factor 10
+      "q_tpch_q1" -> 0.6,           // default linear: bound 16x
+      "q_pair_editdist" -> 0.3,     // pairs: bound 50x
+      "q_tiny" -> 0.02)             // absolute floor case
+    val now = Seq(
+      "q_token_budget" -> 5.0,      // 10x = linear: a SUBLINEAR op regressed -> fires
+      "q_tpch_q1" -> 6.0,           // 10x: fine for linear
+      "q_pair_editdist" -> 12.0,    // 40x: within the pairs bound (replica hardness)
+      "q_tiny" -> 0.25)             // 12.5x but only +0.23 s: overhead, quiet
+    val v = Bench.scalingViolations(base, now, factor = 10.0)
+    assert(v.map(_._1) === Seq("q_token_budget"))
+    // a true all-pairs regression (~100x on the 10x replica) DOES fire
+    val v2 = Bench.scalingViolations(base, Seq("q_pair_editdist" -> 33.0), 10.0)
+    assert(v2.map(_._1) === Seq("q_pair_editdist"))
+    // and a quadratic default-class query fires too
+    val v3 = Bench.scalingViolations(base, Seq("q_tpch_q1" -> 11.0), 10.0)
+    assert(v3.map(_._1) === Seq("q_tpch_q1"))
+  }
+
   test("regressions: fires only past BOTH the 1.5x ratio and 0.3 s absolute gates") {
     val prior = Map("fast" -> 0.1, "slow" -> 1.0, "mid" -> 0.5, "err" -> 2.0)
     val now = Seq(

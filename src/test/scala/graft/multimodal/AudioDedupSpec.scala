@@ -78,6 +78,38 @@ class AudioDedupSpec extends SparkSuite {
     assert(mixed.toSeq === expect.toSeq)
   }
 
+  test("incrementalAudioNearDup: volume copies gate via the store; undecodable passes; " +
+    "sink + text-store compaction reuse") {
+    def wav(seed: Int, factor: Int = 1): Array[Byte] =
+      AudioDedup.packWavPcm16(8000, tone(seed).map(_ * factor))
+    val storeAudio = Seq((0L, wav(1))).toDF("doc_id", "payload")
+    val store = AudioDedup.audioBandKeys(spark, storeAudio)
+      .select("bkey").distinct()
+    val batch = Seq(
+      (10L, wav(1, factor = 2)),   // volume-doubled copy of stored clip
+      (11L, wav(5)),               // fresh content
+      (12L, Array[Byte](9, 9))     // undecodable: no bands, kept
+    ).toDF("doc_id", "payload")
+    val kept = AudioDedup.incrementalAudioNearDup(spark, batch, store)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(11L, 12L))
+    // sink round trip + the TEXT store compaction job on the audio store
+    val out = java.nio.file.Files.createTempDirectory("audsink").toString
+    AudioDedup.incrementalAudioSink(out)(storeAudio, 0L)
+    AudioDedup.incrementalAudioSink(out)(batch, 1L)
+    val keptSink = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptSink === Seq(0L, 11L, 12L))
+    val dest = java.nio.file.Files.createTempDirectory("audstore").toString
+    val (before, after) = graft.dedup.Dedup.compactBandStore(
+      spark, s"$out/store", dest)
+    assert(after <= before && after > 0)
+    val gateCompact = AudioDedup.incrementalAudioNearDup(spark, batch,
+        spark.read.parquet(dest).select("bkey"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(gateCompact === Seq(12L), "compacted store gates identically")
+  }
+
   test("end to end on documents: volume-doubled copies pair at hamming 0 via the shared banding") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val audio = AudioDedup.synthDocAudio(docs).localCheckpoint()
