@@ -802,6 +802,17 @@ object SparkEntry {
           audio.filter(col("doc_id") % 4 === 0), store)
         .select("doc_id")
     }),
+    // video-clip near-dup: per-frame dHash over GFC1 containers, clip
+    // pairs by shared-frame counts — re-encodes share ALL frames,
+    // trimmed copies n-1 (integer output; consumers divide)
+    "q_video_shared" -> ((s, d) =>
+      graft.multimodal.VideoDedup.videoSharedFrames(
+        graft.multimodal.VideoDedup.videoFrameHashes(s,
+          graft.multimodal.VideoDedup.synthDocVideos(
+            Tables.documents(s, d), frames = VideoFrames, width = ImgW,
+            height = ImgH, shiftEvery = ImgShiftEvery,
+            shiftDelta = ImgShiftDelta, copyOffset = VideoCopyOffset)),
+        minShared = VideoMinShared, maxBucket = LshMaxBucket)),
   )
 
   /** Percentile fractions for q_value_stats — ONE definition feeding both
@@ -842,6 +853,14 @@ object SparkEntry {
   private val AudioPerWindow = 16
   private val AudioScaleEvery = 5
   private val AudioCopyOffset = 1L << 41
+
+  /** q_video_shared knobs — one definition for both sides. Frame f
+    * indexes doc bytes by f·997 + p (997 coprime to the 36×32 frame,
+    * decorrelating frames); mod-7 residue 0 plants a full re-encode,
+    * residue 1 a first-frame-trimmed copy. */
+  private val VideoFrames = 4
+  private val VideoCopyOffset = 1L << 42
+  private val VideoMinShared = 2
 
   /** Shared oracle CTEs for the image queries: synth corpus (base +
     * brightness-shifted copies) → 9×8 box-average cells → gradient sign
@@ -2930,5 +2949,55 @@ object SparkEntry {
          |  JOIN abt y ON x.b = y.b AND x.v = y.v AND y.doc_id < x.doc_id)
          |SELECT doc_id FROM (SELECT DISTINCT doc_id FROM abt) t
          |WHERE doc_id NOT IN (SELECT doc_id FROM adropped)""".stripMargin,
+    // per-frame dHash recomputed from the pixel spec (frame f shifts
+    // the byte stream by f*997), frames bit-packed to (hi, lo), clip
+    // pairs by exact shared-hash counts with the maxBucket guard
+    "q_video_shared" ->
+      s"""WITH vimgs AS (
+         |  SELECT doc_id, text, 0 AS delta, 0 AS f0 FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $VideoCopyOffset, text, $ImgShiftDelta, 0
+         |  FROM documents WHERE doc_id % $ImgShiftEvery = 0
+         |  UNION ALL
+         |  SELECT doc_id + $VideoCopyOffset, text, 0, 1
+         |  FROM documents WHERE doc_id % $ImgShiftEvery = 1),
+         |vcells AS (
+         |  SELECT doc_id, f, c // 9 AS gy, c % 9 AS gx,
+         |         (list_sum(list_transform(generate_series(0, 15), k ->
+         |            32 + delta + (CASE WHEN length(text) = 0 THEN 0 ELSE
+         |              ascii(substring(text,
+         |                ((f * 997 + (((c // 9) * 4 + k // 4) * $ImgW
+         |                  + (c % 9) * 4 + (k % 4)))
+         |                 % length(text)) + 1, 1)) % 192 END)))) // 16 AS cell
+         |  FROM vimgs,
+         |       unnest(generate_series(0, ${VideoFrames - 1})) AS uf(f),
+         |       unnest(generate_series(0, 71)) AS u(c)
+         |  WHERE f >= f0),
+         |vsigns AS (
+         |  SELECT doc_id, f, gy * 8 + gx AS bit,
+         |         (cell < lead(cell) OVER (PARTITION BY doc_id, f, gy ORDER BY gx)) AS sign
+         |  FROM vcells QUALIFY gx < 8),
+         |vh AS (
+         |  SELECT doc_id, f,
+         |         coalesce(sum(CASE WHEN sign AND bit >= 32
+         |                           THEN 1::BIGINT << (bit - 32) ELSE 0 END), 0) AS hi,
+         |         coalesce(sum(CASE WHEN sign AND bit < 32
+         |                           THEN 1::BIGINT << bit ELSE 0 END), 0) AS lo
+         |  FROM vsigns GROUP BY doc_id, f),
+         |vhd AS (SELECT DISTINCT doc_id, hi, lo FROM vh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM vhd GROUP BY doc_id),
+         |okh AS (SELECT hi, lo FROM vhd GROUP BY hi, lo
+         |        HAVING count(*) >= 2 AND count(*) <= $LshMaxBucket),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             count(*) AS shared
+         |      FROM vhd a
+         |      JOIN okh ON a.hi = okh.hi AND a.lo = okh.lo
+         |      JOIN vhd b ON a.hi = b.hi AND a.lo = b.lo
+         |                AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2 HAVING count(*) >= $VideoMinShared)
+         |SELECT doc_a, doc_b, cast(shared AS bigint) AS shared_frames,
+         |       sa.n AS n_a, sb.n AS n_b
+         |FROM p JOIN sizes sa ON p.doc_a = sa.doc_id
+         |       JOIN sizes sb ON p.doc_b = sb.doc_id""".stripMargin,
   )
 }
