@@ -105,6 +105,12 @@ object Bench {
         val (priorSf, qs) = parsePrior(txt)
         if (priorSf == sfDir) qs else Map.empty[String, Double]
       } catch { case _: Throwable => Map.empty }
+    // Optional subset (comma-separated query names): focused captures at
+    // SFs where the full suite would take hours (the sf10 star-query
+    // run). The driver never sets this — full suite by default.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = GraftSession.build("graft-bench")
 
     def runOnce(dir: String, name: String,
@@ -116,7 +122,8 @@ object Bench {
       } catch { case e: Throwable => Left(s"${e.getClass.getSimpleName}: ${e.getMessage}") }
 
     // Warm-up (untimed, small SF): JIT, codegen cache, shuffle machinery.
-    SparkEntry.queries.foreach { case (name, fn) => runOnce(warmDir, name, fn) }
+    SparkEntry.queries.filter(kv => keep(kv._1))
+      .foreach { case (name, fn) => runOnce(warmDir, name, fn) }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Plan-shape telemetry: exchange mentions in the final (post-AQE)
@@ -157,7 +164,8 @@ object Bench {
     // GC pauses / compilation stalls (observed 4x spikes on this host,
     // and 2-3x ambient drift between back-to-back full runs); min-of-3
     // pins the noise floor without hiding real cost.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.filter(kv => keep(kv._1))
+      .toSeq.sortBy(_._1).map { case (name, fn) =>
       val s0 = drainedShuffleCount()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
