@@ -813,6 +813,21 @@ object SparkEntry {
             height = ImgH, shiftEvery = ImgShiftEvery,
             shiftDelta = ImgShiftDelta, copyOffset = VideoCopyOffset)),
         minShared = VideoMinShared, maxBucket = LshMaxBucket)),
+    // ingest-time video gate: CONTAINMENT threshold (>= 1/2 of a
+    // clip's distinct frames seen -> drop), counting — one shared
+    // intro frame cannot drop a distinct clip, unlike set-membership
+    "q_video_incremental" -> ((s, d) => {
+      val vids = graft.multimodal.VideoDedup.synthDocVideos(
+        Tables.documents(s, d), frames = VideoFrames, width = ImgW,
+        height = ImgH, shiftEvery = ImgShiftEvery,
+        shiftDelta = ImgShiftDelta, copyOffset = VideoCopyOffset)
+      val store = graft.multimodal.VideoDedup.videoFrameStoreKeys(s,
+        vids.filter(col("doc_id") % 4 =!= 0)).select("fhash").distinct()
+      graft.multimodal.VideoDedup.incrementalVideoNearDup(s,
+          vids.filter(col("doc_id") % 4 === 0), store,
+          minSharedNum = VideoGateNum, minSharedDen = VideoGateDen)
+        .select("doc_id")
+    }),
   )
 
   /** Percentile fractions for q_value_stats — ONE definition feeding both
@@ -854,13 +869,53 @@ object SparkEntry {
   private val AudioScaleEvery = 5
   private val AudioCopyOffset = 1L << 41
 
-  /** q_video_shared knobs — one definition for both sides. Frame f
+  /** q_video_* knobs — one definition for both sides. Frame f
     * indexes doc bytes by f·997 + p (997 coprime to the 36×32 frame,
     * decorrelating frames); mod-7 residue 0 plants a full re-encode,
-    * residue 1 a first-frame-trimmed copy. */
+    * residue 1 a first-frame-trimmed copy. The incremental gate drops
+    * a clip when ≥ 1/2 of its distinct frame hashes are seen. */
   private val VideoFrames = 4
   private val VideoCopyOffset = 1L << 42
   private val VideoMinShared = 2
+  private val VideoGateNum = 1
+  private val VideoGateDen = 2
+
+  /** Shared oracle CTEs for the video queries: synth containers (base +
+    * re-encode + trimmed copies) → per-frame cells/signs → per-frame
+    * (hi, lo) hash → distinct (clip, hash) set. */
+  private def videoHashCtes: String =
+    s"""vimgs AS (
+       |  SELECT doc_id, text, 0 AS delta, 0 AS f0 FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $VideoCopyOffset, text, $ImgShiftDelta, 0
+       |  FROM documents WHERE doc_id % $ImgShiftEvery = 0
+       |  UNION ALL
+       |  SELECT doc_id + $VideoCopyOffset, text, 0, 1
+       |  FROM documents WHERE doc_id % $ImgShiftEvery = 1),
+       |vcells AS (
+       |  SELECT doc_id, f, c // 9 AS gy, c % 9 AS gx,
+       |         (list_sum(list_transform(generate_series(0, 15), k ->
+       |            32 + delta + (CASE WHEN length(text) = 0 THEN 0 ELSE
+       |              ascii(substring(text,
+       |                ((f * 997 + (((c // 9) * 4 + k // 4) * $ImgW
+       |                  + (c % 9) * 4 + (k % 4)))
+       |                 % length(text)) + 1, 1)) % 192 END)))) // 16 AS cell
+       |  FROM vimgs,
+       |       unnest(generate_series(0, ${VideoFrames - 1})) AS uf(f),
+       |       unnest(generate_series(0, 71)) AS u(c)
+       |  WHERE f >= f0),
+       |vsigns AS (
+       |  SELECT doc_id, f, gy * 8 + gx AS bit,
+       |         (cell < lead(cell) OVER (PARTITION BY doc_id, f, gy ORDER BY gx)) AS sign
+       |  FROM vcells QUALIFY gx < 8),
+       |vh AS (
+       |  SELECT doc_id, f,
+       |         coalesce(sum(CASE WHEN sign AND bit >= 32
+       |                           THEN 1::BIGINT << (bit - 32) ELSE 0 END), 0) AS hi,
+       |         coalesce(sum(CASE WHEN sign AND bit < 32
+       |                           THEN 1::BIGINT << bit ELSE 0 END), 0) AS lo
+       |  FROM vsigns GROUP BY doc_id, f),
+       |vhd AS (SELECT DISTINCT doc_id, hi, lo FROM vh)""".stripMargin
 
   /** Shared oracle CTEs for the image queries: synth corpus (base +
     * brightness-shifted copies) → 9×8 box-average cells → gradient sign
@@ -2953,38 +3008,7 @@ object SparkEntry {
     // the byte stream by f*997), frames bit-packed to (hi, lo), clip
     // pairs by exact shared-hash counts with the maxBucket guard
     "q_video_shared" ->
-      s"""WITH vimgs AS (
-         |  SELECT doc_id, text, 0 AS delta, 0 AS f0 FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + $VideoCopyOffset, text, $ImgShiftDelta, 0
-         |  FROM documents WHERE doc_id % $ImgShiftEvery = 0
-         |  UNION ALL
-         |  SELECT doc_id + $VideoCopyOffset, text, 0, 1
-         |  FROM documents WHERE doc_id % $ImgShiftEvery = 1),
-         |vcells AS (
-         |  SELECT doc_id, f, c // 9 AS gy, c % 9 AS gx,
-         |         (list_sum(list_transform(generate_series(0, 15), k ->
-         |            32 + delta + (CASE WHEN length(text) = 0 THEN 0 ELSE
-         |              ascii(substring(text,
-         |                ((f * 997 + (((c // 9) * 4 + k // 4) * $ImgW
-         |                  + (c % 9) * 4 + (k % 4)))
-         |                 % length(text)) + 1, 1)) % 192 END)))) // 16 AS cell
-         |  FROM vimgs,
-         |       unnest(generate_series(0, ${VideoFrames - 1})) AS uf(f),
-         |       unnest(generate_series(0, 71)) AS u(c)
-         |  WHERE f >= f0),
-         |vsigns AS (
-         |  SELECT doc_id, f, gy * 8 + gx AS bit,
-         |         (cell < lead(cell) OVER (PARTITION BY doc_id, f, gy ORDER BY gx)) AS sign
-         |  FROM vcells QUALIFY gx < 8),
-         |vh AS (
-         |  SELECT doc_id, f,
-         |         coalesce(sum(CASE WHEN sign AND bit >= 32
-         |                           THEN 1::BIGINT << (bit - 32) ELSE 0 END), 0) AS hi,
-         |         coalesce(sum(CASE WHEN sign AND bit < 32
-         |                           THEN 1::BIGINT << bit ELSE 0 END), 0) AS lo
-         |  FROM vsigns GROUP BY doc_id, f),
-         |vhd AS (SELECT DISTINCT doc_id, hi, lo FROM vh),
+      s"""WITH $videoHashCtes,
          |sizes AS (SELECT doc_id, count(*) AS n FROM vhd GROUP BY doc_id),
          |okh AS (SELECT hi, lo FROM vhd GROUP BY hi, lo
          |        HAVING count(*) >= 2 AND count(*) <= $LshMaxBucket),
@@ -2999,5 +3023,25 @@ object SparkEntry {
          |       sa.n AS n_a, sb.n AS n_b
          |FROM p JOIN sizes sa ON p.doc_a = sa.doc_id
          |       JOIN sizes sb ON p.doc_b = sb.doc_id""".stripMargin,
+    // a batch clip's frame is "seen" if the store (doc_id % 4 <> 0
+    // side) holds it or an earlier-id batch clip does; kept iff
+    // shared*den < num*n (integer containment threshold)
+    "q_video_incremental" ->
+      s"""WITH $videoHashCtes,
+         |stv AS (SELECT DISTINCT hi, lo FROM vhd WHERE doc_id % 4 <> 0),
+         |btv AS (SELECT * FROM vhd WHERE doc_id % 4 = 0),
+         |mind AS (SELECT hi, lo, min(doc_id) AS first_doc
+         |         FROM btv GROUP BY hi, lo),
+         |marked AS (
+         |  SELECT b.doc_id,
+         |         CASE WHEN s.hi IS NOT NULL OR m.first_doc < b.doc_id
+         |              THEN 1 ELSE 0 END AS hit
+         |  FROM btv b
+         |  LEFT JOIN stv s ON b.hi = s.hi AND b.lo = s.lo
+         |  JOIN mind m ON b.hi = m.hi AND b.lo = m.lo),
+         |sh AS (SELECT doc_id, sum(hit) AS shared, count(*) AS n
+         |       FROM marked GROUP BY doc_id)
+         |SELECT doc_id FROM sh
+         |WHERE shared * $VideoGateDen < n * $VideoGateNum""".stripMargin,
   )
 }

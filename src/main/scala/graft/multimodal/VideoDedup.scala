@@ -81,6 +81,85 @@ object VideoDedup {
         col("n_a"), col("n_b"))
   }
 
+  /** Ingest-time video gate with CONTAINMENT semantics — the clip form
+    * of the band-store gates, but counting, not set membership: one
+    * shared frame must NOT drop a distinct clip (a common intro frame
+    * would nuke a whole corpus), so a new clip is rejected only when
+    * ≥ `minSharedNum`/`minSharedDen` of its DISTINCT frame hashes are
+    * already seen — in the cross-run frame-hash store or in an
+    * earlier-id clip of the same batch. Integer cross-multiplied
+    * threshold (drop iff shared·den ≥ num·n), no doubles. Clips with
+    * zero decodable frames pass (quarantine upstream), mirroring the
+    * other gates' no-evidence contract.
+    *
+    * Scale shape: one exchange on frame hash (min-doc + store
+    * semi-mark), one on doc_id (the count); no pair stage at all —
+    * the gate never materializes clip pairs, unlike
+    * [[videoSharedFrames]] (the offline audit). */
+  def incrementalVideoNearDup(spark: SparkSession, newVideos: DataFrame,
+                              seenFrameHashes: DataFrame,
+                              minSharedNum: Int = 1,
+                              minSharedDen: Int = 2): DataFrame = {
+    require(minSharedNum >= 1 && minSharedDen >= minSharedNum)
+    val fh = videoFrameHashes(spark, newVideos)
+      .select(col("doc_id"), col("dhash")).distinct()
+    val firstDoc = fh.groupBy(col("dhash"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    val store = seenFrameHashes.select(col("fhash").as("dhash")).distinct()
+      .withColumn("__instore", lit(1))
+    val marked = fh
+      .join(store, Seq("dhash"), "left")
+      .join(firstDoc, Seq("dhash"))
+      .withColumn("hit",
+        when(col("__instore").isNotNull ||
+          col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+    val dropped = marked.groupBy(col("doc_id"))
+      .agg(sum(col("hit")).as("shared"), count(lit(1)).as("n"))
+      .filter(col("shared") * minSharedDen >= col("n") * minSharedNum)
+      .select("doc_id")
+    newVideos.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
+  /** The (doc_id, fhash) frame-hash frame for store persistence —
+    * kept AND dropped clips' frames are seen content. */
+  def videoFrameStoreKeys(spark: SparkSession, videos: DataFrame): DataFrame =
+    videoFrameHashes(spark, videos)
+      .select(col("doc_id"), col("dhash").as("fhash")).distinct()
+
+  /** foreachBatch sink, same idempotent-replay shape as the band-store
+    * sinks: per-batch overwrite subdirs, store read excludes the
+    * batch's own partition, kept frame checkpointed before the writes.
+    * The store holds bare frame hashes per batch partition; compaction
+    * is a distinct over (fhash) — set semantics again at the FRAME
+    * level, so `Layout.compact`-style maintenance applies. */
+  def incrementalVideoSink(out: String, minSharedNum: Int = 1,
+                           minSharedDen: Int = 2)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val storeDir = s"$out/store"
+    val storePath = new org.apache.hadoop.fs.Path(storeDir)
+    val storeExists = storePath
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(storePath)
+    val seen =
+      if (storeExists)
+        spark.read.parquet(storeDir)
+          .filter(col("batch") =!= batchId)
+          .select("fhash")
+      else
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "fhash", org.apache.spark.sql.types.LongType))))
+    val stable = batch.localCheckpoint(true)
+    val kept = incrementalVideoNearDup(spark, stable, seen,
+      minSharedNum, minSharedDen).localCheckpoint(true)
+    kept.write.mode("overwrite").parquet(s"$out/data/batch=$batchId")
+    videoFrameStoreKeys(spark, stable).select("fhash").distinct()
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+  }
+
   /** Deterministic video corpus off the documents table: each doc packs
     * `frames` synthetic 36×32 BMP frames into a GFC1 container; frame f
     * draws pixel p from text byte (f·997 + p) mod len (997 coprime to

@@ -52,6 +52,46 @@ class VideoDedupSpec extends SparkSuite {
     assert(flatPairs === 0L)
   }
 
+  test("incrementalVideoNearDup: containment threshold — one shared frame keeps, " +
+    "half shared drops; corrupt passes; sink replay idempotent") {
+    val store = VideoDedup.videoFrameStoreKeys(spark,
+        Seq((0L, clip(Seq(1, 2, 3, 4)))).toDF("doc_id", "payload"))
+      .select("fhash").distinct()
+    val batch = Seq(
+      (10L, clip(Seq(1, 2, 3, 4), delta = 6)), // re-encode: 4/4 seen → drop
+      (11L, clip(Seq(3, 4, 30, 31))),          // 2/4 seen = threshold → drop
+      (12L, clip(Seq(4, 40, 41, 42))),         // 1/4 < 1/2 → KEPT (the intro-frame case)
+      (13L, clip(Seq(50, 51, 52, 53))),        // fresh → kept
+      (14L, Array[Byte](1, 2, 3))              // corrupt: no frames, kept
+    ).toDF("doc_id", "payload")
+    val kept = VideoDedup.incrementalVideoNearDup(spark, batch, store)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(12L, 13L, 14L))
+    // within-batch: an earlier-id clip's frames count as seen — a full
+    // in-batch re-encode of 13 drops even with an empty store
+    val emptyStore = store.filter("1 = 0")
+    val batch2 = Seq(
+      (13L, clip(Seq(50, 51, 52, 53))),
+      (20L, clip(Seq(50, 51, 52, 53), delta = 9))
+    ).toDF("doc_id", "payload")
+    val kept2 = VideoDedup.incrementalVideoNearDup(spark, batch2, emptyStore)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept2 === Seq(13L))
+    // sink: batch 0 seeds the store, batch 1 gates against it; replay
+    // of batch 1 is idempotent
+    val out = java.nio.file.Files.createTempDirectory("vidsink").toString
+    VideoDedup.incrementalVideoSink(out)(
+      Seq((0L, clip(Seq(1, 2, 3, 4)))).toDF("doc_id", "payload"), 0L)
+    VideoDedup.incrementalVideoSink(out)(batch, 1L)
+    val keptSink = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptSink === Seq(0L, 12L, 13L, 14L))
+    VideoDedup.incrementalVideoSink(out)(batch, 1L)
+    val replay = spark.read.parquet(s"$out/data")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(replay === keptSink, "foreachBatch replay must be idempotent")
+  }
+
   test("end to end on documents: re-encodes share ALL frames, trims share n-1") {
     val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
     val vids = VideoDedup.synthDocVideos(docs)
