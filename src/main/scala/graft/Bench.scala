@@ -241,7 +241,12 @@ object Bench {
     val json =
       s"""{"metric":"total","sf":"$sfDir","errors":$errJson,"regressed":$regJson,"scaling":$scJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
     println(json)
-    Files.writeString(Paths.get(localPath), json + "\n")
+    // A subset run (SPARK_GRAFT_BENCH_ONLY) only writes the local capture
+    // when SPARK_GRAFT_BENCH_LOCAL names a path explicitly — otherwise a
+    // focused run would clobber the committed full-suite baseline and
+    // silently drop regression-lint coverage for every absent query.
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_LOCAL"))
+      Files.writeString(Paths.get(localPath), json + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

@@ -894,12 +894,13 @@ object SparkEntry {
        |  FROM documents WHERE doc_id % $ImgShiftEvery = 1),
        |vcells AS (
        |  SELECT doc_id, f, c // 9 AS gy, c % 9 AS gx,
-       |         (list_sum(list_transform(generate_series(0, 15), k ->
+       |         (list_sum(list_transform(generate_series(0, ${ImgW / 9 * ImgH / 8 - 1}), k ->
        |            32 + delta + (CASE WHEN length(text) = 0 THEN 0 ELSE
        |              ascii(substring(text,
-       |                ((f * 997 + (((c // 9) * 4 + k // 4) * $ImgW
-       |                  + (c % 9) * 4 + (k % 4)))
-       |                 % length(text)) + 1, 1)) % 192 END)))) // 16 AS cell
+       |                ((f * 997 + (((c // 9) * ${ImgH / 8} + k // ${ImgW / 9}) * $ImgW
+       |                  + (c % 9) * ${ImgW / 9} + (k % ${ImgW / 9})))
+       |                 % length(text)) + 1, 1)) % 192 END))))
+       |           // ${ImgW / 9 * ImgH / 8} AS cell
        |  FROM vimgs,
        |       unnest(generate_series(0, ${VideoFrames - 1})) AS uf(f),
        |       unnest(generate_series(0, 71)) AS u(c)

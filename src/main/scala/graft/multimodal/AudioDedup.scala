@@ -35,19 +35,24 @@ object AudioDedup {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return None
-    var off = 12
+    // Offset arithmetic in Long: a crafted chunk length near Int.MaxValue
+    // would overflow `off + 8 + len` negative in Int and slip past the
+    // bounds check — the quarantine contract (hostile bytes → None, never
+    // a task crash) requires the overflow-free comparison.
+    var offL = 12L
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var data: Option[(Int, Int)] = None     // (offset, len)
-    while (off + 8 <= b.length) {
+    while (offL + 8 <= b.length) {
+      val off = offL.toInt
       val id = new String(b, off, 4, "US-ASCII")
       val len = i32le(b, off + 4)
-      if (len < 0 || off + 8 + len > b.length) return None
+      if (len < 0 || offL + 8 + len > b.length) return None
       if (id == "fmt " && len >= 16) {
         val audioFormat = u16le(b, off + 8)
         if (audioFormat != 1) return None // PCM only
         fmt = Some((u16le(b, off + 10), i32le(b, off + 12), u16le(b, off + 22)))
       } else if (id == "data") data = Some((off + 8, len))
-      off += 8 + len + (len & 1) // chunks pad to even length
+      offL += 8L + len + (len & 1) // chunks pad to even length
     }
     (fmt, data) match {
       case (Some((ch, rate, bits)), Some((dOff, dLen)))

@@ -47,10 +47,23 @@ object VideoDedup {
     * for every clip pair sharing ≥ `minShared` DISTINCT frame hashes,
     * emit (doc_a, doc_b, shared_frames, n_a, n_b) — all integers.
     * Hashes shared by more than `maxBucket` clips are skipped (the
-    * flat-frame skew guard, mirrored in the oracle). */
+    * flat-frame skew guard, mirrored in the oracle).
+    *
+    * `maxBucket` is capped at 10⁴: one hash at the cap emits
+    * C(maxBucket, 2) pairs from a single flatMapGroups call, and those
+    * pairs land in the downstream (doc_a, doc_b) aggregation's tasks —
+    * at 10⁴ that is ≤ 5·10⁷ bounded rows; a caller raising it to 10⁵
+    * would mint a 5·10⁹-row hot task. Above the cap the right tool is
+    * the containment gate ([[incrementalVideoNearDup]]), which never
+    * materializes pairs. */
   def videoSharedFrames(frameHashes: DataFrame, minShared: Int = 2,
                         maxBucket: Int = 1000): DataFrame = {
-    require(minShared >= 1 && maxBucket >= 2)
+    require(minShared >= 1 && maxBucket >= 2,
+      s"minShared >= 1 and maxBucket >= 2 required: $minShared, $maxBucket")
+    require(maxBucket <= 10000,
+      s"maxBucket $maxBucket > 10000: C(maxBucket,2) pairs per degenerate " +
+        "frame hash would concentrate in one reducer task; use the " +
+        "incremental containment gate for corpora needing larger buckets")
     val spark = frameHashes.sparkSession
     import spark.implicits._
     // distinct (clip, hash): a frame repeated WITHIN a clip counts once

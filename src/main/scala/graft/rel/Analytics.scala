@@ -617,27 +617,52 @@ object Analytics {
   private def sweepIntervals(intervals: DataFrame, startCol: String,
                              endCol: String, weightCol: String,
                              points: DataFrame, pointCol: String): DataFrame = {
-    val starts = intervals.groupBy(col(startCol).as("day"))
-      .agg(sum(col(weightCol)).as("delta"))
-    val ends = intervals.groupBy(date_add(col(endCol), 1).as("day"))
-      .agg((-sum(col(weightCol))).as("delta"))
-    val days = points.select(col(pointCol).as("day")).distinct()
-    val deltas = starts.unionByName(ends)
-      .unionByName(days.withColumn("delta",
-        lit(0L).cast(starts.schema("delta").dataType)))
-      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    // Single-consumption layout (r8, was 2.5× the exchanges): the old
+    // shape read `intervals` twice (a starts groupBy + an ends groupBy),
+    // `points` twice (0-delta union + closing semi-join), and the delta
+    // stream twice (running window + year-totals groupBy) — ~10
+    // exchanges and three duplicated subtrees that the sweep's consumers
+    // (rolling actives feed a whole merge pipeline in here) paid double.
+    // Now every input is consumed ONCE:
+    //  - each interval row EXPLODES to its ±weight delta pair, so one
+    //    groupBy(day) replaces the starts/ends branch pair;
+    //  - query days ride the same union as 0-delta rows carrying an
+    //    is_point flag, and the final filter on max(is_point) replaces
+    //    the semi-join (points need no pre-distinct — the groupBy
+    //    absorbs duplicates, so callers can pass raw day columns);
+    //  - the per-year total is a SECOND window (full-year frame) over
+    //    the SAME year partitioning as the running sum — no extra
+    //    exchange, just one more pass over sorted in-memory rows — and
+    //    the ≤|years|-row triangular offset composition reads from a
+    //    distinct over that tiny (yr, ytot) pair.
+    val wType = intervals.schema(weightCol).dataType
+    val deltaRows = intervals.select(explode(array(
+        struct(col(startCol).as("day"), col(weightCol).as("delta")),
+        struct(date_add(col(endCol), 1).as("day"),
+          (-col(weightCol)).as("delta")))).as("x"))
+      .select(col("x.day").as("day"), col("x.delta").as("delta"),
+        lit(0).as("is_point"))
+    val pointRows = points.select(col(pointCol).as("day"),
+      lit(0L).cast(wType).as("delta"), lit(1).as("is_point"))
+    val deltas = deltaRows.unionByName(pointRows)
+      .groupBy(col("day"))
+      .agg(sum(col("delta")).as("delta"), max(col("is_point")).as("is_point"))
       .withColumn("yr", year(col("day")))
     val wRun = Window.partitionBy("yr").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val run = deltas.withColumn("run", sum(col("delta")).over(wRun))
-    val ytot = deltas.groupBy(col("yr")).agg(sum(col("delta")).as("ytot"))
+    val wYear = Window.partitionBy("yr")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = deltas
+      .withColumn("run", sum(col("delta")).over(wRun))
+      .withColumn("ytot", sum(col("delta")).over(wYear))
+    val ytot = run.select(col("yr"), col("ytot")).distinct()
     val yoff = ytot.as("a")
       .join(ytot.as("b"), col("b.yr") < col("a.yr"), "left_outer")
       .groupBy(col("a.yr").as("yr"))
       .agg(coalesce(sum(col("b.ytot")),
-        lit(0L).cast(ytot.schema("ytot").dataType)).as("off"))
-    run.join(broadcast(yoff), "yr")
-      .join(days, Seq("day"), "left_semi")
+        lit(0L).cast(run.schema("ytot").dataType)).as("off"))
+    run.filter(col("is_point") === 1)
+      .join(broadcast(yoff), "yr")
       .select(col("day"), (col("off") + col("run")).as("w_active"))
   }
 
@@ -802,12 +827,18 @@ object Analytics {
                     userCol: String = "user_id",
                     dayCol: String = "day"): DataFrame = {
     require(windowDays >= 1, s"window must be >= 1 day: $windowDays")
-    val ud = events.select(col(userCol), col(dayCol)).distinct()
+    // No pre-distinct on (user, day) and no distinct on the query days
+    // (r8): interval union is idempotent, so duplicate day rows merge
+    // into the same covering interval inside [[mergeUserIntervals]]'s
+    // partition-local groupBy, and the sweep's day-level aggregate
+    // absorbs duplicate points map-side — the two distinct exchanges
+    // the old shape paid bought nothing the downstream stages don't
+    // already do. One exchange on the user, then the sweep.
     val intervals = mergeUserIntervals(
-      ud.select(col(userCol), col(dayCol).as("iv_start"),
+      events.select(col(userCol), col(dayCol).as("iv_start"),
         date_add(col(dayCol), windowDays - 1).as("iv_end")), userCol)
-    val points = ud.select(col(dayCol).as("day")).distinct()
-    activeIntervalsAt(intervals, "iv_start", "iv_end", points, "day")
+    activeIntervalsAt(intervals, "iv_start", "iv_end",
+      events.select(col(dayCol).as("day")), "day")
   }
 
   /** Per-user interval UNION: merge overlapping [iv_start, iv_end]
@@ -906,8 +937,9 @@ object Analytics {
     val merged = rollingActiveMerge(baseIv,
       delta.select(col("user_id"), col("day")), windowDays)
       .localCheckpoint()
-    val points = ev.select(col("day")).distinct()
-    activeIntervalsAt(merged, "iv_start", "iv_end", points, "day")
+    // raw days, no distinct — the sweep's day aggregate dedupes map-side
+    activeIntervalsAt(merged, "iv_start", "iv_end",
+      ev.select(col("day")), "day")
   }
 
   /** Event-type transition counts — the first-order Markov view of user

@@ -51,27 +51,60 @@ object AttributionAsof {
     * history to the horizon. Returns (newState, emissions). */
   def advance(state: AttrState, rows: Seq[AttrRow],
               horizon: Long): (AttrState, Seq[AttrOut]) = {
-    var touches = state.touches
+    // The prior state stays IMMUTABLE through the fold and this
+    // invocation's touches append to their own buffer: rows process in
+    // ascending (ts, touches-first, event_id) order, so the buffer is
+    // born sorted and every buffered touch already satisfies ts <=
+    // conv_ts when a conversion is reached. A conversion's winner is
+    // therefore max-by-(ts, eventId) of (a) the binary-searched latest
+    // prior touch <= conv_ts and (b) the buffer's last element. One
+    // sorted-run merge at the end replaces the per-touch Vector
+    // insert — O(rows log rows + conversions·log history + history)
+    // per invocation instead of O(touches·history).
+    val base = state.touches.toArray
+    // last index in base with ts <= target, -1 if none (base is sorted
+    // by (ts, eventId), so that index also holds the max eventId there)
+    def floorIdx(target: Long): Int = {
+      var lo = 0; var hi = base.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (base(mid)._1 <= target) { ans = mid; lo = mid + 1 }
+        else hi = mid - 1
+      }
+      ans
+    }
+    val fresh = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val out = Vector.newBuilder[AttrOut]
     // touches sort BEFORE conversions at the same ts (inclusive tie);
     // event_id ordering makes the equal-ts winner the max id, exactly
     // the batch variant's struct-max
     val sorted = rows.sortBy(r => (r.ts, !r.isTouch, r.eventId))
     sorted.foreach { r =>
-      if (r.isTouch) {
-        // insert keeping ascending (ts, eventId) — out-of-order touches
-        // within the invocation are fine; across invocations they only
-        // serve conversions not yet emitted
-        val key = (r.ts, r.eventId)
-        val i = touches.lastIndexWhere(t => t._1 < r.ts ||
-          (t._1 == r.ts && t._2 <= r.eventId)) + 1
-        touches = (touches.take(i) :+ key) ++ touches.drop(i)
-      } else {
-        val i = touches.lastIndexWhere(_._1 <= r.ts)
-        val hit = if (i >= 0) Some(touches(i)) else None
+      if (r.isTouch) fresh += ((r.ts, r.eventId))
+      else {
+        val i = floorIdx(r.ts)
+        val prior = if (i >= 0) Some(base(i)) else None
+        val recent = fresh.lastOption
+        val hit = (prior, recent) match {
+          case (Some(p), Some(n)) =>
+            Some(if (n._1 > p._1 || (n._1 == p._1 && n._2 > p._2)) n else p)
+          case (p, n) => n.orElse(p)
+        }
         out += AttrOut(r.user, r.eventId, r.ts, hit.map(_._2), hit.map(_._1))
       }
     }
+    // merge the two ascending (ts, eventId) runs (prior touches may
+    // interleave with cross-invocation stragglers)
+    val merged = Vector.newBuilder[(Long, Long)]
+    var bi = 0; var fi = 0
+    while (bi < base.length || fi < fresh.length) {
+      val takeBase = fi >= fresh.length || (bi < base.length &&
+        (base(bi)._1 < fresh(fi)._1 ||
+          (base(bi)._1 == fresh(fi)._1 && base(bi)._2 <= fresh(fi)._2)))
+      if (takeBase) { merged += base(bi); bi += 1 }
+      else { merged += fresh(fi); fi += 1 }
+    }
+    val touches = merged.result()
     val maxTs = (state.maxTs +: rows.map(_.ts)).max
     // compact: keep the horizon window plus ONE older touch as the floor
     val cutoff = maxTs - horizon

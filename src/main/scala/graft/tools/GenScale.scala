@@ -92,8 +92,20 @@ object GenScale {
     val spark = GraftSession.build("graft-genscale")
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
+    // Stride = max(defining column) + 1, read type-tolerantly: getLong
+    // would NPE on an empty defining table and ClassCastException on an
+    // int-typed key — both deserve a clear failure, not a stack trace.
     val strides: Map[String, Long] = domainDef.map { case (dom, (t, c)) =>
-      dom -> (read(t).agg(max(col(c))).head().getLong(0) + 1L)
+      val raw = read(t).agg(max(col(c))).head().getAs[Number](0)
+      require(raw != null, s"defining table $t is empty — cannot derive stride for domain $dom")
+      dom -> (raw.longValue() + 1L)
+    }
+    // Every replicated key is key + copy*stride with copy < factor; keys
+    // are non-negative and < stride, so the largest value is factor*stride
+    // - 1 — guard the Long product per domain before writing anything.
+    strides.foreach { case (dom, s) =>
+      require(s > 0 && factor.toLong <= Long.MaxValue / s,
+        s"factor $factor x stride $s overflows Long for domain $dom")
     }
     for (t <- Seq("region", "nation"))
       read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")

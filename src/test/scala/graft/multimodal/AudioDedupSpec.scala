@@ -35,6 +35,15 @@ class AudioDedupSpec extends SparkSuite {
     assert(Multimodal.MediaHeaders.sniff(reordered).isEmpty)
     assert(AudioDedup.decodeWavPcm16(wav.take(30)) === None, "truncated")
     assert(AudioDedup.decodeWavPcm16(Array[Byte](1, 2, 3)) === None)
+    // hostile chunk length near Int.MaxValue: Int arithmetic would wrap
+    // `off + 8 + len` negative, slip past the bounds check, and crash the
+    // task — the quarantine contract demands None, not a throw
+    val hostile = wav.clone()
+    val evil = Int.MaxValue - 4
+    hostile(16) = evil.toByte; hostile(17) = (evil >> 8).toByte
+    hostile(18) = (evil >> 16).toByte; hostile(19) = (evil >> 24).toByte
+    assert(AudioDedup.decodeWavPcm16(hostile) === None,
+      "near-Int.MaxValue chunk length must quarantine, not overflow")
   }
 
   test("fingerprint: invariant under exact volume doubling; sensitive to content") {

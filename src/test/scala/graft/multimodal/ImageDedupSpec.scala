@@ -31,6 +31,19 @@ class ImageDedupSpec extends SparkSuite {
     assert(ImageDedup.decodeBmpGray(bmp.take(60)) === None, "truncated pixel array")
     val compressed = bmp.clone(); compressed(30) = 1 // BI_RLE8
     assert(ImageDedup.decodeBmpGray(compressed) === None, "compressed BMPs refused")
+    // hostile width ~2^30: Int products (rowBytes, width*height) wrap
+    // negative, which would pass the size check and then crash/OOM on
+    // allocation — the header must quarantine to None instead
+    def w32(a: Array[Byte], o: Int, v: Int): Unit = {
+      a(o) = v.toByte; a(o + 1) = (v >> 8).toByte
+      a(o + 2) = (v >> 16).toByte; a(o + 3) = (v >> 24).toByte
+    }
+    val wide = bmp.clone(); w32(wide, 18, 1 << 30)
+    assert(ImageDedup.decodeBmpGray(wide) === None,
+      "2^30-wide header must quarantine, not overflow-allocate")
+    val square = bmp.clone(); w32(square, 18, 1 << 16); w32(square, 22, 1 << 16)
+    assert(ImageDedup.decodeBmpGray(square) === None,
+      "2^32-pixel header must quarantine, not overflow-allocate")
   }
 
   test("dHash: invariant under uniform brightness shift; sensitive to content change") {

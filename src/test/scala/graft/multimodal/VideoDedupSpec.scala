@@ -50,6 +50,11 @@ class VideoDedupSpec extends SparkSuite {
     val flatPairs = VideoDedup.videoSharedFrames(fh, minShared = 1, maxBucket = 5)
       .filter("doc_a >= 4").count()
     assert(flatPairs === 0L)
+    // the maxBucket contract is pinned: above 10^4 the C(maxBucket,2)
+    // per-hot-hash reducer bound is gone, so the call must refuse
+    intercept[IllegalArgumentException] {
+      VideoDedup.videoSharedFrames(fh, minShared = 2, maxBucket = 100000)
+    }
   }
 
   test("incrementalVideoNearDup: containment threshold — one shared frame keeps, " +
