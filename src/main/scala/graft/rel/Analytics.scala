@@ -827,16 +827,21 @@ object Analytics {
                     userCol: String = "user_id",
                     dayCol: String = "day"): DataFrame = {
     require(windowDays >= 1, s"window must be >= 1 day: $windowDays")
-    // No pre-distinct on (user, day) and no distinct on the query days
-    // (r8): interval union is idempotent, so duplicate day rows merge
-    // into the same covering interval inside [[mergeUserIntervals]]'s
-    // partition-local groupBy, and the sweep's day-level aggregate
-    // absorbs duplicate points map-side — the two distinct exchanges
-    // the old shape paid bought nothing the downstream stages don't
-    // already do. One exchange on the user, then the sweep.
+    // The intervals feed KEEPS its (user, day) pre-distinct: a window
+    // exchange has no map-side combine, so feeding raw events into
+    // [[mergeUserIntervals]]'s partitionBy(user) would ship every event
+    // row over the wire and sort a hot user's whole history in one task
+    // — wire volume × per-key density (real clickstreams run 100–10⁴
+    // events per user-day; a distinct bounds the window input by the
+    // calendar span instead). The distinct plans as a partial
+    // HashAggregate: duplicates die map-side before the first byte
+    // moves. The query-day point feed stays RAW — the sweep's
+    // groupBy(day) partial-aggregates map-side, so a distinct there
+    // would be a pure extra exchange.
     val intervals = mergeUserIntervals(
-      events.select(col(userCol), col(dayCol).as("iv_start"),
-        date_add(col(dayCol), windowDays - 1).as("iv_end")), userCol)
+      events.select(col(userCol), col(dayCol)).distinct()
+        .select(col(userCol), col(dayCol).as("iv_start"),
+          date_add(col(dayCol), windowDays - 1).as("iv_end")), userCol)
     activeIntervalsAt(intervals, "iv_start", "iv_end",
       events.select(col(dayCol).as("day")), "day")
   }
