@@ -297,9 +297,21 @@ object SparkEntry {
     // asof-tied attribution: a click AT the purchase's own timestamp
     // gets credit (inclusive touch_ts <= conv_ts, ties to max id) —
     // the batch half of the AttributionAsof streaming twin; the only
-    // plan difference vs q_attribution is a RANGE prefix frame
-    "q_attribution_asof" -> ((s, d) =>
-      Analytics.attributionAsof(s, d, AttrTouch, AttrConv)),
+    // plan difference vs q_attribution is a RANGE prefix frame.
+    // Input = events + planted same-µs ties (see AttrTieEvery), so the
+    // hash gate exercises the inclusive tie q_attribution would miss
+    "q_attribution_asof" -> ((s, d) => {
+      val base = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      val planted = base
+        .filter(col("event_type") === AttrConv &&
+          col("event_id") % AttrTieEvery === 0)
+        .select(col("user_id"),
+          (col("event_id") + AttrTieIdOffset).as("event_id"),
+          col("ts_us"), lit(AttrTouch).as("event_type"))
+      Analytics.attributionAsofOf(base.unionByName(planted),
+        AttrTouch, AttrConv)
+    }),
     // incremental SCD2 maintenance: merge the newer half as a delta
     // batch into the SCD2 of the older half; the oracle is the FULL
     // rebuild — the merge path must be indistinguishable
@@ -698,18 +710,14 @@ object SparkEntry {
         annGtMemo(s, d),
         Similarity.lshTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, planes = 4))),
     // recall@k as a function of the IVF nprobe knob — the accuracy/cost
-    // curve an ANN deployment is tuned on, measured not guessed. The
-    // sweep shares ONE corpus list assignment across all probes
-    // (Similarity.ivfSweep) and the memoized ground truth.
-    "q_recall_sweep" -> ((s, d) => {
-      val gt = annGtMemo(s, d)
-      val sweep = Similarity.ivfSweep(Tables.embeddings(s, d),
-        nQueries = 10, k = 5, nlist = 16, probes = SweepProbes)
-      SweepProbes.map { np =>
-        Similarity.annRecall(gt, sweep.filter(col("nprobe") === np))
-          .withColumn("nprobe", lit(np))
-      }.reduce(_ unionByName _).select("query_id", "nprobe", "recall")
-    }),
+    // curve an ANN deployment is tuned on, measured not guessed. ONE
+    // exploded-probe plan (Similarity.recallSweep): one corpus
+    // assignment + one probe join + one grid explode + one window,
+    // instead of per-point probe/recall plans unioned (r8 verdict #5:
+    // 17 exchanges → single-digit).
+    "q_recall_sweep" -> ((s, d) =>
+      Similarity.recallSweep(Tables.embeddings(s, d), annGtMemo(s, d),
+        nQueries = 10, k = 5, nlist = 16, probes = SweepProbes)),
     // threshold 0.4 is this synthetic corpus's near-dup operating point
     // (max pairwise cosine ~0.51); production near-dup uses 0.9+.
     "q_embed_neardup" -> ((s, d) => embedPairsMemo(s, d)),
@@ -856,6 +864,13 @@ object SparkEntry {
     * clamp because synth pixels live in [32, 223]. */
   private val ImgW = 36
   private val ImgH = 32
+  // The generalized video-oracle cell sampling (generate_series over
+  // ImgW/9 × ImgH/8 cells, k // (ImgW/9) row math) is only equivalent
+  // to ImageDedup.dhashFromGray's variable-width boxes when the grid
+  // divides exactly — pin the invariant so a future resize can't
+  // silently diverge oracle from implementation.
+  require(ImgW % 9 == 0 && ImgH % 8 == 0,
+    s"dHash oracle assumes exact 9x8 grid division: ${ImgW}x$ImgH")
   private val ImgShiftEvery = 7
   private val ImgShiftDelta = 8
   private val ImgCopyOffset = 1L << 40
@@ -1115,6 +1130,15 @@ object SparkEntry {
   /** q_attribution touch/conversion event types. */
   private val AttrTouch = "click"
   private val AttrConv = "purchase"
+  /** q_attribution_asof tie planting: the events table carries no
+    * natural same-µs touch/conversion pairs at gate SFs, so every
+    * (AttrTieEvery)-th conversion gets a synthetic touch at EXACTLY its
+    * own timestamp (id-offset far above real event_ids, construction
+    * mirrored in the oracle) — the inclusive asof tie the operator
+    * exists for is then exercised by the DuckDB hash gate itself, not
+    * only by specs. */
+  private val AttrTieEvery = 20L
+  private val AttrTieIdOffset = 1L << 40
 
   /** q_boilerplate prefix length (tokens) and minimum sharer count. */
   private val BoilerPrefixLen = 3
@@ -1900,9 +1924,16 @@ object SparkEntry {
     // touch with ts <= its own ts (the inclusive asof tie), and the
     // seq-th touch is the max-(ts, event_id) one
     "q_attribution_asof" ->
-      s"""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
+      s"""WITH b AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us,
          |                  event_type
          |           FROM events),
+         |e AS (SELECT * FROM b
+         |      UNION ALL
+         |      SELECT user_id, event_id + $AttrTieIdOffset AS event_id,
+         |             ts_us, '$AttrTouch' AS event_type
+         |      FROM b
+         |      WHERE event_type = '$AttrConv'
+         |        AND event_id % $AttrTieEvery = 0),
          |s AS (SELECT *, sum(CASE WHEN event_type = '$AttrTouch'
          |                         THEN 1 ELSE 0 END)
          |               OVER (PARTITION BY user_id

@@ -408,6 +408,79 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** The nprobe accuracy/cost curve as ONE exploded-probe plan: instead
+    * of P probe joins + P recall joins unioned ([[ivfSweep]] composed
+    * with [[annRecall]] per point — 17 exchanges for a 3-point sweep),
+    * every query fans out ONCE to its `probes.max` nearest lists tagged
+    * with the probe RANK, the assigned corpus joins that fan-out once,
+    * and the grid dimension is an `explode` over the already-scored
+    * pairs — a candidate scored at probe rank r participates in every
+    * grid point np ≥ r, which is exactly the candidate set
+    * `probeSearch(nprobe = np)` would have scored (a corpus vector
+    * lives in one list, so no pair is ever produced twice). One window
+    * on (query_id, nprobe) ranks the whole grid together; ground truth
+    * (≤ nQueries·k rows) left-joins the ≤ nQueries·k·P-row approx side
+    * as a broadcast. Per-point rows are bit-identical to
+    * `ivfTopK(..., nprobe = np)` — IvfSweepSpec asserts — so recalls
+    * match the per-point composition exactly.
+    *
+    * Scale shape: the corpus is scanned and assigned ONCE regardless of
+    * grid size; the explode multiplies only scored candidate pairs
+    * (bounded by fan-out × list occupancy, itself bounded by the
+    * nlist/nprobe knobs), never the corpus; and the only data-sized
+    * shuffle is the single (query_id, nprobe) window exchange. Widening
+    * the grid at 100 TB adds broadcast rows and candidate copies, not
+    * corpus passes. */
+  def recallSweep(embeddings: DataFrame, groundTruth: DataFrame,
+                  nQueries: Int, k: Int, nlist: Int,
+                  probes: Seq[Int]): DataFrame = {
+    require(probes.nonEmpty && probes.forall(p => p >= 1 && p <= nlist))
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents: Array[(Long, Array[Double])] = v.filter(col("vec_id") < nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val bcCents = spark.sparkContext.broadcast(cents)
+    val maxProbe = probes.max
+    // probeQueries with the probe rank kept: (query_id, q, list, pr) —
+    // same sort, same tie-break, rank = 1-based position in the take
+    val queries = v.filter(col("vec_id") < nQueries)
+      .as[(Long, Array[Double])].flatMap { case (id, vec) =>
+        bcCents.value.map { case (cid, cv) => (normTotal(cosineLocal(vec, cv)), cid) }
+          .sortBy { case (s, cid) => (s, -cid) }(
+            Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long).reverse)
+          .take(maxProbe)
+          .zipWithIndex
+          .map { case ((_, cid), i) => (id, vec, cid, i + 1) }
+      }.toDF("query_id", "q", "list", "pr")
+    val grid = array(probes.map(lit): _*)
+    val scored = assignCorpus(v, bcCents)
+      .join(broadcast(queries), Seq("list"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // cosine computed ONCE per candidate pair, before the grid explode
+      .select(col("query_id"), col("neighbor_id"), col("pr"),
+        cosine(col("q"), col("v")).as("cos_sim"))
+      .withColumn("nprobe", explode(grid))
+      .filter(col("pr") <= col("nprobe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id").as("a_qid"), col("nprobe").as("a_np"),
+        col("neighbor_id").as("a_nid"))
+    // same recall semantics as [[annRecall]] (per-query ground-truth
+    // denominator), grid-exploded on the tiny gt side
+    groundTruth.select(col("query_id"), col("neighbor_id"))
+      .withColumn("nprobe", explode(grid))
+      .join(broadcast(approx),
+        col("query_id") === col("a_qid") && col("nprobe") === col("a_np") &&
+          col("neighbor_id") === col("a_nid"), "left")
+      .groupBy(col("query_id"), col("nprobe"))
+      .agg((count(col("a_nid")).cast("double") / count(lit(1))).as("recall"))
+      .select("query_id", "nprobe", "recall")
+  }
+
   /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023, public):
     * cluster the corpus by nearest centroid, then within each cluster
     * drop every vector that is ≥ `threshold` cosine-similar to an

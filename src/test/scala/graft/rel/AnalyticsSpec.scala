@@ -620,6 +620,93 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("q_attribution_asof gate input: planted same-µs ties flip credit vs plain attribution") {
+    // The inclusive tie is attributionAsof's entire reason to exist,
+    // and the real events table carries no natural same-µs pairs at
+    // gate SFs — so the gate query plants them (SparkEntry: every
+    // AttrTieEvery-th conversion gets a touch at exactly its own ts,
+    // id-offset by 2^40). On that input the two operators MUST
+    // disagree: asof credits the planted tie touch (gap 0), plain
+    // attribution never sees it (ts-then-id order sorts it after the
+    // conversion).
+    val asof = graft.SparkEntry.queries("q_attribution_asof")(spark, sf)
+      .select("conv_id", "touch_id", "gap_us")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getLong(1), r.getLong(2))))).toMap
+    val plain = graft.SparkEntry.queries("q_attribution")(spark, sf)
+      .select("conv_id", "touch_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val planted = asof.keys.filter(_ % 20L == 0).toSeq.sorted
+    assert(planted.nonEmpty, "no planted-tie conversions at gate SF")
+    planted.foreach { conv =>
+      assert(asof(conv) === Some((conv + (1L << 40), 0L)),
+        s"conv $conv: asof must credit its planted same-µs touch at gap 0")
+      assert(plain(conv) !== Some(conv + (1L << 40)),
+        s"conv $conv: plain attribution must NOT see the tie touch")
+    }
+    // and the divergence is exactly the planted class: non-planted
+    // conversions agree between the two operators (no natural ties)
+    val nonPlanted = asof.keys.filterNot(_ % 20L == 0)
+    nonPlanted.foreach { conv =>
+      assert(asof(conv).map(_._1) === plain(conv),
+        s"conv $conv: unplanted conversions should agree")
+    }
+  }
+
+  test("rollingActive dense keys: shuffled rows bounded by distinct (user, day) pairs, not events") {
+    // The case GenScale replicas structurally cannot produce: per-key
+    // history. A real clickstream runs 100–10⁴ events per (user, day);
+    // the (user, day) pre-distinct ahead of mergeUserIntervals must
+    // plan as a partial HashAggregate so duplicates die map-side —
+    // a window exchange has NO map-side combine, so losing the
+    // distinct would ship every raw event over the wire and sort a
+    // hot user's whole history in one task. Pinned by telemetry, not
+    // plan shape: total shuffle records written across the job must
+    // track the 20 distinct pairs (× map partitions, × a handful of
+    // calendar-bounded stages), never the 30 000 raw events.
+    import spark.implicits._
+    import java.sql.Date
+    def d(n: Int) = Date.valueOf(java.time.LocalDate.ofEpochDay(n.toLong))
+    val perPair = 1500
+    val pairs = for { u <- 1 to 4; day <- Seq(1, 2, 3, 10, 20) } yield (u.toLong, d(day))
+    val ev = pairs.flatMap { case (u, day) => Seq.fill(perPair)((u, day)) }
+    assert(ev.size == 30000)
+    val df = spark.createDataset(ev).toDF("user_id", "day")
+    val records = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        records.addAndGet(t.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val got = try {
+      val out = Analytics.rollingActive(df, windowDays = 7)
+        .collect().map(r => r.getDate(0) -> r.getLong(1)).toMap
+      var last = -1L; var spins = 0
+      while (records.get() != last && spins < 50) {
+        last = records.get(); Thread.sleep(200); spins += 1
+      }
+      out
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // correctness unchanged under density: duplicates collapse entirely
+    val expect = pairs.map(_._2).distinct.map { day =>
+      day -> pairs.filter { case (_, a) =>
+        !a.after(day) && a.toLocalDate.plusDays(6).compareTo(day.toLocalDate) >= 0
+      }.map(_._1).distinct.size.toLong
+    }.toMap
+    assert(got === expect)
+    // the regression signature is ≥ 30 000 shuffled rows (raw events
+    // through the combine-less window exchange); the healthy plan
+    // shuffles O(pairs × partitions) across its calendar-bounded
+    // stages — orders of magnitude under the event count
+    val shuffled = records.get()
+    assert(shuffled > 0, "listener saw no shuffle at all — fixture broken")
+    assert(shuffled < ev.size / 5,
+      s"rollingActive shuffled $shuffled rows for ${ev.size} events / " +
+        s"${pairs.size} distinct (user, day) pairs — the map-side " +
+        "combining pre-distinct is gone")
+  }
+
   test("transitions: adjacent pairs only, per-user, ordered; totals partition by from") {
     import spark.implicits._
     val ev = Seq(

@@ -119,6 +119,37 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("recallSweep: exploded-probe plan matches the per-point ivfTopK+annRecall composition") {
+    // the single-plan sweep must reproduce EXACTLY the recalls of the
+    // P-plan composition it replaces — grid column included
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = Seq(1, 2, 4)
+    val gt = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
+    val got = Similarity.recallSweep(emb, gt, nQueries = 5, k = 3,
+        nlist = 8, probes = probes)
+      .as[(Long, Int, Double)].collect().toSet
+    val expect = probes.flatMap { np =>
+      Similarity.annRecall(gt,
+          Similarity.ivfTopK(emb, nQueries = 5, k = 3, nlist = 8, nprobe = np))
+        .as[(Long, Double)].collect().map { case (q, r) => (q, np, r) }
+    }.toSet
+    assert(got === expect)
+  }
+
+  test("recallSweep plan: one corpus pass — exchange count stays single-digit for a 3-point grid") {
+    // the reason the exploded plan exists: the per-point composition
+    // paid ~17 exchanges; this one must not creep back toward it
+    val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val gt = Similarity.bruteForceTopK(emb, nQueries = 5, k = 3)
+    val df = Similarity.recallSweep(emb, gt, nQueries = 5, k = 3,
+      nlist = 8, probes = Seq(1, 2, 4))
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = s.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 8, s"recallSweep pays $exchanges exchanges:\n$s")
+  }
+
   test("IVF with more lists probes fewer candidates but keeps exact cosines") {
     val emb = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val ivf = Similarity.ivfTopK(emb, nQueries = 5, k = 3, nlist = 8)
