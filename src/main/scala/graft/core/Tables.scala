@@ -17,19 +17,35 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
-  /** The events table's `ts` is a parquet TIMESTAMP(NANOS) column, which
-    * Spark cannot represent as TimestampType (micros). Sessions built via
-    * `GraftSession` set `spark.sql.legacy.parquet.nanosAsLong` so it reads
-    * as an exact BIGINT; we expose:
-    *   - `ts_ns`  — epoch nanoseconds (exact, total ordering)
-    *   - `ts_sec` — epoch seconds (floor), for window buckets
+  /** The events table's `ts` column has shipped in two physical encodings
+    * across testdata generations:
+    *   - parquet TIMESTAMP(NANOS): Spark can't represent nanos as
+    *     TimestampType, so `GraftSession` sets
+    *     `spark.sql.legacy.parquet.nanosAsLong` and the column loads as an
+    *     exact BIGINT of epoch nanoseconds;
+    *   - parquet timestamp[us]: loads as TIMESTAMP / TIMESTAMP_NTZ, which we
+    *     convert via `unix_micros` (exact — the session timezone is UTC, so
+    *     the NTZ→timestamp cast is a no-op reinterpretation).
+    * We dispatch on the loaded schema so both generations yield the same
+    * contract:
+    *   - `ts_ns`  — BIGINT epoch nanoseconds (exact, total ordering)
+    *   - `ts_sec` — BIGINT epoch seconds (floor), for window buckets
     * The DuckDB oracle mirrors these as `epoch_ns(ts)` / `epoch_ns(ts) //
-    * 1e9`. All arithmetic stays in integer space — no double rounding at
-    * any scale. (The conf lives at session build — no load-time mutation.) */
-  def events(spark: SparkSession, dir: String): DataFrame =
-    load(spark, dir, "events")
+    * 1e9` (epoch_ns handles both encodings natively). All arithmetic stays
+    * in integer space — no double rounding at any scale. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    val raw = load(spark, dir, "events")
+    val tsNs = raw.schema("ts").dataType match {
+      case LongType => col("ts")
+      case _        => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+    }
+    raw
+      .withColumn("ts", tsNs) // in-place replace keeps the column position
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_sec", org.apache.spark.sql.functions.expr("ts_ns div 1000000000"))
+      .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

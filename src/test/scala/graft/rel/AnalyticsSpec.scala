@@ -645,12 +645,30 @@ class AnalyticsSpec extends SparkSuite {
       assert(plain(conv) !== Some(conv + (1L << 40)),
         s"conv $conv: plain attribution must NOT see the tie touch")
     }
-    // and the divergence is exactly the planted class: non-planted
-    // conversions agree between the two operators (no natural ties)
+    // and the ONLY divergence is the inclusive tie itself: on the SAME
+    // augmented input (base + planted touches), strict-ordered plain
+    // attribution agrees with asof for every unplanted conversion —
+    // a planted touch may legitimately out-date a natural touch for a
+    // LATER conversion of the same user, so comparing against the
+    // base-input gate query would flag exactly that non-bug.
+    val augmented = {
+      val base = graft.core.Tables.events(spark, sf).select(
+        col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"), col("event_type"))
+      val plantedTouches = base
+        .filter(col("event_type") === "purchase" && col("event_id") % 20L === 0)
+        .select(col("user_id"), (col("event_id") + (1L << 40)).as("event_id"),
+          col("ts_us"), lit("click").as("event_type"))
+      base.unionByName(plantedTouches)
+    }
+    val plainAug = Analytics.attributionOf(augmented, "click", "purchase")
+      .select("conv_id", "touch_id")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     val nonPlanted = asof.keys.filterNot(_ % 20L == 0)
     nonPlanted.foreach { conv =>
-      assert(asof(conv).map(_._1) === plain(conv),
-        s"conv $conv: unplanted conversions should agree")
+      assert(asof(conv).map(_._1) === plainAug(conv),
+        s"conv $conv: unplanted conversions should agree on the augmented input")
     }
   }
 

@@ -149,6 +149,39 @@ class LayoutSpec extends SparkSuite {
       s"compacted layout lost clustering: compacted=$bCompacted splintered=$bSplintered")
   }
 
+  test("Tables.events schema-drift contract: timestamp[us] and INT64-nanos fixtures yield identical ts_ns/ts_sec") {
+    // The driver has regenerated testdata once already, flipping events.ts
+    // from parquet TIMESTAMP(NANOS) (read as BIGINT via nanosAsLong) to
+    // timestamp[us]. Tables.events must dispatch on the loaded type and
+    // yield the same BIGINT ts_ns/ts_sec contract from either encoding.
+    import spark.implicits._
+    val micros = Seq(0L, 999999L, 1000000L, 1723500000123456L, 4102444799999999L)
+    val base = micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us) }.toDF("event_id", "us")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tsdrift").toString
+    // generation 2: timestamp[us] without timezone (TIMESTAMP_NTZ), the
+    // current driver encoding
+    base.select($"event_id", timestamp_micros($"us").cast("timestamp_ntz").as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/us/events.parquet")
+    // generation 1: INT64 epoch nanoseconds (what TIMESTAMP(NANOS) loads
+    // as under spark.sql.legacy.parquet.nanosAsLong)
+    base.select($"event_id", ($"us" * 1000L).as("ts"))
+      .write.mode("overwrite").parquet(s"$tmp/ns/events.parquet")
+
+    def loaded(dir: String) = Tables.events(spark, dir)
+      .select("event_id", "ts_ns", "ts_sec").orderBy("event_id")
+    val fromUs = loaded(s"$tmp/us")
+    val fromNs = loaded(s"$tmp/ns")
+    assert(fromUs.schema == fromNs.schema)
+    assert(fromUs.schema("ts_ns").dataType.typeName == "long")
+    assert(fromUs.schema("ts_sec").dataType.typeName == "long")
+    val expected = micros.zipWithIndex.map { case (us, i) =>
+      (i.toLong, us * 1000L, us / 1000000L)
+    }
+    assert(fromUs.as[(Long, Long, Long)].collect().toSeq == expected)
+    assert(fromNs.as[(Long, Long, Long)].collect().toSeq == expected)
+  }
+
   test("bloom-filter layout prunes an id point-probe that min/max stats cannot") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
     // The probe column must be UNCORRELATED with write order — a
