@@ -15,8 +15,10 @@ object Tables {
   def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
-  def orders(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "orders")
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    normalizeTemporal(load(spark, dir, "orders"), "o_orderdate")
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    normalizeTemporal(load(spark, dir, "lineitem"), "l_shipdate")
   /** The events table's `ts` column has shipped in two physical encodings
     * across testdata generations:
     *   - parquet TIMESTAMP(NANOS): Spark can't represent nanos as
@@ -51,4 +53,31 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Schema-drift armor for temporal columns (the drift class that broke
+    * the events loader when the driver regenerated testdata): whatever
+    * physical encoding a date-ish column ships in, queries see
+    * TIMESTAMP_NTZ. A column already NTZ is left untouched — no extra
+    * projection, so scan-level filter pushdown is unchanged on the
+    * canonical path. Conversions are exact: the session timezone is UTC
+    * (LTZ→NTZ is a reinterpretation), DATE midnight-extends, and a
+    * BIGINT column here can only be epoch nanoseconds read via
+    * `nanosAsLong` (floor-divided to µs). */
+  private[graft] def normalizeTemporal(df: DataFrame, cols: String*): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    cols.foldLeft(df) { (d, name) =>
+      d.schema(name).dataType match {
+        case TimestampNTZType => d
+        case TimestampType | DateType =>
+          d.withColumn(name, col(name).cast(TimestampNTZType))
+        case LongType =>
+          d.withColumn(name,
+            timestamp_micros(expr(s"$name div 1000")).cast(TimestampNTZType))
+        case other =>
+          throw new IllegalArgumentException(
+            s"cannot normalize temporal column $name of type $other")
+      }
+    }
+  }
 }

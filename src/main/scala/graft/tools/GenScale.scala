@@ -35,11 +35,13 @@ import graft.core.GraftSession
   *    correct scaling protocol for ANN (work grows with corpus, not
   *    quadratically).
   *
-  * The events `ts` column round-trips as BIGINT epoch-nanos (the
-  * session reads parquet TIMESTAMP(NANOS) via nanosAsLong): Bench/
-  * Tables.events only need the integer, and the sf1 dir is a bench
-  * input, never a DuckDB-oracle input (the t2 gate stays on the
-  * driver's own sf0.01).
+  * The events `ts` column is a non-key attribute and round-trips in
+  * whatever physical type the source directory carries (BIGINT
+  * epoch-nanos for gen-1 TIMESTAMP(NANOS) testdata read via
+  * nanosAsLong, TIMESTAMP_NTZ for gen-2 timestamp[us] testdata) —
+  * Tables.events normalizes either to ts_ns at load, and the scaled
+  * dir is a bench input, never a DuckDB-oracle input (the t2 gate
+  * stays on the driver's own sf0.01).
   *
   * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> <factor> */
 object GenScale {

@@ -182,6 +182,42 @@ class LayoutSpec extends SparkSuite {
     assert(fromNs.as[(Long, Long, Long)].collect().toSeq == expected)
   }
 
+  test("normalizeTemporal: o_orderdate drift encodings (ntz/ltz/date/int64-nanos) all load as identical TIMESTAMP_NTZ") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampNTZType
+    // midnight-aligned so the DATE encoding carries the same instant
+    val days = Seq(0L, 10957L, 19000L) // 1970-01-01, 2000-01-01, 2022-01-18
+    val micros = days.map(_ * 86400L * 1000000L)
+    val base = micros.zipWithIndex
+      .map { case (us, i) => (i.toLong, us) }.toDF("o_orderkey", "us")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-odrift").toString
+    base.select($"o_orderkey", timestamp_micros($"us").cast("timestamp_ntz").as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$tmp/ntz/orders.parquet")
+    base.select($"o_orderkey", timestamp_micros($"us").as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$tmp/ltz/orders.parquet")
+    base.select($"o_orderkey", timestamp_micros($"us").cast("date").as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$tmp/date/orders.parquet")
+    base.select($"o_orderkey", ($"us" * 1000L).as("o_orderdate"))
+      .write.mode("overwrite").parquet(s"$tmp/ns/orders.parquet")
+
+    val loaded = Seq("ntz", "ltz", "date", "ns").map { enc =>
+      enc -> Tables.orders(spark, s"$tmp/$enc")
+        .select("o_orderkey", "o_orderdate").orderBy("o_orderkey")
+    }
+    loaded.foreach { case (enc, df) =>
+      assert(df.schema("o_orderdate").dataType == TimestampNTZType, s"enc=$enc")
+    }
+    val expect = loaded.head._2.collect().map(_.toSeq).toSeq
+    loaded.tail.foreach { case (enc, df) =>
+      assert(df.collect().map(_.toSeq).toSeq == expect, s"enc=$enc")
+    }
+    // the literal-predicate shape every TPC-H query uses keeps working
+    loaded.foreach { case (enc, df) =>
+      assert(df.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .count() == 2, s"enc=$enc")
+    }
+  }
+
   test("bloom-filter layout prunes an id point-probe that min/max stats cannot") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bloom").toString
     // The probe column must be UNCORRELATED with write order — a
