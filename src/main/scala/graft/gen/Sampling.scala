@@ -226,50 +226,86 @@ object Sampling {
     require(levels >= 1 && levels <= 4,
       s"levels must be in [1,4] (8 hex chars available): $levels")
     import org.apache.spark.sql.expressions.{Window => W}
+    val fineW = 2 * levels
     val base = df.select(col(idCol), col(stratumCol),
         col(tokensCol).cast("bigint").as("n_tokens"))
       .withColumn("__h", bucketHex(col(idCol)))
-      // tokens resolved BEFORE this row's current boundary slice — 0 at
-      // the root; each level folds its bucket prefix offsets in
-      .withColumn("__pboff", lit(0L))
-    // Recursive cut: at level L, slice the (per stratum, unique)
-    // boundary region by the next 2 hex chars; tiny per-bucket sums
-    // classify whole buckets keep-all / drop-all, and only the ≤ 1
-    // boundary bucket per stratum descends. Each level divides the
-    // unresolved region by 256, so `levels` = 3 bounds the final
-    // ordered scan at 1/16.7M of a stratum — deep enough for any
-    // corpus; the final window is the base case either way.
-    var keeps = List.empty[DataFrame]
-    var boundary = base
-    for (lvl <- 1 to levels) {
-      val b = boundary.withColumn("__b", substring(col("__h"), 1, 2 * lvl))
+    // THE one aggregate over the full data: token totals per
+    // finest-level hash-prefix bucket. Every coarser level's sums are
+    // re-aggregations of this ≤ 256^levels-buckets-per-stratum frame —
+    // the r9 verdict's union-of-aggregates plan re-scanned and
+    // re-shuffled base once per level per branch (18 exchanges); this
+    // shape shuffles the full data exactly once, here.
+    val fine = base
+      .groupBy(col(stratumCol), substring(col("__h"), 1, fineW).as("__fb"))
+      .agg(sum(col("n_tokens")).as("__ft"))
+    // Recursive cut, walked entirely on the tiny bucket frame: at each
+    // level the per-(stratum, prefix) sums locate the ≤ 1 straddling
+    // bucket per stratum (cumulative sums are monotone, so exactly one
+    // bucket straddles unless the stratum is under budget), which
+    // descends with its exact prefix offset. Each level divides the
+    // unresolved region by 256, and each level's window sorts ≤ 256
+    // rows per stratum. Keep-all buckets need no tracking: kept
+    // buckets are precisely those ORDERED BEFORE the boundary prefix —
+    // the whole decision compresses to ONE ROW PER STRATUM.
+    // Hop widths: ≥ 1 level (2 hex chars), ≤ 2 levels (4 chars) per hop,
+    // so each hop's window sorts ≤ 256² = 65,536 rows per stratum — at
+    // the default levels=2 the walk is ONE window directly over `fine`
+    // (no re-aggregation), and levels=4 still needs only two hops.
+    val widths = (1 to levels).map(_ * 2).filter(w => w % 4 == 0 || w == fineW)
+    var bnd = Option.empty[DataFrame] // (stratumCol, __p, __pboff)
+    var prevW = 0
+    for (w <- widths) {
+      val scoped = bnd match {
+        case None => fine.withColumn("__pboff", lit(0L))
+        case Some(b) => fine.join(
+          broadcast(b.withColumnRenamed(stratumCol, "__bs")),
+          col(stratumCol) === col("__bs") &&
+            substring(col("__fb"), 1, prevW) === col("__p"))
+          .drop("__bs", "__p")
+      }
+      val bucketed =
+        if (w == fineW) scoped.select(col(stratumCol), col("__fb").as("__b"),
+          col("__pboff"), col("__ft").as("__btok"))
+        else scoped.groupBy(col(stratumCol),
+          substring(col("__fb"), 1, w).as("__b"),
+          col("__pboff")) // constant within a stratum's boundary path
+          .agg(sum(col("__ft")).as("__btok"))
       val wB = W.partitionBy(col(stratumCol)).orderBy(col("__b"))
         .rowsBetween(W.unboundedPreceding, -1)
-      val buckets = b.groupBy(col(stratumCol), col("__b"))
-        .agg(sum(col("n_tokens")).as("__btok"),
-          min(col("__pboff")).as("__pb")) // constant within the slice
-        .withColumn("__boff",
-          col("__pb") + coalesce(sum(col("__btok")).over(wB), lit(0L)))
-        .drop("__pb")
-      val tagged = b.drop("__pboff")
-        .join(broadcast(buckets), Seq(stratumCol, "__b"))
-      keeps ::= tagged
-        .filter(col("__boff") + col("__btok") < budgetTokens)
-        .select(col(idCol), col(stratumCol), col("n_tokens"))
-      boundary = tagged
+      val off = bucketed.withColumn("__boff",
+        col("__pboff") + coalesce(sum(col("__btok")).over(wB), lit(0L)))
+      bnd = Some(off
         .filter(col("__boff") < budgetTokens &&
           col("__boff") + col("__btok") >= budgetTokens)
-        .withColumn("__pboff", col("__boff"))
-        .drop("__b", "__btok", "__boff")
+        .select(col(stratumCol), col("__b").as("__p"),
+          col("__boff").as("__pboff")))
+      prevW = w
     }
+    // One row per stratum: the finest-level boundary bucket and the
+    // token total resolved before it. A stratum with NO row here never
+    // crossed the budget (cumulative sums are monotone) — keep all.
+    val dec = bnd.get.withColumnRenamed("__p", "__bb")
+    // Single pass over base, one O(strata)-row broadcast: keep iff the
+    // row's bucket sorts before the boundary bucket (or the stratum is
+    // under budget); the bulk path never shuffles the data.
+    val tagged = base
+      .withColumn("__fb", substring(col("__h"), 1, fineW))
+      .join(broadcast(dec), Seq(stratumCol), "left")
+    val bulk = tagged
+      .filter(col("__bb").isNull || col("__fb") < col("__bb"))
+      .select(col(idCol), col(stratumCol), col("n_tokens"))
+    // Base case: the per-row ordered scan, confined to the one boundary
+    // bucket per stratum (1/256^levels of the data) — the only per-row
+    // sort in the plan, and the only full-data exchange stays `fine`'s.
     val wD = W.partitionBy(col(stratumCol))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(W.unboundedPreceding, -1)
-    val boundaryKept = boundary
+    val boundaryKept = tagged.filter(col("__fb") === col("__bb"))
       .withColumn("__before",
         col("__pboff") + coalesce(sum(col("n_tokens")).over(wD), lit(0L)))
       .filter(col("__before") < budgetTokens)
       .select(col(idCol), col(stratumCol), col("n_tokens"))
-    keeps.foldLeft(boundaryKept)(_ unionByName _)
+    bulk.unionByName(boundaryKept)
   }
 }
