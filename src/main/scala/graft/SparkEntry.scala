@@ -575,6 +575,20 @@ object SparkEntry {
     "q_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
         maxBucket = LshMaxBucket)),
+    // production pipeline order: EXACT dedup first, THEN near-dup
+    // pairing — byte-identical copies collapse before the quadratic
+    // pair stage ever sees them. Dense duplication makes raw pair
+    // materialization explode quadratically in cluster size (the
+    // GenScale 100× replica turns every doc into a 100-copy cluster
+    // and q_minhash_lsh_pairs pays a ~10⁴× larger output); this
+    // pipeline's pair stage only ever sees unique content, so its
+    // cost tracks UNIQUE docs, not raw rows — the scale-correct shape
+    "q_neardup_after_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      Dedup.minhashLshPairs(docs.join(keep, Seq("doc_id"), "left_semi"),
+        n = 2, k = 6, rowsPerBand = 2, maxBucket = LshMaxBucket)
+    }),
     "q_incremental_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val hist = docs.filter(col("doc_id") % 4 =!= 0)
@@ -1314,9 +1328,12 @@ object SparkEntry {
        |SELECT doc_a, doc_b, hamming FROM sp_pairs""".stripMargin
 
   /** Shared CTE chain producing the MinHash-LSH candidate pairs (used by
-    * the pairs oracle and, under WITH RECURSIVE, the clustering oracle). */
-  private def duckLshPairCtes: String =
-    s"""t AS (SELECT doc_id, $DuckToks AS tk FROM documents),
+    * the pairs oracle and, under WITH RECURSIVE, the clustering oracle).
+    * `src` swaps the document source relation — q_neardup_after_exact
+    * feeds the exact-dedup survivors through the same chain. */
+  private def duckLshPairCtes: String = duckLshPairCtesFrom("documents")
+  private def duckLshPairCtesFrom(src: String): String =
+    s"""t AS (SELECT doc_id, $DuckToks AS tk FROM $src),
        |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
        |sig AS (SELECT doc_id,
        |               min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1,
@@ -2300,6 +2317,12 @@ object SparkEntry {
          |FROM sh GROUP BY doc_id""".stripMargin,
     "q_minhash_lsh_pairs" ->
       s"""WITH $duckLshPairCtes
+         |SELECT doc_a, doc_b FROM lsh_pairs""".stripMargin,
+    "q_neardup_after_exact" ->
+      s"""WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents
+         |              GROUP BY md5(text)),
+         |src AS (SELECT d.* FROM documents d JOIN kept USING (doc_id)),
+         |${duckLshPairCtesFrom("src")}
          |SELECT doc_a, doc_b FROM lsh_pairs""".stripMargin,
     "q_incremental_dedup" ->
       """WITH hist AS (SELECT DISTINCT md5(text) AS text_hash

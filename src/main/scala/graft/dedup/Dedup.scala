@@ -234,10 +234,16 @@ object Dedup {
     def partsFor(nEdges: Long): Int =
       math.min(nEdges / edgesPerPartition + 1L, Int.MaxValue.toLong).toInt
 
+    // _SER storage throughout: a boxed Tuple2[Long, Long] costs ~48 B
+    // cached deserialized vs ~16 B serialized, and at dense duplication
+    // (the GenScale 100× replica: every band bucket near the cap) the
+    // edge list alone reaches 10⁷-10⁸ rows ACROSS SEVERAL persisted
+    // levels — deserialized caching was the difference between fitting
+    // and an executor OOM, measured at the sf10 pair-class capture.
     val pairRdd = pairs
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
       .as[(Long, Long)].rdd
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
     var cached = List[RDD[_]](pairRdd)
     val nEdges = pairRdd.count() // materializes the candidate chain once
 
@@ -248,9 +254,9 @@ object Dedup {
     while (p > 1 && levels < maxLevels) {
       val forest = edges.partitionBy(new HashPartitioner(p))
         .mapPartitions(localForest)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       val m = forest.reduceByKey(math.min(_: Long, _: Long))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       cached = forest :: m :: cached
       levelMaps ::= m
       // every partition-local root joins its node's merged minimum: these
@@ -258,7 +264,7 @@ object Dedup {
       // in k partitions links its k roots through minRoot)
       val nextEdges = forest.join(m)
         .collect { case (_, (root, minRoot)) if root != minRoot => (root, minRoot) }
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
       cached = nextEdges :: cached
       edges = nextEdges
       p = partsFor(edges.count())
