@@ -1,0 +1,19 @@
+#!/bin/bash
+# Run a graft main class outside sbt (avoids the sbt lock for parallel
+# background runs). Usage: run_main.sh [-mXmx] <mainClass> [args...]
+# Env passthrough: SPARK_GRAFT_* vars work as with sbt runMain.
+set -euo pipefail
+MEM="${SPARK_DRIVER_MEM:-8g}"
+SCALA_LIB=$(find /root/.cache/coursier -name "scala-library-2.13.17.jar" | head -1)
+CP="/root/repo/target/scala-2.13/classes:${SCALA_LIB}:/opt/spark/jars/*"
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java -cp "$CP" $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"$MEM" "$@"
