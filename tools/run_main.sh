@@ -4,6 +4,10 @@
 # Env passthrough: SPARK_GRAFT_* vars work as with sbt runMain.
 set -euo pipefail
 MEM="${SPARK_DRIVER_MEM:-8g}"
+# Match the driver's environment (local[32]); GraftSession's own default
+# is 4, which silently produced 4-thread "regressions" in CPU-dense
+# kernels the first time this script forgot to set it.
+export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 SCALA_LIB=$(find /root/.cache/coursier -name "scala-library-2.13.17.jar" | head -1)
 CP="/root/repo/target/scala-2.13/classes:${SCALA_LIB}:/opt/spark/jars/*"
 ADD_OPENS=""
