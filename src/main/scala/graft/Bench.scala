@@ -110,6 +110,13 @@ object Bench {
     // run). The driver never sets this — full suite by default.
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // Timed runs per query (default 3). min-of-3 exists to pin the noise
+    // floor on SUB-SECOND queries; at a 100x replica every query runs
+    // tens of seconds and one run is already above the noise, so scale
+    // captures set 1 and finish in a third the wall-clock. The driver
+    // never sets this — per-round gates stay min-of-3.
+    val runs: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+      .max(1)
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = GraftSession.build("graft-bench")
 
@@ -140,9 +147,10 @@ object Bench {
     }
     // Shuffle-VOLUME telemetry (the regression exchange counts can't
     // see: a lost pushdown fattens the same exchange). One global
-    // task-end listener; per query, the counter delta across the 3 timed
-    // runs / 3. The listener bus is async — a short stability poll after
-    // each query bounds cross-attribution without adding a 4th run.
+    // task-end listener; per query, the counter delta across the timed
+    // runs divided by the run count. The listener bus is async — a short
+    // stability poll after each query bounds cross-attribution without
+    // adding an extra run.
     val shuffleWritten = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
@@ -167,7 +175,7 @@ object Bench {
     val results = SparkEntry.queries.filter(kv => keep(kv._1))
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       val s0 = drainedShuffleCount()
-      val times = (1 to 3).map { _ =>
+      val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val r = runOnce(sfDir, name, fn)
         (r, (System.nanoTime() - t0) / 1e9)
@@ -184,7 +192,7 @@ object Bench {
               .unboundedSinglePartitionSorts(df.queryExecution.executedPlan)
               catch { case _: Throwable => -1 })
           }
-          val perRun = (drainedShuffleCount() - s0) / 3.0
+          val perRun = (drainedShuffleCount() - s0) / runs.toDouble
           shuffleMb += name -> math.rint(perRun / 1024.0 / 1024.0 * 100) / 100
           name -> times.map(_._2).min
       }

@@ -671,6 +671,40 @@ object Similarity {
         when(col("amax") > 0, round(col("x") * lit(127.0) / col("amax")))
           .otherwise(lit(0)).cast("int").as("qv")): _*)
 
+  /** One (candidate, score-numerator, score-denominator) row for
+    * [[RationalArgmax]]. `n >= 1` for every real row; `n == 0` is the
+    * aggregator's empty-buffer sentinel (a count can never be 0 here —
+    * a label's centroid exists only if it has vectors). */
+  case class RationalCand(label: Int, score: Long, n: Long)
+
+  /** Exact argmax over rational scores score/n without division: the
+    * comparison is cross-multiplied in BigInt (score_a·n_b vs
+    * score_b·n_a — exact at any magnitude, no decimal-width cliff),
+    * ties to the smaller label. "Rational desc, then label asc" is a
+    * TOTAL order, so the max is associative + commutative and Spark is
+    * free to partial-aggregate map-side and merge in any order. */
+  object RationalArgmax
+      extends org.apache.spark.sql.expressions.Aggregator[
+        RationalCand, RationalCand, Int] {
+    private def best(a: RationalCand, b: RationalCand): RationalCand =
+      if (a.n == 0L) b
+      else if (b.n == 0L) a
+      else {
+        val cmp = (BigInt(b.score) * a.n).compare(BigInt(a.score) * b.n)
+        if (cmp > 0 || (cmp == 0 && b.label < a.label)) b else a
+      }
+    override def zero: RationalCand = RationalCand(0, 0L, 0L)
+    override def reduce(buf: RationalCand, in: RationalCand): RationalCand =
+      best(buf, in)
+    override def merge(b1: RationalCand, b2: RationalCand): RationalCand =
+      best(b1, b2)
+    override def finish(r: RationalCand): Int = r.label
+    override def bufferEncoder: org.apache.spark.sql.Encoder[RationalCand] =
+      org.apache.spark.sql.Encoders.product[RationalCand]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Int] =
+      org.apache.spark.sql.Encoders.scalaInt
+  }
+
   /** Per-label centroid ACCUMULATORS in the int8-quantized space:
     * (label, dim) → (Σ qv, n). Sums and counts stay integer — the
     * cross-engine-exact form; consumers divide when they need the mean
@@ -690,20 +724,22 @@ object Similarity {
     * scores against every label centroid by the dot product with the
     * centroid SUM Σᵢ qvᵢ·sum_qᵢ, and the argmax compares against the
     * true MEAN centroids — score_a/n_a vs score_b/n_b — via
-    * count-cross-multiplied exact arithmetic (score_a·n_b vs
-    * score_b·n_a in decimal(38,0): no division, no doubles, no
-    * cross-engine rounding surface, and no bias toward populous labels
-    * — the r6 ADVICE defect of the raw-sum argmax). Ties break to the
-    * smaller label. Output: (true label, predicted label, n) — the
-    * clustering-quality audit for an embedding space.
+    * count-cross-multiplied exact arithmetic (BigInt score_a·n_b vs
+    * score_b·n_a: no division, no doubles, no cross-engine rounding
+    * surface, and no bias toward populous labels — the r6 ADVICE defect
+    * of the raw-sum argmax). Ties break to the smaller label. Output:
+    * (true label, predicted label, n) — the clustering-quality audit
+    * for an embedding space.
     *
     * Scale shape: the centroid table (|labels|·dims rows) broadcasts;
     * the per-vector fan-out is |labels| score partials aggregated in
-    * ONE (vec_id, label) shuffle. The mean-argmax is a pairwise
-    * dominance anti-join keyed on vec_id — |labels|² comparisons per
-    * vector, bounded by the closed label domain (an exact rational
-    * argmax has no single sortable key, so a window cannot express it);
-    * the final crosstab is label-domain-sized. */
+    * ONE (vec_id, label) shuffle. The mean-argmax is
+    * [[RationalArgmax]] — an exact-rational max is a total order, so
+    * one O(|labels|) streaming aggregate per vector replaces the
+    * |labels|²-comparison dominance self-join this op shipped with
+    * (same answer, one exchange and no join machinery; partial
+    * aggregation still combines map-side). The final crosstab is
+    * label-domain-sized. */
   def centroidConfusion(embeddings: DataFrame): DataFrame = {
     val centroids = labelCentroidsQ(embeddings)
     val cents = centroids
@@ -711,30 +747,16 @@ object Similarity {
     // per-label vector count: n_vecs is constant across a label's dims
     val nTab = centroids.groupBy(col("label").as("c_label"))
       .agg(max(col("n_vecs")).as("n_c"))
-    val dec38 = "decimal(38,0)"
-    val scores = explodedInt8(embeddings, Seq("vec_id", "label"))
+    val argmax = udaf(RationalArgmax)
+    explodedInt8(embeddings, Seq("vec_id", "label"))
       .join(broadcast(cents), "i")
       .groupBy(col("vec_id"), col("label"), col("c_label"))
       .agg(sum(col("qv") * col("sum_q")).as("score"))
       .join(broadcast(nTab), "c_label")
-      .select(col("vec_id"), col("label"), col("c_label"),
-        col("score").cast(dec38).as("score"), col("n_c").cast(dec38).as("n_c"))
-    // (no materialization: the dominance join's two sides are the SAME
-    // subplan, so AQE reuses one exchange — ReusedExchange in the plan —
-    // and the scores pipeline runs once)
-    // winner = the row no other centroid beats: b beats a iff
-    // score_b/n_b > score_a/n_a (cross-multiplied) or equal with a
-    // smaller label
-    val a = scores.as("a")
-    val b = scores.select(col("vec_id"), col("c_label").as("b_label"),
-      col("score").as("b_score"), col("n_c").as("b_n")).as("b")
-    a.join(b,
-        col("a.vec_id") === col("b.vec_id") && (
-          col("b_score") * col("a.n_c") > col("a.score") * col("b_n") ||
-            (col("b_score") * col("a.n_c") === col("a.score") * col("b_n") &&
-              col("b_label") < col("a.c_label"))),
-        "left_anti")
-      .groupBy(col("label"), col("c_label").as("pred_label"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(argmax(col("c_label").cast("int"), col("score"), col("n_c"))
+        .as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
 

@@ -267,7 +267,7 @@ class PlanSpec extends SparkSuite {
       s"label filter not pushed to the scan:\n$pushed")
   }
 
-  test("centroidConfusion: centroids broadcast; mean-argmax is a keyed anti-join") {
+  test("centroidConfusion: centroids broadcast; mean-argmax is one aggregate, no join") {
     val df = graft.sim.Similarity.centroidConfusion(
       Tables.embeddings(spark, sf))
     df.collect()
@@ -275,13 +275,17 @@ class PlanSpec extends SparkSuite {
       .split("== Initial Plan ==").head
     assert(s.contains("BroadcastHashJoin"),
       s"centroid table not broadcast:\n$s")
-    // the true-mean argmax (r7: cross-multiplied dominance, no sortable
-    // key) must plan as an anti-join KEYED on vec_id — the inequality
-    // rides as a join condition, never a cartesian fan-out
-    assert(s.contains("LeftAnti"),
-      s"mean-argmax dominance filter not an anti-join:\n$s")
-    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
-      s"dominance join degenerated to an unkeyed product:\n$s")
+    // the true-mean argmax (RationalArgmax: exact cross-multiplied
+    // compare IS a total order) must plan as a single streaming
+    // aggregate — the |labels|²-comparison dominance self-join this op
+    // originally shipped with must never come back
+    assert(!s.contains("LeftAnti") && !s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"mean-argmax regressed to a join:\n$s")
+    assert(s.contains("rationalargmax"),
+      s"argmax aggregate missing from the plan:\n$s")
+    assert(s.contains("partial_rationalargmax"),
+      "argmax lost map-side partial aggregation")
     assert(s.contains("partial_sum"), "score partials lost map-side combine")
   }
 
