@@ -218,6 +218,42 @@ class SimilaritySpec extends SparkSuite {
       (2, 0) -> ((0L, 1L)), (2, 1) -> ((-127L, 1L))))
   }
 
+  test("RationalArgmax: any fold/merge tree equals the sorted-rational winner") {
+    // Partial aggregation reorders and re-brackets the fold arbitrarily;
+    // correctness rests on the max being associative + commutative over
+    // the (rational desc, label asc) total order. Exercise randomized
+    // candidate sets (deliberately including exact-tie rationals like
+    // 2/4 vs 1/2 and score overflow territory) under random permutations
+    // and random merge splits, against the naive sort-based winner.
+    val rnd = new scala.util.Random(42)
+    val A = Similarity.RationalArgmax
+    def fold(xs: Seq[Similarity.RationalCand]): Similarity.RationalCand =
+      xs.foldLeft(A.zero)(A.reduce)
+    def treeMerge(xs: Seq[Similarity.RationalCand]): Similarity.RationalCand =
+      if (xs.size <= 3) fold(xs)
+      else {
+        val (l, r) = xs.splitAt(1 + rnd.nextInt(xs.size - 1))
+        A.merge(treeMerge(l), treeMerge(r))
+      }
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(8)
+      val cands = (0 until n).map { i =>
+        val denom = 1L + rnd.nextInt(4)
+        val num = (rnd.nextInt(9) - 4).toLong * denom / (1L + rnd.nextInt(2))
+        Similarity.RationalCand(i,
+          if (rnd.nextBoolean()) num else num * 1000000007L,
+          if (rnd.nextBoolean()) denom else denom * 999999937L)
+      }
+      val expected = cands.minBy(c =>
+        (BigDecimal(-c.score) / BigDecimal(c.n), c.label))
+      val shuffled = rnd.shuffle(cands)
+      assert(A.finish(fold(shuffled)) === expected.label,
+        s"fold disagreed on $cands")
+      assert(A.finish(treeMerge(shuffled)) === expected.label,
+        s"merge tree disagreed on $cands")
+    }
+  }
+
   test("centroidConfusion: separable clusters sit on the diagonal; ties break low") {
     import spark.implicits._
     // two clean clusters on orthogonal axes + one zero vector whose
