@@ -78,6 +78,31 @@ object Bench {
         (name, base(name), sec, scaleBound(name, factor))
     }
 
+  /** Ambient host load (1-min average) at capture start, read before the
+    * session spins up so the number reflects OTHER processes, not this
+    * bench. The recurring "broad 1.5x inflation, telemetry unchanged"
+    * class (r6, r7 q_tpch_q8, r10 q_skipgram) is CPU contention from
+    * concurrent driver work; recording load at start lets the regression
+    * lint separate "re-measure on a quiet host" from "real regression"
+    * mechanically instead of by per-round adjudication. */
+  def loadAvgStart(): Double =
+    try {
+      val s = Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(0)
+      s.toDouble
+    } catch {
+      case _: Throwable =>
+        java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .getSystemLoadAverage
+    }
+
+  /** A capture is contention-suspect when ambient load already occupies
+    * more than 1/8 of the advertised cores before the bench starts (4 of
+    * 32 on the driver host). The observed contention episodes ran with
+    * the driver's verify/judge pipelines live — load well above that —
+    * while quiet captures start from ~0. */
+  def isContended(loadAvg: Double, cpus: Int): Boolean =
+    loadAvg > cpus / 8.0
+
   /** Per-query regression lint (r6 verdict item 2): vs the prior
     * committed capture AT THE SAME SF, flag queries that got BOTH
     * >1.5x slower and >0.3 s absolutely worse — the broad-based
@@ -118,6 +143,10 @@ object Bench {
     val runs: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
       .max(1)
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    // Sampled BEFORE the session builds: ambient load from other
+    // processes, not this bench's own warm-up.
+    val load0 = loadAvgStart()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.build("graft-bench")
 
     def runOnce(dir: String, name: String,
@@ -247,7 +276,7 @@ object Bench {
       s""""$n":{"base":$b,"now":$c,"bound":$bound}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","sf":"$sfDir","errors":$errJson,"regressed":$regJson,"scaling":$scJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
+      s"""{"metric":"total","sf":"$sfDir","cpus":$cpus,"load_avg_start":$load0,"contended":${isContended(load0, cpus)},"errors":$errJson,"regressed":$regJson,"scaling":$scJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
     println(json)
     // A subset run (SPARK_GRAFT_BENCH_ONLY) only writes the local capture
     // when SPARK_GRAFT_BENCH_LOCAL names a path explicitly — otherwise a

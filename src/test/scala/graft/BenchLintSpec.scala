@@ -48,6 +48,28 @@ class BenchLintSpec extends AnyFunSuite {
     assert(v3.map(_._1) === Seq("q_tpch_q1"))
   }
 
+  test("contention annotation: quiet host stays false, driver-pipeline load fires, " +
+    "and parsePrior still reads a capture carrying the new fields") {
+    // quiet capture (load ~0 on 32 cores) is NOT contention-suspect
+    assert(!Bench.isContended(0.05, 32))
+    // exactly at the 1/8 boundary: still quiet (strict >)
+    assert(!Bench.isContended(4.0, 32))
+    // concurrent driver verify/judge work (load 10+ of 32) IS suspect
+    assert(Bench.isContended(10.5, 32))
+    // a 4-core fallback session flags proportionally (load 2 of 4)
+    assert(Bench.isContended(2.0, 4))
+    // loadAvgStart reads a real number on this host, never throws
+    assert(Bench.loadAvgStart() >= 0.0)
+    // the enriched JSON shape still round-trips through parsePrior
+    val enriched =
+      """{"metric":"total","sf":"/root/testdata/sf0.1","cpus":32,""" +
+        """"load_avg_start":0.12,"contended":false,"errors":{},""" +
+        """"queries":{"q_a":0.25,"q_b":1.0},"value":1.25,"unit":"sec"}"""
+    val (sf, qs) = Bench.parsePrior(enriched)
+    assert(sf === "/root/testdata/sf0.1")
+    assert(qs === Map("q_a" -> 0.25, "q_b" -> 1.0))
+  }
+
   test("regressions: fires only past BOTH the 1.5x ratio and 0.3 s absolute gates") {
     val prior = Map("fast" -> 0.1, "slow" -> 1.0, "mid" -> 0.5, "err" -> 2.0)
     val now = Seq(
