@@ -10,15 +10,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * for any literal predicate above it).
   */
 object Tables {
-  def region(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "region")
-  def nation(spark: SparkSession, dir: String): DataFrame    = load(spark, dir, "nation")
-  def customer(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "customer")
-  def supplier(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "supplier")
-  def part(spark: SparkSession, dir: String): DataFrame      = load(spark, dir, "part")
+  import org.apache.spark.sql.types._
+
+  def region(spark: SparkSession, dir: String): DataFrame =
+    conform(load(spark, dir, "region"), "r_regionkey" -> IntegerType)
+  def nation(spark: SparkSession, dir: String): DataFrame =
+    conform(load(spark, dir, "nation"),
+      "n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType)
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    conform(load(spark, dir, "customer"),
+      "c_custkey" -> LongType, "c_nationkey" -> IntegerType)
+  def supplier(spark: SparkSession, dir: String): DataFrame =
+    conform(load(spark, dir, "supplier"),
+      "s_suppkey" -> LongType, "s_nationkey" -> IntegerType)
+  def part(spark: SparkSession, dir: String): DataFrame =
+    conform(load(spark, dir, "part"),
+      "p_partkey" -> LongType, "p_size" -> IntegerType)
   def orders(spark: SparkSession, dir: String): DataFrame =
-    normalizeTemporal(load(spark, dir, "orders"), "o_orderdate")
+    conform(normalizeTemporal(load(spark, dir, "orders"), "o_orderdate"),
+      "o_orderkey" -> LongType, "o_custkey" -> LongType)
   def lineitem(spark: SparkSession, dir: String): DataFrame =
-    normalizeTemporal(load(spark, dir, "lineitem"), "l_shipdate")
+    conform(normalizeTemporal(load(spark, dir, "lineitem"), "l_shipdate"),
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType)
   /** The events table's `ts` column has shipped in two physical encodings
     * across testdata generations:
     *   - parquet TIMESTAMP(NANOS): Spark can't represent nanos as
@@ -43,13 +57,19 @@ object Tables {
       case LongType => col("ts")
       case _        => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
     }
-    raw
+    conform(raw
       .withColumn("ts", tsNs) // in-place replace keeps the column position
       .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_sec", expr("ts_ns div 1000000000"))
+      .withColumn("ts_sec", expr("ts_ns div 1000000000")),
+      "event_id" -> LongType, "user_id" -> LongType)
   }
-  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    conform(load(spark, dir, "documents"),
+      "doc_id" -> LongType, "n_chars" -> LongType, "text" -> StringType)
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    conform(load(spark, dir, "embeddings"),
+      "vec_id" -> LongType, "embedding" -> ArrayType(FloatType),
+      "label" -> IntegerType)
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
@@ -63,6 +83,66 @@ object Tables {
     * (LTZ→NTZ is a reinterpretation), DATE midnight-extends, and a
     * BIGINT column here can only be epoch nanoseconds read via
     * `nanosAsLong` (floor-divided to µs). */
+  /** Schema-drift armor for NON-temporal columns (the r9 lesson,
+    * generalized past `normalizeTemporal`): each loader declares the
+    * canonical type of its id / numeric-width / embedding / text
+    * columns — the types every query and oracle in this repo was built
+    * and gated against — and `conform` dispatches on what the parquet
+    * actually shipped:
+    *   - exact match (ignoring nullability): column untouched, so the
+    *     canonical path adds NO projection and scan-level pushdown /
+    *     pruning behave exactly as before this armor existed;
+    *   - integral↔integral drift (int32 ids regenerated as int64 or
+    *     vice versa): cast to the canonical width — key and label
+    *     domains here are small (≤ millions), so narrowing is exact;
+    *   - float↔double list drift (`embeddings.embedding`): cast the
+    *     element type — the float32 canon is what every similarity
+    *     kernel and its gated oracle compute in;
+    *   - binary→string drift (`documents.text` re-encoded as BYTE_ARRAY
+    *     without the UTF8 annotation): reinterpret as UTF-8 string;
+    *   - anything else: throw, loudly naming the column — a silent
+    *     best-effort cast here is how a drift becomes a wrong-answer
+    *     round instead of a one-line fix.
+    */
+  private[graft] def conform(df: DataFrame, want: (String, org.apache.spark.sql.types.DataType)*): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    def integral(t: DataType): Boolean = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    // nullability-insensitive equality (DataType.sameType is private[sql])
+    def stripNull(t: DataType): DataType = t match {
+      case ArrayType(e, _)    => ArrayType(stripNull(e), containsNull = true)
+      case MapType(k, v, _)   => MapType(stripNull(k), stripNull(v), valueContainsNull = true)
+      case StructType(fields) => StructType(fields.map(f =>
+        f.copy(dataType = stripNull(f.dataType), nullable = true)))
+      case other              => other
+    }
+    // An ABSENT column is not policed here: partial fixtures (tests,
+    // projected exports) load fine, and a query referencing the missing
+    // column already fails loudly at analysis with the column name.
+    want.filter { case (name, _) => df.columns.contains(name) }
+      .foldLeft(df) { case (d, (name, tgt)) =>
+      val have = d.schema(name).dataType
+      if (stripNull(have) == stripNull(tgt)) d
+      else {
+        val convertible = (have, tgt) match {
+          case (h, t) if integral(h) && integral(t) => true
+          case (ArrayType(he, _), ArrayType(te, _)) =>
+            Set[DataType](FloatType, DoubleType)(he) &&
+              Set[DataType](FloatType, DoubleType)(te)
+          case (BinaryType, StringType) => true
+          case _                        => false
+        }
+        if (!convertible)
+          throw new IllegalArgumentException(
+            s"cannot conform column $name: loaded $have, canonical $tgt")
+        d.withColumn(name, col(name).cast(tgt))
+      }
+    }
+  }
+
   private[graft] def normalizeTemporal(df: DataFrame, cols: String*): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

@@ -1,0 +1,121 @@
+package graft.apps
+
+import graft.SparkSuite
+import graft.core.Tables
+import graft.sources.Sources
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** End-to-end streaming soak (r10 verdict item 6): the streaming layer
+  * was spec-green per operator but never proven by a WHOLE-pipeline
+  * measurement. This test replays the full sf0.1 documents corpus as a
+  * throttled file backlog through IngestMain's transform — many
+  * micro-batches, checkpointed parquet sink, run to completion — and
+  * asserts the observed funnel counters equal a BATCH computation of
+  * the same semantics on the same input (the batch/streaming-twin
+  * contract applied to the whole pipeline, not per-operator).
+  *
+  * The batch twin deliberately goes through [[TextAnalysis.qualityScore]]
+  * (the batch API, a separate code path from the inline
+  * [[TextAnalysis.qualityKeep]] column the stream uses) so the two sides
+  * are independent formulations of the same gate, not one expression
+  * evaluated twice. PipelineMain.funnel is NOT the comparator here: its
+  * stage set (lang → quality → repetition → content dedup → near-dup)
+  * is a different pipeline than the ingest front door (parse → quality →
+  * PII → id-dedup); equating their counters would compare two different
+  * programs. The contract that exists — and is asserted — is streaming
+  * ingest vs batch ingest on identical input. */
+class IngestSoakSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("sf0.1 soak: streamed funnel + written rows equal the batch twin exactly") {
+    val in = java.nio.file.Files.createTempDirectory("graft-soak-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-soak-out").toString
+
+    // ---- build the backlog: every sf0.1 document as one `id\ttext` line,
+    // newlines/tabs inside text flattened so one doc == one line (both
+    // sides read the same flattened lines, so the contract is unaffected)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.1")
+      .select($"doc_id", regexp_replace($"text", "[\\t\\n\\r]+", " ").as("text"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(docs.length >= 1000, s"sf0.1 corpus unexpectedly small: ${docs.length}")
+    val lines = docs.map { case (id, t) => s"$id\t$t" }
+    // in-file duplicates (same micro-batch => dedup drop is deterministic,
+    // no watermark-horizon timing dependence) + malformed lines
+    val dupes = lines.take(100)
+    val malformed = Seq("no tab here", "xyz\t", "not_a_number\tsome text")
+    val files = 20
+    val perFile = (lines.length + files - 1) / files
+    lines.grouped(perFile).zipWithIndex.foreach { case (chunk, i) =>
+      val extra =
+        if (i == 3) dupes.toSeq // copies of file 0's first lines — a LATER micro-batch
+        else if (i == 7) malformed
+        else Seq.empty[String]
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(in, f"backlog-$i%03d.txt"),
+        (chunk ++ extra).mkString("", "\n", "\n"))
+    }
+    // NOTE the dupes of file 0's lines sit in file 3 — a DIFFERENT
+    // micro-batch. They are still within the 1-minute watermark horizon
+    // for any plausible drain of this backlog, and the horizon is
+    // processing-time-anchored (ingest_ts = current_timestamp), so a
+    // multi-minute pathological stall is the only way they'd survive;
+    // the run-time assert below would catch that as a count mismatch.
+
+    // ---- stream it: 2 files per trigger -> ~10+ micro-batches
+    val q = IngestMain.transform(
+        Sources.readTextStreamThrottled(spark, in, maxFilesPerTrigger = 2))
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/checkpoint")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try assert(q.awaitTermination(600000), "soak did not drain in 10 min")
+    finally q.stop()
+    val nBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(nBatches >= 5, s"throttle did not split the backlog: $nBatches batches")
+    val funnel = IngestMain.persistFunnel(spark, q, s"$out/funnel")
+
+    // ---- batch twin on the same files, independent formulation
+    val raw = spark.read.text(in)
+    val parsed = raw
+      .select(expr("try_cast(get(split(value, '\t'), 0) AS bigint)").as("doc_id"),
+        get(split($"value", "\t"), lit(1)).as("text"))
+    val rowsIn = raw.count()
+    val nMalformed = parsed.filter($"doc_id".isNull || $"text".isNull).count()
+    val wellFormed = parsed.filter($"doc_id".isNotNull && $"text".isNotNull)
+    // batch quality gate via the batch API (qualityScore), then re-join
+    // the kept ids — a different plan shape than the stream's inline gate
+    val keptIds = TextAnalysis.qualityScore(wellFormed)
+      .filter($"keep").select("doc_id")
+    // per-LINE kept count (the stream's gate counts rows, pre-dedup):
+    // duplicate lines are verbatim copies, so joining lines against the
+    // distinct kept ids counts each surviving line exactly once
+    val nKept = wellFormed.join(keptIds.distinct(), "doc_id").count()
+
+    assert(funnel("rows_in") === rowsIn)
+    assert(funnel("rows_malformed") === nMalformed)
+    assert(funnel("rows_kept") === nKept,
+      s"gate funnel diverged: stream=${funnel("rows_kept")} batch=$nKept")
+    // sanity on the instance itself: the duplicates and malformed lines
+    // actually exercised their paths
+    assert(rowsIn === (lines.length + dupes.length + malformed.length).toLong)
+    assert(nMalformed >= 2) // "no tab here" and "not_a_number" at minimum
+
+    // ---- sink contract: written rows == DISTINCT kept ids (id-dedup),
+    // and every written doc is PII-clean
+    val written = spark.read.parquet(s"$out/data")
+    val nWritten = written.count()
+    val nDistinctKept = keptIds.distinct().count()
+    assert(nWritten === nDistinctKept,
+      s"dedup sink diverged: written=$nWritten batch-distinct=$nDistinctKept")
+    assert(written.filter($"text_redacted".rlike(TextAnalysis.EmailRe)).count() === 0L)
+    // the duplicated block was actually gated IN (else the dedup path
+    // tested nothing): at least one duplicated id must appear among keeps
+    val dupIds = dupes.map(_.split("\t")(0).toLong).toSet
+    assert(written.filter($"doc_id".isin(dupIds.toSeq.map(Long.box): _*)).count() > 0)
+  }
+}

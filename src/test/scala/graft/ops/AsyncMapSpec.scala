@@ -52,6 +52,30 @@ class AsyncMapSpec extends SparkSuite {
       "no pipelining observed — orderedWait degenerated to sequential awaits")
   }
 
+  test("R9 a stalled future FAILS the task at the deadline instead of hanging the stream") {
+    // Flink's orderedWait with a timeout treats an async result that
+    // misses the deadline as an error (AsyncIOExample.scala:34 uses 10 s);
+    // the Spark twin must surface a TimeoutException through the job,
+    // not block the partition forever. Element 7 never completes.
+    import scala.concurrent.Promise
+    import scala.concurrent.duration._
+    val t0 = System.nanoTime()
+    val e = intercept[org.apache.spark.SparkException] {
+      AsyncMap.orderedWait(spark.range(20).as[Long].coalesce(1),
+        timeout = 2.seconds) { x =>
+        if (x == 7L) Promise[Long]().future // stalls forever
+        else AsyncMap.identityAsync(x)
+      }.collect()
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(_.isInstanceOf[java.util.concurrent.TimeoutException]),
+      s"expected a TimeoutException in the cause chain, got: ${chain(e).map(_.getClass.getName)}")
+    // failed AT the deadline (one 2 s await), not after some multiple of it
+    assert(sec < 15.0, s"timeout path took $sec s — stream effectively hung")
+  }
+
   test("R9 identity function is an order-preserving pass-through") {
     val out = AsyncMap.orderedWait(spark.range(100).as[Long].coalesce(1))(
       AsyncMap.identityAsync[Long]).collect().toSeq
