@@ -59,7 +59,12 @@ object Bench {
     "q_filtered_topk", "q_filtered_ivf", "q_ann_recall", "q_semantic_dedup")
   private val pairQueries = Set(
     "q_minhash_lsh_pairs", "q_pair_editdist", "q_dedup_agreement",
-    "q_dedup_clusters", "q_split_leakage", "q_canonical_keep")
+    "q_dedup_clusters", "q_split_leakage", "q_canonical_keep",
+    // multimodal near-dup is the same pair-materializing shape (banded
+    // candidate pairs over decoded fingerprints): the GenScale replica
+    // clones every item `factor` times, so intra-band pair count grows
+    // ~quadratically in factor exactly as for the text LSH ops
+    "q_audio_neardup", "q_image_neardup", "q_video_shared")
   def scaleBound(name: String, factor: Double): Double =
     if (sublinearQueries(name)) 0.9 * factor
     else if (pairQueries(name)) 5.0 * factor
@@ -201,13 +206,26 @@ object Bench {
     // GC pauses / compilation stalls (observed 4x spikes on this host,
     // and 2-3x ambient drift between back-to-back full runs); min-of-3
     // pins the noise floor without hiding real cost.
+    // Memo netting: a shared-scan memo is built inside the FIRST query
+    // that touches it, so that query's raw time carries the whole build
+    // (441 s of LSH pairs inside q_canonical_keep at sf10) while later
+    // consumers ride free — the scaling lint then flags the payer for a
+    // cost that is reported SEPARATELY in memo_sec anyway. Subtract each
+    // run's memo-build delta from that run's time: per-query seconds are
+    // net-of-memo BY CONSTRUCTION at every runs setting, and the total
+    // (= net queries + memo_sec) counts each build exactly once.
+    import scala.jdk.CollectionConverters._
+    def memoNow(): Double = SparkEntry.memoSeconds.asScala
+      .collect { case ((dir, _), sec) if dir == sfDir => sec }.sum
     val results = SparkEntry.queries.filter(kv => keep(kv._1))
       .toSeq.sortBy(_._1).map { case (name, fn) =>
       val s0 = drainedShuffleCount()
       val times = (1 to runs).map { _ =>
+        val m0 = memoNow()
         val t0 = System.nanoTime()
         val r = runOnce(sfDir, name, fn)
-        (r, (System.nanoTime() - t0) / 1e9)
+        val raw = (System.nanoTime() - t0) / 1e9
+        (r, math.max(raw - (memoNow() - m0), 0.0))
       }
       times.collectFirst { case (Left(err), _) => err } match {
         case Some(err) =>

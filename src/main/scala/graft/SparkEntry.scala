@@ -45,6 +45,14 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
   val memoSeconds =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Double]
+  // Seconds of nested memo builds on the current thread, so a parent's
+  // recorded time is EXCLUSIVE of its children (dedup_clusters calls the
+  // lsh_pairs memo inside its own build: without this, summing
+  // memoSeconds double-counts the nested build, and Bench's per-query
+  // memo netting would over-subtract into negative query times).
+  private val nestedBuildSec = new ThreadLocal[Double] {
+    override def initialValue(): Double = 0.0
+  }
   private def memoized(s: SparkSession, d: String, key: String)
                       (build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: memo builds NEST (dedup_clusters builds by
@@ -60,9 +68,14 @@ object SparkEntry {
     val existing = memoCache.get(k)
     if (existing != null) existing
     else {
+      val outerNested = nestedBuildSec.get()
+      nestedBuildSec.set(0.0)
       val t0 = System.nanoTime()
       val df = build.localCheckpoint()
-      memoSeconds.put((d, key), (System.nanoTime() - t0) / 1e9)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val childSec = nestedBuildSec.get()
+      memoSeconds.put((d, key), wall - childSec) // exclusive of nested builds
+      nestedBuildSec.set(outerNested + wall)     // full wall charged to parent
       val prev = memoCache.putIfAbsent(k, df)
       if (prev != null) prev else df
     }

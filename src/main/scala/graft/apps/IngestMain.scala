@@ -72,11 +72,22 @@ object IngestMain {
       .withWatermark("ingest_ts", "1 minute")
       .dropDuplicatesWithinWatermark("doc_id")
 
-  /** Sum one observed metric across a run's progress events. */
-  private def sumObserved(progress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress],
-                          obs: String, field: String): Long =
-    progress.flatMap(p => Option(p.observedMetrics.get(obs)))
-      .map(_.getAs[Long](field)).sum
+  /** The run's funnel from an accumulating [[graft.streaming.FunnelListener]]
+    * — NOT from `recentProgress`, whose 100-entry ring buffer silently
+    * under-reports any run longer than
+    * `spark.sql.streaming.numRecentProgressUpdates` micro-batches (a
+    * day-long production ingest loses ~99% of its counts that way).
+    * Blocks until the listener has seen the run's termination event so
+    * the async bus cannot race the final batch's counters. */
+  def listenerFunnel(l: graft.streaming.FunnelListener,
+                     q: org.apache.spark.sql.streaming.StreamingQuery): Map[String, Long] = {
+    require(l.awaitTerminated(q.runId),
+      s"funnel listener never saw termination of run ${q.runId}")
+    Map(
+      "rows_in" -> l.total(q.runId, "ingest_parsed", "rows_in"),
+      "rows_malformed" -> l.total(q.runId, "ingest_parsed", "rows_malformed"),
+      "rows_kept" -> l.total(q.runId, "ingest_gated", "rows_kept"))
+  }
 
   /** Persist the run's observe() funnel as ONE JSON file under
     * `dir/<runId>.json` — the counters otherwise live only in
@@ -86,12 +97,7 @@ object IngestMain {
     * works the same as a local one. Returns the funnel. */
   def persistFunnel(spark: org.apache.spark.sql.SparkSession,
                     q: org.apache.spark.sql.streaming.StreamingQuery,
-                    dir: String): Map[String, Long] = {
-    val progress = q.recentProgress.toSeq
-    val funnel = Map(
-      "rows_in" -> sumObserved(progress, "ingest_parsed", "rows_in"),
-      "rows_malformed" -> sumObserved(progress, "ingest_parsed", "rows_malformed"),
-      "rows_kept" -> sumObserved(progress, "ingest_gated", "rows_kept"))
+                    dir: String, funnel: Map[String, Long]): Map[String, Long] = {
     val json = funnel.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":$v" }
       .mkString(s"""{"run_id":"${q.runId}",""", ",", "}")
@@ -106,6 +112,7 @@ object IngestMain {
   def main(args: Array[String]): Unit = {
     val a = Args(args)
     val spark = GraftSession.build("streaming-ingest")
+    val listener = new graft.streaming.FunnelListener().register(spark)
     val in = a.getOrElse("in", "/tmp/graft-ingest-in")
     val out = a.getOrElse("out", "/tmp/graft-ingest-out")
     val lines = Sources.readTextStreamThrottled(spark, in,
@@ -122,7 +129,7 @@ object IngestMain {
       q.awaitTermination(a.getOrElse("run-seconds", "10").toLong * 1000)
       q.stop()
     }
-    val funnel = persistFunnel(spark, q, s"$out/funnel")
+    val funnel = persistFunnel(spark, q, s"$out/funnel", listenerFunnel(listener, q))
     println(s"[ingest] funnel: $funnel -> $out/funnel/${q.runId}.json")
     // an empty backlog (or one gated out entirely) leaves no parquet
     // files; a bare read would die with "unable to infer schema" after

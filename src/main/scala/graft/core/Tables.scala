@@ -19,20 +19,26 @@ object Tables {
       "n_nationkey" -> IntegerType, "n_regionkey" -> IntegerType)
   def customer(spark: SparkSession, dir: String): DataFrame =
     conform(load(spark, dir, "customer"),
-      "c_custkey" -> LongType, "c_nationkey" -> IntegerType)
+      "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+      "c_acctbal" -> DoubleType)
   def supplier(spark: SparkSession, dir: String): DataFrame =
     conform(load(spark, dir, "supplier"),
-      "s_suppkey" -> LongType, "s_nationkey" -> IntegerType)
+      "s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
+      "s_acctbal" -> DoubleType)
   def part(spark: SparkSession, dir: String): DataFrame =
     conform(load(spark, dir, "part"),
-      "p_partkey" -> LongType, "p_size" -> IntegerType)
+      "p_partkey" -> LongType, "p_size" -> IntegerType,
+      "p_retailprice" -> DoubleType)
   def orders(spark: SparkSession, dir: String): DataFrame =
     conform(normalizeTemporal(load(spark, dir, "orders"), "o_orderdate"),
-      "o_orderkey" -> LongType, "o_custkey" -> LongType)
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_totalprice" -> DoubleType)
   def lineitem(spark: SparkSession, dir: String): DataFrame =
     conform(normalizeTemporal(load(spark, dir, "lineitem"), "l_shipdate"),
       "l_orderkey" -> LongType, "l_partkey" -> LongType,
-      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType)
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType)
   /** The events table's `ts` column has shipped in two physical encodings
     * across testdata generations:
     *   - parquet TIMESTAMP(NANOS): Spark can't represent nanos as
@@ -61,7 +67,8 @@ object Tables {
       .withColumn("ts", tsNs) // in-place replace keeps the column position
       .withColumnRenamed("ts", "ts_ns")
       .withColumn("ts_sec", expr("ts_ns div 1000000000")),
-      "event_id" -> LongType, "user_id" -> LongType)
+      "event_id" -> LongType, "user_id" -> LongType,
+      "value" -> DoubleType)
   }
   def documents(spark: SparkSession, dir: String): DataFrame =
     conform(load(spark, dir, "documents"),
@@ -74,15 +81,6 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Schema-drift armor for temporal columns (the drift class that broke
-    * the events loader when the driver regenerated testdata): whatever
-    * physical encoding a date-ish column ships in, queries see
-    * TIMESTAMP_NTZ. A column already NTZ is left untouched — no extra
-    * projection, so scan-level filter pushdown is unchanged on the
-    * canonical path. Conversions are exact: the session timezone is UTC
-    * (LTZ→NTZ is a reinterpretation), DATE midnight-extends, and a
-    * BIGINT column here can only be epoch nanoseconds read via
-    * `nanosAsLong` (floor-divided to µs). */
   /** Schema-drift armor for NON-temporal columns (the r9 lesson,
     * generalized past `normalizeTemporal`): each loader declares the
     * canonical type of its id / numeric-width / embedding / text
@@ -98,6 +96,9 @@ object Tables {
     *   - float↔double list drift (`embeddings.embedding`): cast the
     *     element type — the float32 canon is what every similarity
     *     kernel and its gated oracle compute in;
+    *   - scalar float↔double drift (the money/value columns —
+    *     `l_extendedprice`, `o_totalprice`, `events.value`, …): cast to
+    *     the double canon every aggregate was gated against;
     *   - binary→string drift (`documents.text` re-encoded as BYTE_ARRAY
     *     without the UTF8 annotation): reinterpret as UTF-8 string;
     *   - anything else: throw, loudly naming the column — a silent
@@ -129,6 +130,7 @@ object Tables {
       else {
         val convertible = (have, tgt) match {
           case (h, t) if integral(h) && integral(t) => true
+          case (FloatType, DoubleType) | (DoubleType, FloatType) => true
           case (ArrayType(he, _), ArrayType(te, _)) =>
             Set[DataType](FloatType, DoubleType)(he) &&
               Set[DataType](FloatType, DoubleType)(te)
@@ -143,6 +145,15 @@ object Tables {
     }
   }
 
+  /** Schema-drift armor for temporal columns (the drift class that broke
+    * the events loader when the driver regenerated testdata): whatever
+    * physical encoding a date-ish column ships in, queries see
+    * TIMESTAMP_NTZ. A column already NTZ is left untouched — no extra
+    * projection, so scan-level filter pushdown is unchanged on the
+    * canonical path. Conversions are exact: the session timezone is UTC
+    * (LTZ→NTZ is a reinterpretation), DATE midnight-extends, and a
+    * BIGINT column here can only be epoch nanoseconds read via
+    * `nanosAsLong` (floor-divided to µs). */
   private[graft] def normalizeTemporal(df: DataFrame, cols: String*): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._

@@ -111,11 +111,22 @@ object GenScale {
     }
     for (t <- Seq("region", "nation"))
       read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // File-count realism: crossJoin(broadcast) preserves the SOURCE
+    // partitioning, so a factor-100 replica of a one-file table lands as
+    // ONE file — and a one-file parquet table under maxPartitionBytes is
+    // ONE scan partition, which serializes every downstream map (the
+    // documents corpus is byte-tiny but its decode/fingerprint queries
+    // are CPU-dense: measured 101 s single-threaded vs ~4 s wide for
+    // q_audio_fingerprint at factor 100). A real corpus grown 100x is
+    // many files; write max(defaultParallelism, factor) of them so scan
+    // parallelism scales WITH the data instead of with its byte size.
+    val outParts = math.max(spark.sparkContext.defaultParallelism, factor)
     for ((t, keys) <- keyDomains) {
       val ks = keys.map { case (c, dom) => c -> strides(dom) }
       replicate(read(t), factor, ks)
+        .repartition(outParts)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      println(s"[genscale] $t x$factor -> $dst/$t.parquet")
+      println(s"[genscale] $t x$factor -> $dst/$t.parquet ($outParts files)")
     }
     spark.stop()
   }

@@ -65,6 +65,7 @@ class IngestSoakSpec extends SparkSuite {
     // the run-time assert below would catch that as a count mismatch.
 
     // ---- stream it: 2 files per trigger -> ~10+ micro-batches
+    val listener = new graft.streaming.FunnelListener().register(spark)
     val q = IngestMain.transform(
         Sources.readTextStreamThrottled(spark, in, maxFilesPerTrigger = 2))
       .writeStream.format("parquet")
@@ -77,7 +78,10 @@ class IngestSoakSpec extends SparkSuite {
     finally q.stop()
     val nBatches = q.recentProgress.count(_.numInputRows > 0)
     assert(nBatches >= 5, s"throttle did not split the backlog: $nBatches batches")
-    val funnel = IngestMain.persistFunnel(spark, q, s"$out/funnel")
+    val funnel =
+      try IngestMain.persistFunnel(spark, q, s"$out/funnel",
+        IngestMain.listenerFunnel(listener, q))
+      finally spark.streams.removeListener(listener)
 
     // ---- batch twin on the same files, independent formulation
     val raw = spark.read.text(in)

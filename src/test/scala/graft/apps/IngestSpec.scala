@@ -26,6 +26,7 @@ class IngestSpec extends SparkSuite {
     // run's micro-batches — measured DURING the pass, no extra job —
     // after asserting the PERSISTED funnel file carries the same counts
     def drain(): Map[String, Long] = {
+      val listener = new graft.streaming.FunnelListener().register(spark)
       val q = IngestMain.transform(
           Sources.readTextStreamThrottled(spark, in, maxFilesPerTrigger = 1))
         .writeStream.format("parquet")
@@ -35,7 +36,10 @@ class IngestSpec extends SparkSuite {
         .trigger(Trigger.AvailableNow())
         .start()
       try assert(q.awaitTermination(180000)) finally q.stop()
-      val funnel = IngestMain.persistFunnel(spark, q, s"$out/funnel")
+      val funnel =
+        try IngestMain.persistFunnel(spark, q, s"$out/funnel",
+          IngestMain.listenerFunnel(listener, q))
+        finally spark.streams.removeListener(listener)
       // the persisted artifact is the ops-facing record: re-read it and
       // check it round-trips the in-memory counters exactly
       val persisted = java.nio.file.Files.readString(
@@ -72,5 +76,42 @@ class IngestSpec extends SparkSuite {
     val second = spark.read.parquet(s"$out/data")
       .select("doc_id").as[Long].collect().sorted
     assert(second.toSeq === Seq(1L, 3L, 4L))
+  }
+
+  test("funnel survives the recentProgress ring buffer: exact past the cap") {
+    // recentProgress keeps only the last numRecentProgressUpdates
+    // entries; a funnel summed from it under-reports any run longer
+    // than the cap. Cap at 2, run a 6-batch backlog, and require the
+    // listener funnel to count every line while recentProgress provably
+    // lost batches — the defect the FunnelListener exists to fix.
+    val in = java.nio.file.Files.createTempDirectory("graft-ring-in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-ring-out").toString
+    val nFiles = 6
+    (0 until nFiles).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(in, s"f$i.txt"), s"$i\t${goodText(i)}\n")
+    }
+    withSQLConf("spark.sql.streaming.numRecentProgressUpdates" -> "2") {
+      val listener = new graft.streaming.FunnelListener().register(spark)
+      val q = IngestMain.transform(
+          Sources.readTextStreamThrottled(spark, in, maxFilesPerTrigger = 1))
+        .writeStream.format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/checkpoint")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try {
+        assert(q.awaitTermination(180000))
+        val funnel = IngestMain.listenerFunnel(listener, q)
+        // the ring buffer actually dropped batches in this run…
+        assert(q.recentProgress.length <= 2,
+          s"cap conf did not apply: ${q.recentProgress.length} entries retained")
+        // …and the listener funnel still counted every line exactly
+        assert(funnel("rows_in") === nFiles.toLong)
+        assert(funnel("rows_kept") === nFiles.toLong)
+        assert(funnel("rows_malformed") === 0L)
+      } finally { q.stop(); spark.streams.removeListener(listener) }
+    }
   }
 }

@@ -123,6 +123,29 @@ class SchemaDriftSpec extends SparkSuite {
     assertTwin(cc, cd, "c_custkey")
   }
 
+  test("money/value columns: float32 drift conforms to the double canon, values intact") {
+    import spark.implicits._
+    val tmp = tmpDir("moneydrift")
+    // amounts exactly representable in float32 so float->double is lossless
+    val li = Seq((1L, 10L, 100L, 1, 5.0, 1000.5, 0.25, 0.125, "N", "O",
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    li.write.mode("overwrite").parquet(s"$tmp/canon/lineitem.parquet")
+    li.select($"l_orderkey", $"l_partkey", $"l_suppkey", $"l_linenumber",
+      $"l_quantity".cast(FloatType), $"l_extendedprice".cast(FloatType),
+      $"l_discount".cast(FloatType), $"l_tax".cast(FloatType),
+      $"l_returnflag", $"l_linestatus", $"l_shipdate")
+      .write.mode("overwrite").parquet(s"$tmp/f32/lineitem.parquet")
+    val canon = Tables.lineitem(spark, s"$tmp/canon")
+    val drift = Tables.lineitem(spark, s"$tmp/f32")
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach { c =>
+      assert(drift.schema(c).dataType === DoubleType, c)
+    }
+    assertTwin(canon, drift, "l_orderkey")
+  }
+
   test("events: id columns conform alongside the existing temporal dispatch") {
     import spark.implicits._
     val tmp = tmpDir("evdrift")
