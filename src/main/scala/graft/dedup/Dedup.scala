@@ -127,6 +127,31 @@ object Dedup {
       .select(col("doc_id"), posexplode(bandKeys).as(Seq("band", "band_key")))
   }
 
+  /** Candidate-pair VOLUME under the same banding as [[minhashLshPairs]]
+    * — `sum C(bucket,2)` over surviving buckets plus the count of
+    * over-cap buckets dropped by the skew guard — WITHOUT materializing
+    * a single pair. One aggregate over the band frame: at 100 TB this is
+    * the capacity-planning query a dedup job runs FIRST, because the
+    * pair explode's cost is exactly this number (pre-`distinct`) and on
+    * a duplicate-dense corpus it grows super-linearly (the GenScale
+    * factor-100 documents replica, measured via graft.apps.PairVolume:
+    * 67,132 candidate pairs at sf0.1 → 214,107,900 at 100× the docs —
+    * 3189× the volume for 100× the data, with 159 over-cap buckets
+    * dropped by the skew guard). */
+  def lshPairVolume(df: DataFrame, n: Int, k: Int, rowsPerBand: Int,
+                    maxBucket: Int = 1000): DataFrame = {
+    val sz = count(lit(1))
+    bandFrame(df, n, k, rowsPerBand)
+      .groupBy("band", "band_key").agg(sz.as("sz"))
+      .agg(
+        sum(when(col("sz").between(2, maxBucket),
+          col("sz") * (col("sz") - 1) / 2).otherwise(lit(0L)))
+          .cast("bigint").as("candidate_pairs"),
+        count(when(col("sz") > maxBucket, lit(1))).as("buckets_over_cap"),
+        count(when(col("sz").between(2, maxBucket), lit(1)))
+          .as("buckets_pairing"))
+  }
+
   def minhashLshPairs(df: DataFrame, n: Int, k: Int, rowsPerBand: Int,
                       maxBucket: Int = 1000): DataFrame = {
     val bands = bandFrame(df, n, k, rowsPerBand)

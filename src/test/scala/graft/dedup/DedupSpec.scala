@@ -44,6 +44,23 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.minhashLshPairs(five, 2, 6, 2, maxBucket = 4).count() === 0L)
   }
 
+  test("lshPairVolume predicts the pair explode without materializing it") {
+    // 4 identical docs + 2 unique: every band bucket for the clones has
+    // size 4 ⇒ C(4,2)=6 per band × 3 bands = 18 candidate slots (the
+    // explode's cost), while the DISTINCT pair frame has only C(4,2)=6
+    // rows — volume counts work, pairs count output.
+    val six = docs("a b c", "a b c", "a b c", "a b c", "q r s", "x y z")
+    val v = Dedup.lshPairVolume(six, 2, 6, 2).head()
+    assert(v.getLong(0) === 18L)   // candidate_pairs
+    assert(v.getLong(1) === 0L)    // buckets_over_cap
+    assert(v.getLong(2) === 3L)    // buckets_pairing (one per band)
+    assert(Dedup.minhashLshPairs(six, 2, 6, 2).count() === 6L)
+    // the skew cap zeroes the volume AND counts the dropped buckets
+    val capped = Dedup.lshPairVolume(six, 2, 6, 2, maxBucket = 3).head()
+    assert(capped.getLong(0) === 0L)
+    assert(capped.getLong(1) === 3L)
+  }
+
   test("incrementalExact: within-batch first occurrence, store hits dropped, survivors feed the store") {
     import org.apache.spark.sql.functions.md5
     import org.apache.spark.sql.functions.col
