@@ -1615,8 +1615,8 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
         |       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS sum_disc_price,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2))) * (cast(1.0 AS decimal(3,2)) + cast(l_tax AS decimal(18,2)))) AS double) AS sum_charge,
+        |       cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))), 2) AS double) AS sum_disc_price,
+        |       cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2))) * (cast(1.0 AS decimal(3,2)) + cast(l_tax AS decimal(18,2)))), 2) AS double) AS sum_charge,
         |       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) / count(*) AS avg_qty,
         |       count(*) AS count_order
         |FROM lineitem

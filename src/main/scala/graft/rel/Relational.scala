@@ -40,10 +40,23 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
+        // Q1's groups aggregate the WHOLE table (~15M rows/group at
+        // sf10): sum_charge carries 18 significant digits at scale 6,
+        // and the final decimal→double cast of such a value is rounded
+        // DIFFERENTLY across engines (measured at sf10: 1 ulp,
+        // 282529058707.1796 vs …17957). Decimal output columns are
+        // barred by the driver harness (pandas coercion), so: round the
+        // EXACT decimal to scale 2 first (HALF_UP on positive sums in
+        // both engines — identical decimals), THEN cast. A scale-2
+        // decimal below 2^53 cents converts to double correctly-rounded
+        // on both engines (exact int→double, one IEEE division by 100),
+        // so the doubles are bit-identical up to ~9e13 money units —
+        // sf1000 headroom. avg_qty's operands (12-digit sum, count) are
+        // already double-exact; the division is IEEE-identical.
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(discPrice).cast("double").as("sum_disc_price"),
-        sum(charge).cast("double").as("sum_charge"),
+        round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+        round(sum(charge), 2).cast("double").as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         count(lit(1)).as("count_order"))
 
