@@ -65,9 +65,18 @@ object Bench {
     // clones every item `factor` times, so intra-band pair count grows
     // ~quadratically in factor exactly as for the text LSH ops
     "q_audio_neardup", "q_image_neardup", "q_video_shared")
-  def scaleBound(name: String, factor: Double): Double =
+  /** `pairRatio`: measured candidate-pair volume ratio between the two
+    * captures (from `Dedup.lshPairVolume` / `graft.apps.PairVolume`),
+    * passed via SPARK_GRAFT_PAIR_VOLUME_RATIO. Pair-materializing queries
+    * scale with CANDIDATE VOLUME, not rows — on the GenScale clone
+    * replica that is ~quadratic in factor (measured 3189× at factor 100)
+    * — so when the ratio is known the lint bounds them against it;
+    * without it the 5·factor default is only meaningful at small factors
+    * (documented in SURVEY §12). */
+  def scaleBound(name: String, factor: Double,
+                 pairRatio: Option[Double] = None): Double =
     if (sublinearQueries(name)) 0.9 * factor
-    else if (pairQueries(name)) 5.0 * factor
+    else if (pairQueries(name)) 5.0 * pairRatio.getOrElse(factor)
     else 1.6 * factor
 
   /** Cross-SF scaling lint: given a BASE capture at 1× and this run at
@@ -75,12 +84,14 @@ object Bench {
     * declared class bound (plus a 0.3 s absolute floor — sub-second
     * queries are dominated by fixed overhead and would false-fire). */
   def scalingViolations(base: Map[String, Double],
-                        now: Seq[(String, Double)], factor: Double)
+                        now: Seq[(String, Double)], factor: Double,
+                        pairRatio: Option[Double] = None)
       : Seq[(String, Double, Double, Double)] =
     now.collect {
       case (name, sec) if sec >= 0 && base.get(name).exists(b =>
-        b > 0 && sec / b > scaleBound(name, factor) && sec - b > 0.3) =>
-        (name, base(name), sec, scaleBound(name, factor))
+        b > 0 && sec / b > scaleBound(name, factor, pairRatio) &&
+          sec - b > 0.3) =>
+        (name, base(name), sec, scaleBound(name, factor, pairRatio))
     }
 
   /** Ambient host load (1-min average) at capture start, read before the
@@ -107,6 +118,16 @@ object Bench {
     * while quiet captures start from ~0. */
   def isContended(loadAvg: Double, cpus: Int): Boolean =
     loadAvg > cpus / 8.0
+
+  /** Where this capture may be written. Quiet captures are the ONLY
+    * writers of the committed regression baseline (BENCH_LOCAL.json); a
+    * contended run diverts to BENCH_CONTENDED.json so the next lint
+    * still compares against a clean prior. An explicit
+    * SPARK_GRAFT_BENCH_LOCAL path is honored as given — off-baseline
+    * captures (sf1/sf10 scaling runs) name their own file. */
+  def captureWritePath(contended: Boolean, explicitLocal: Option[String],
+                       defaultPath: String = "BENCH_LOCAL.json"): String =
+    explicitLocal.getOrElse(if (contended) "BENCH_CONTENDED.json" else defaultPath)
 
   /** Per-query regression lint (r6 verdict item 2): vs the prior
     * committed capture AT THE SAME SF, flag queries that got BOTH
@@ -151,7 +172,12 @@ object Bench {
     // Sampled BEFORE the session builds: ambient load from other
     // processes, not this bench's own warm-up.
     val load0 = loadAvgStart()
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // Contention denominator defaults to the REAL core count: with the
+    // old hard-coded 4, a capture on the 32-core driver host started
+    // without SPARK_GRAFT_CPUS flagged contended at load > 0.5 — i.e.
+    // nearly always — making the annotation spuriously true.
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = GraftSession.build("graft-bench")
 
     def runOnce(dir: String, name: String,
@@ -280,10 +306,11 @@ object Bench {
     // left their declared complexity class.
     val scaling = sys.env.get("SPARK_GRAFT_SCALE_BASE").toSeq.flatMap { p =>
       val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toDouble
+      val pairRatio = sys.env.get("SPARK_GRAFT_PAIR_VOLUME_RATIO").map(_.toDouble)
       try {
         val (baseSf, baseQ) = parsePrior(Files.readString(Paths.get(p)))
         if (baseSf == sfDir) Seq.empty // same data — the regression lint covers it
-        else scalingViolations(baseQ, results, factor)
+        else scalingViolations(baseQ, results, factor, pairRatio)
       } catch { case _: Throwable => Seq.empty }
     }
     scaling.foreach { case (n, b, c, bound) =>
@@ -295,15 +322,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","sf":"$sfDir","cpus":$cpus,"load_avg_start":$load0,"contended":${isContended(load0, cpus)},"errors":$errJson,"regressed":$regJson,"scaling":$scJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
-    println(json)
+    // r10/r11 both had the driver's contended run overwrite the quiet
+    // committed baseline in the worktree — see captureWritePath.
+    val writePath = captureWritePath(isContended(load0, cpus),
+      sys.env.get("SPARK_GRAFT_BENCH_LOCAL"))
     // A subset run (SPARK_GRAFT_BENCH_ONLY) only writes the local capture
     // when SPARK_GRAFT_BENCH_LOCAL names a path explicitly — otherwise a
     // focused run would clobber the committed full-suite baseline and
     // silently drop regression-lint coverage for every absent query.
     if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_LOCAL"))
-      Files.writeString(Paths.get(localPath), json + "\n")
+      Files.writeString(Paths.get(writePath), json + "\n")
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
-    spark.stop()
+    // Stop the session BEFORE printing: the driver captures a stdout
+    // tail, and shutdown logging after the JSON line is what truncated
+    // BENCH_r10/r11's parsed copy. The JSON line is the last stdout the
+    // JVM emits.
+    try spark.stop() catch { case _: Throwable => }
+    println(json)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -71,7 +71,16 @@ object SparkEntry {
       val outerNested = nestedBuildSec.get()
       nestedBuildSec.set(0.0)
       val t0 = System.nanoTime()
-      val df = build.localCheckpoint()
+      val df =
+        // If the build throws, restore the outer accounting (charging the
+        // failed attempt's wall to the parent) — otherwise the
+        // thread-local is left at the partial child sum and every later
+        // memo on this thread nets wrong exclusive times.
+        try build.localCheckpoint()
+        catch { case e: Throwable =>
+          nestedBuildSec.set(outerNested + (System.nanoTime() - t0) / 1e9)
+          throw e
+        }
       val wall = (System.nanoTime() - t0) / 1e9
       val childSec = nestedBuildSec.get()
       memoSeconds.put((d, key), wall - childSec) // exclusive of nested builds
@@ -587,6 +596,12 @@ object SparkEntry {
       Dedup.minhashSignatures(Tables.documents(s, d), n = 2, k = 6)),
     "q_minhash_lsh_pairs" -> ((s, d) =>
       Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
+        maxBucket = LshMaxBucket)),
+    // the pre-flight a 100 TB dedup job runs FIRST: candidate-pair volume
+    // under the same banding, one aggregate over the band frame, zero
+    // pairs materialized (r11's 3189× adjudication, now permanently gated)
+    "q_pair_volume" -> ((s, d) =>
+      Dedup.lshPairVolume(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
         maxBucket = LshMaxBucket)),
     // production pipeline order: EXACT dedup first, THEN near-dup
     // pairing — byte-identical copies collapse before the quadratic
@@ -1624,7 +1639,7 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |       cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))), 2) AS double) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1634,7 +1649,7 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
     "q_tpch_q5" ->
       """SELECT n_name,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |       cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))), 2) AS double) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1646,7 +1661,7 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
     "q_tpch_q6" ->
-      """SELECT cast(sum(cast(l_extendedprice AS decimal(18,2)) * cast(l_discount AS decimal(18,2))) AS double) AS revenue
+      """SELECT cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * cast(l_discount AS decimal(18,2))), 2) AS double) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1654,7 +1669,7 @@ object SparkEntry {
         |  AND l_quantity < 24""".stripMargin,
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |       cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))), 2) AS double) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1694,7 +1709,7 @@ object SparkEntry {
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       year(l_shipdate) AS l_year,
-        |       cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+        |       cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))), 2) AS double) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -1706,10 +1721,10 @@ object SparkEntry {
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
     "q_tpch_q14" ->
-      """SELECT cast(sum(CASE WHEN p_type = 'PROMO'
-        |                     THEN cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2))) END) AS double)
+      """SELECT cast(round(sum(CASE WHEN p_type = 'PROMO'
+        |                     THEN cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2))) END), 2) AS double)
         |       * 100.0
-        |       / cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS promo_revenue
+        |       / cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))), 2) AS double) AS promo_revenue
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
@@ -1731,9 +1746,9 @@ object SparkEntry {
          |FROM o JOIN m ON p_partkey = mo_partkey AND offer = min_offer""".stripMargin,
     "q_tpch_q8" ->
       s"""SELECT year(o_orderdate) AS o_year,
-         |       cast(sum(CASE WHEN n2.n_name = 'NATION_3' THEN $DuckDisc
-         |                     ELSE cast(0 AS decimal(18,2)) END) AS double)
-         |       / cast(sum($DuckDisc) AS double) AS mkt_share
+         |       cast(round(sum(CASE WHEN n2.n_name = 'NATION_3' THEN $DuckDisc
+         |                     ELSE cast(0 AS decimal(18,2)) END), 2) AS double)
+         |       / cast(round(sum($DuckDisc), 2) AS double) AS mkt_share
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey
          |JOIN orders ON l_orderkey = o_orderkey
@@ -1748,7 +1763,7 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "q_tpch_q9" ->
       s"""SELECT n_name AS nation, year(o_orderdate) AS o_year,
-         |       cast(sum($DuckDisc - cast(p_retailprice AS decimal(18,2)) * cast(l_quantity AS decimal(18,2))) AS double) AS sum_profit
+         |       cast(round(sum($DuckDisc - cast(p_retailprice AS decimal(18,2)) * cast(l_quantity AS decimal(18,2))), 2) AS double) AS sum_profit
          |FROM lineitem
          |JOIN part ON l_partkey = p_partkey
          |JOIN orders ON l_orderkey = o_orderkey
@@ -1759,7 +1774,7 @@ object SparkEntry {
     "q_tpch_q11" ->
       s"""WITH pv AS (SELECT l_partkey, sum($DuckDisc) AS value FROM lineitem GROUP BY 1),
          |t AS (SELECT sum(value) AS total, count(*) AS nparts FROM pv)
-         |SELECT l_partkey, cast(value AS double) AS value
+         |SELECT l_partkey, cast(round(value, 2) AS double) AS value
          |FROM pv, t WHERE value * nparts * 10 > total * 15""".stripMargin,
     "q_tpch_q15" ->
       s"""WITH rev AS (SELECT l_suppkey, sum($DuckDisc) AS total_revenue
@@ -1768,7 +1783,7 @@ object SparkEntry {
          |               AND l_shipdate < TIMESTAMP '1997-04-01'
          |             GROUP BY 1),
          |m AS (SELECT max(total_revenue) AS max_revenue FROM rev)
-         |SELECT s_suppkey, s_name, cast(total_revenue AS double) AS total_revenue
+         |SELECT s_suppkey, s_name, cast(round(total_revenue, 2) AS double) AS total_revenue
          |FROM rev JOIN supplier ON l_suppkey = s_suppkey, m
          |WHERE total_revenue = max_revenue""".stripMargin,
     "q_tpch_q16" ->
@@ -2163,7 +2178,7 @@ object SparkEntry {
         |SELECT p.user_id, p.ts_us, p.event_id, v.view_id, v.view_ts_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts_us >= v.ts_us""".stripMargin,
     "q_tpch_q19" ->
-      """SELECT cast(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))) AS double) AS revenue
+      """SELECT cast(round(sum(cast(l_extendedprice AS decimal(18,2)) * (cast(1.0 AS decimal(3,2)) - cast(l_discount AS decimal(18,2)))), 2) AS double) AS revenue
         |FROM lineitem
         |JOIN part ON p_partkey = l_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
@@ -2331,6 +2346,18 @@ object SparkEntry {
     "q_minhash_lsh_pairs" ->
       s"""WITH $duckLshPairCtes
          |SELECT doc_a, doc_b FROM lsh_pairs""".stripMargin,
+    // sum of C(sz,2) over band buckets ≤ cap, plus over-cap / pairing
+    // bucket counts — the capacity probe's oracle is pure SQL over the
+    // shared band CTEs (per-branch sz*(sz-1)/2 is an exact-integer-valued
+    // double in BOTH engines; the cast to bigint is exact)
+    "q_pair_volume" ->
+      s"""WITH $duckLshPairCtes,
+         |bs AS (SELECT band, band_key, count(*) AS sz FROM bands GROUP BY 1, 2)
+         |SELECT cast(sum(CASE WHEN sz BETWEEN 2 AND $LshMaxBucket
+         |                     THEN sz * (sz - 1) / 2 ELSE 0 END) AS bigint) AS candidate_pairs,
+         |       cast(count(CASE WHEN sz > $LshMaxBucket THEN 1 END) AS bigint) AS buckets_over_cap,
+         |       cast(count(CASE WHEN sz BETWEEN 2 AND $LshMaxBucket THEN 1 END) AS bigint) AS buckets_pairing
+         |FROM bs""".stripMargin,
     "q_neardup_after_exact" ->
       s"""WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents
          |              GROUP BY md5(text)),

@@ -92,7 +92,10 @@ object Tables {
     *     pruning behave exactly as before this armor existed;
     *   - integral↔integral drift (int32 ids regenerated as int64 or
     *     vice versa): cast to the canonical width — key and label
-    *     domains here are small (≤ millions), so narrowing is exact;
+    *     domains here are small (≤ millions), so narrowing is exact,
+    *     and a per-row range guard raises (naming the column) if that
+    *     assumption is ever violated rather than letting the non-ANSI
+    *     cast wrap silently;
     *   - float↔double list drift (`embeddings.embedding`): cast the
     *     element type — the float32 canon is what every similarity
     *     kernel and its gated oracle compute in;
@@ -140,7 +143,27 @@ object Tables {
         if (!convertible)
           throw new IllegalArgumentException(
             s"cannot conform column $name: loaded $have, canonical $tgt")
-        d.withColumn(name, col(name).cast(tgt))
+        val rank = Map[DataType, Int](
+          ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+        val casted =
+          if (integral(have) && integral(tgt) && rank(have) > rank(tgt)) {
+            // NARROWING integral drift: with ANSI off, a drifted id above
+            // the target range would WRAP to a wrong value silently —
+            // contradicting the throw-loudly policy above. Guard per row
+            // (codegen'd, no extra pass over the data) and raise naming
+            // the column; in-range values cast exactly as before.
+            val (lo, hi) = tgt match {
+              case ByteType  => (Byte.MinValue.toLong, Byte.MaxValue.toLong)
+              case ShortType => (Short.MinValue.toLong, Short.MaxValue.toLong)
+              case _         => (Int.MinValue.toLong, Int.MaxValue.toLong)
+            }
+            when(col(name).isNull, lit(null).cast(tgt))
+              .when(col(name).between(lo, hi), col(name).cast(tgt))
+              .otherwise(raise_error(format_string(
+                s"conform: column $name value %s out of range for $tgt",
+                col(name).cast("string"))).cast(tgt))
+          } else col(name).cast(tgt)
+        d.withColumn(name, casted)
       }
     }
   }

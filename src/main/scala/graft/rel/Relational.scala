@@ -18,6 +18,16 @@ import graft.core.Tables
   *  - All DOUBLE sums go through DECIMAL so partial-aggregate order can
   *    never perturb results (exact + associative), keeping the DuckDB
   *    oracle hash-stable.
+  *  - Every money sum with scale > 2 is `round(_, 2)` on the EXACT
+  *    decimal BEFORE the double cast (TPC-H answer format). Rationale:
+  *    at sf10 a scale-6 sum carries 18 significant digits and the final
+  *    decimal→double conversion of such a value rounds DIFFERENTLY
+  *    across engines (measured: 1 ulp on q1's sum_charge). A scale-2
+  *    decimal below 2^53 cents (~9e13 money units, sf1000 headroom)
+  *    converts correctly-rounded and bit-identically on both engines.
+  *    Scale-2 sums (sum_qty, totacctbal, q17's base-price sum) stay
+  *    unrounded — their magnitude is proven under 2^53 cents at sf100
+  *    (see DecimalCastLintSpec, which enforces both halves of this rule).
   */
 object Relational {
 
@@ -77,7 +87,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(discPrice).cast("double").as("revenue"))
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
   }
 
   /** TPC-H Q6 forecasting revenue change: the pure scan-speed query —
@@ -91,7 +101,7 @@ object Relational {
           col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+      .agg(round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
         .cast("double").as("revenue"))
 
   /** TPC-H Q10 returned-item reporting (trimmed to the synthetic schema:
@@ -115,7 +125,7 @@ object Relational {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .join(nat, col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-      .agg(sum(discPrice).cast("double").as("revenue"))
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
   }
 
   /** TPC-H Q12-shaped shipping-priority audit. The synthetic lineitem has
@@ -216,13 +226,14 @@ object Relational {
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).as("l_year"))
-      .agg(sum(discPrice).cast("double").as("revenue"))
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
   }
 
   /** TPC-H Q14 promotion-effect ratio: one month's revenue share from
     * PROMO parts. Both the numerator (conditional sum) and denominator
-    * are EXACT decimal sums cast to double before the single division,
-    * so the ratio is bit-identical across engines; part is broadcast. */
+    * are EXACT decimal sums, rounded to cents and cast to double before
+    * the single division, so the ratio is bit-identical across engines
+    * (see the round-then-cast note on [[q1]]); part is broadcast. */
   def q14(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir).select("p_partkey", "p_type")
     val li = Tables.lineitem(spark, dir)
@@ -230,8 +241,9 @@ object Relational {
         col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
       .select("l_partkey", "l_extendedprice", "l_discount")
     li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-      .agg((sum(when(col("p_type") === "PROMO", discPrice)).cast("double") *
-        lit(100.0) / sum(discPrice).cast("double")).as("promo_revenue"))
+      .agg((round(sum(when(col("p_type") === "PROMO", discPrice)), 2)
+        .cast("double") * lit(100.0) /
+        round(sum(discPrice), 2).cast("double")).as("promo_revenue"))
   }
 
   /** TPC-H Q19-shaped discounted revenue: an OR of three
@@ -251,7 +263,7 @@ object Relational {
       .filter(branch("Brand#1", 1, 10, 1, 20) ||
         branch("Brand#13", 11, 25, 10, 30) ||
         branch("Brand#25", 26, 50, 20, 40))
-      .agg(sum(discPrice).cast("double").as("revenue"))
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
   }
 
   /** TPC-H Q5-ish local-supplier revenue per nation: only the genuinely
@@ -282,7 +294,7 @@ object Relational {
           col("c_nationkey") === col("s_nationkey"))
       .join(dimNation, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(sum(discPrice).cast("double").as("revenue"))
+      .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
   }
 
   /** nation⋈region pruned to one region and broadcast — the 25/5-row
@@ -348,8 +360,9 @@ object Relational {
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(suppN, col("s_nationkey") === col("s_nkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
-      .agg((sum(when(col("supp_nation") === "NATION_3", discPrice).otherwise(zero))
-        .cast("double") / sum(discPrice).cast("double")).as("mkt_share"))
+      .agg((round(sum(when(col("supp_nation") === "NATION_3", discPrice)
+        .otherwise(zero)), 2).cast("double") /
+        round(sum(discPrice), 2).cast("double")).as("mkt_share"))
   }
 
   /** TPC-H Q9-shaped product-type profit (no partsupp → supply cost is
@@ -371,7 +384,7 @@ object Relational {
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(nat, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(sum(amount).cast("double").as("sum_profit"))
+      .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
   }
 
   /** TPC-H Q11-shaped important parts: parts whose revenue share exceeds
@@ -387,7 +400,7 @@ object Relational {
     val total = pv.agg(sum(col("value")).as("total"), count(lit(1)).as("nparts"))
     pv.crossJoin(broadcast(total))
       .filter(col("value") * col("nparts") * 10 > col("total") * 15)
-      .select(col("l_partkey"), col("value").cast("double").as("value"))
+      .select(col("l_partkey"), round(col("value"), 2).cast("double").as("value"))
   }
 
   /** TPC-H Q15 top supplier: the max-over-an-aggregated-view shape — one
@@ -407,7 +420,7 @@ object Relational {
       .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
-        col("total_revenue").cast("double").as("total_revenue"))
+        round(col("total_revenue"), 2).cast("double").as("total_revenue"))
   }
 
   /** TPC-H Q16-shaped parts/supplier relationship: distinct suppliers

@@ -43,7 +43,14 @@ import graft.core.GraftSession
   * dir is a bench input, never a DuckDB-oracle input (the t2 gate
   * stays on the driver's own sf0.01).
   *
-  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> <factor> */
+  * Usage: runMain graft.tools.GenScale <srcDir> <dstDir> <factor> [tables]
+  * `tables` (comma-separated, default all) restricts which FACT tables
+  * are replicated — the sf100-equivalent capture needs only the three
+  * star-query inputs (lineitem, documents, events) and the full set
+  * would not fit the sandbox disk at factor 1000. Dimensions
+  * (region/nation) are always copied; strides still derive from the
+  * SOURCE defining tables, so a later run with more tables produces
+  * key-compatible output. */
 object GenScale {
 
   /** (table, key column → stride domain); a domain's stride comes from
@@ -84,10 +91,12 @@ object GenScale {
   }
 
   def main(args: Array[String]): Unit = {
-    val (src, dst, factor) = args match {
-      case Array(s, d, f) => (s, d, f.toInt)
+    val (src, dst, factor, tableFilter) = args match {
+      case Array(s, d, f)     => (s, d, f.toInt, None)
+      case Array(s, d, f, ts) => (s, d, f.toInt, Some(ts.split(",").toSet))
       case _ =>
-        System.err.println("usage: graft.tools.GenScale <srcDir> <dstDir> <factor>")
+        System.err.println(
+          "usage: graft.tools.GenScale <srcDir> <dstDir> <factor> [tables]")
         sys.exit(2)
     }
     require(factor >= 1, s"factor must be >= 1: $factor")
@@ -121,7 +130,7 @@ object GenScale {
     // many files; write max(defaultParallelism, factor) of them so scan
     // parallelism scales WITH the data instead of with its byte size.
     val outParts = math.max(spark.sparkContext.defaultParallelism, factor)
-    for ((t, keys) <- keyDomains) {
+    for ((t, keys) <- keyDomains if tableFilter.forall(_.contains(t))) {
       val ks = keys.map { case (c, dom) => c -> strides(dom) }
       replicate(read(t), factor, ks)
         .repartition(outParts)

@@ -70,6 +70,30 @@ class BenchLintSpec extends AnyFunSuite {
     assert(qs === Map("q_a" -> 0.25, "q_b" -> 1.0))
   }
 
+  test("captureWritePath: contended runs never overwrite the quiet committed baseline") {
+    // quiet default run → the committed regression baseline
+    assert(Bench.captureWritePath(contended = false, None) === "BENCH_LOCAL.json")
+    // contended default run → diverted side file (r10/r11 worktree-drift fix)
+    assert(Bench.captureWritePath(contended = true, None) === "BENCH_CONTENDED.json")
+    // an explicit path is honored as given, contended or not — off-baseline
+    // captures (sf1/sf10 scaling runs) name their own file deliberately
+    assert(Bench.captureWritePath(contended = true, Some("BENCH_SF10.json"))
+      === "BENCH_SF10.json")
+    assert(Bench.captureWritePath(contended = false, Some("x.json")) === "x.json")
+  }
+
+  test("scaleBound: pair queries bound against measured candidate volume when known") {
+    // without a measured ratio, pairs fall back to 5·factor (small factors)
+    assert(Bench.scaleBound("q_pair_editdist", 10.0) === 50.0)
+    // with the lshPairVolume pre-flight ratio (3189× at factor 100 on the
+    // GenScale replica), the bound follows candidate VOLUME, not rows —
+    // the lint stops flagging correct ~quadratic pair growth
+    assert(Bench.scaleBound("q_pair_editdist", 100.0, Some(3189.0)) === 5.0 * 3189.0)
+    // non-pair classes ignore the ratio
+    assert(Bench.scaleBound("q_wordcount", 10.0, Some(3189.0)) === 16.0)
+    assert(Bench.scaleBound("q_token_budget", 10.0, Some(3189.0)) === 9.0)
+  }
+
   test("regressions: fires only past BOTH the 1.5x ratio and 0.3 s absolute gates") {
     val prior = Map("fast" -> 0.1, "slow" -> 1.0, "mid" -> 0.5, "err" -> 2.0)
     val now = Seq(

@@ -77,8 +77,8 @@ class BucketingSpec extends SparkSuite {
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(sum(dec(col("l_extendedprice")) *
-          (lit(1.0).cast("decimal(3,2)") - dec(col("l_discount"))))
+        .agg(round(sum(dec(col("l_extendedprice")) *
+          (lit(1.0).cast("decimal(3,2)") - dec(col("l_discount")))), 2)
           .cast("double").as("revenue"))
       val got = q.collect().map(_.toSeq).toSet
       val plan = q.queryExecution.executedPlan.toString

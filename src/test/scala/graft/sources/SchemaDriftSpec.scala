@@ -177,6 +177,29 @@ class SchemaDriftSpec extends SparkSuite {
     assert(e.getMessage.contains("doc_id"))
   }
 
+  test("narrowing integral drift: out-of-range value raises naming the column, " +
+    "never wraps silently") {
+    import spark.implicits._
+    val tmp = tmpDir("narrowdrift")
+    // region's canon is int32 r_regionkey; ship int64 with one value past
+    // Int.MaxValue — the non-ANSI cast would wrap it to a WRONG small id.
+    Seq((0L, "R0"), (Int.MaxValue.toLong + 7L, "R1"))
+      .toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$tmp/region.parquet")
+    val e = intercept[Exception] { Tables.region(spark, tmp).collect() }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: chain(x.getCause))
+    assert(chain(e).exists(m => m != null && m.contains("r_regionkey")),
+      s"expected raise naming r_regionkey, got: ${chain(e).mkString(" | ")}")
+    // in-range narrowing still conforms exactly (the common case)
+    val ok = tmpDir("narrowok")
+    Seq((0L, "R0"), (4L, "R4")).toDF("r_regionkey", "r_name")
+      .write.mode("overwrite").parquet(s"$ok/region.parquet")
+    val got = Tables.region(spark, ok)
+    assert(got.schema("r_regionkey").dataType === IntegerType)
+    assert(got.orderBy("r_regionkey").collect().map(_.getInt(0)).toSeq === Seq(0, 4))
+  }
+
   test("canonical path adds no projection: conform on an already-canonical scan is plan-identical") {
     // The armor must be free when nothing drifted — same optimized plan
     // as a raw load, so pushdown/pruning behavior is untouched.

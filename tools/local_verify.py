@@ -28,6 +28,15 @@ def df_hash(cols, rows):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Big-SF runs spill; keep temp storage on a volume with headroom
+    # (the r11 sf10 sweep died on a disk-full /tmp) and cap memory so
+    # DuckDB spills instead of OOMing the sandbox.
+    tmp = os.environ.get("DUCKDB_TMP")
+    if tmp:
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+    if os.environ.get("DUCKDB_MEM"):
+        con.execute(f"SET memory_limit='{os.environ['DUCKDB_MEM']}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written tables are directories
