@@ -18,10 +18,16 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = graft.core.GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // coalesce(1) keeps the driver's sf0.01 dumps single-file; sf10
+    // re-check dumps (214M-row pair frames) set GRAFT_VERIFY_COALESCE=0
+    // so the final write isn't serialized through one task.
+    val coalesce1 = sys.env.getOrElse("GRAFT_VERIFY_COALESCE", "1") != "0"
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        (if (coalesce1) df.coalesce(1) else df)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

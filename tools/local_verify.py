@@ -61,6 +61,9 @@ def main(sf_dir, out_dir):
     except Exception:
         pass  # no events table in this dir
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = os.environ.get("VERIFY_ONLY")
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only.split(",")}
     fails = 0
     for name, sql in sorted(oracle.items()):
         pdir = f"{out_dir}/{name}"

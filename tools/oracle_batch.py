@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Timeout-guarded sf10 oracle sweep: runs tools/local_verify.py one
+query at a time in a subprocess with a wall-clock budget, so one
+pathological DuckDB plan (the r11 disk-filling recursive CTEs) cannot
+take down the whole batch — it becomes a SKIP line instead. Temp spill
+is isolated per query under DUCKDB_TMP and deleted between queries.
+
+Usage: python3 tools/oracle_batch.py <sfDir> <outDir> <budget_s> [names…]
+names default to every query in <outDir>/oracle_sql.json.
+"""
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+def main():
+    sf_dir, out_dir, budget = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    names = sys.argv[4].split(",") if len(sys.argv) > 4 else \
+        sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
+    tmp = os.environ.get("DUCKDB_TMP", "/root/repo/.tmp/duck")
+    here = os.path.dirname(os.path.abspath(__file__))
+    fails = skips = 0
+    for name in names:
+        env = dict(os.environ, VERIFY_ONLY=name, DUCKDB_TMP=tmp)
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                [sys.executable, f"{here}/local_verify.py", sf_dir, out_dir],
+                env=env, timeout=budget, capture_output=True, text=True)
+            line = next((l for l in r.stdout.splitlines()
+                         if l.startswith(("OK", "FAIL"))), None)
+            if line:
+                print(f"{line}  [{time.time()-t0:.0f}s]")
+                if line.startswith("FAIL"):
+                    fails += 1
+            else:
+                print(f"FAIL {name}: no verdict line "
+                      f"(rc={r.returncode}, stderr tail: "
+                      f"{r.stderr.strip().splitlines()[-1] if r.stderr.strip() else ''})")
+                fails += 1
+        except subprocess.TimeoutExpired:
+            print(f"SKIP {name}: oracle exceeded {budget}s")
+            skips += 1
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        sys.stdout.flush()
+    print(f"BATCH COMPLETE: {len(names) - fails - skips} ok, "
+          f"{fails} fail, {skips} skip")
+    return 1 if fails else 0
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -109,7 +109,7 @@ def union_find_labels(edges_a, edges_b):
     return ids, ids[labels]  # node id -> min-member id of its component
 
 
-def run_clusters(out_dir):
+def run_clusters(out_dir, data_dir):
     t = read_dump(out_dir, "q_minhash_lsh_pairs", ["doc_a", "doc_b"])
     a = t.column("doc_a").to_numpy()
     b = t.column("doc_b").to_numpy()
@@ -133,6 +133,58 @@ def run_clusters(out_dir):
                   exp.column_names, [tuple(r) for r in
                                      zip(*[exp.column(c).to_pylist()
                                            for c in exp.column_names])])
+
+    # ---- cluster-derived keep/split queries (same recursive-CTE oracle
+    # class): all documents, pair-participants carry their component's
+    # min-member label, everything else is its own singleton cluster.
+    import glob as _glob
+    dfiles = _glob.glob(f"{data_dir}/documents.parquet/*.parquet") or \
+        [f"{data_dir}/documents.parquet"]
+    docs = pq.read_table(dfiles, columns=["doc_id", "n_chars"])
+    did = docs.column("doc_id").to_numpy()
+    nch = docs.column("n_chars").to_numpy()
+    lbl_of = dict(zip(nodes.tolist(), labels.tolist()))
+    cid = np.array([lbl_of.get(d, d) for d in did.tolist()], dtype=np.int64)
+    in_pairs = np.isin(did, nodes)
+
+    def cmp_if_present(name, cols, got_rows):
+        nonlocal ok
+        if _glob.glob(f"{out_dir}/{name}/*.parquet"):
+            exp = read_dump(out_dir, name)
+            ok &= compare(name, cols, got_rows, exp.column_names,
+                          [tuple(r) for r in zip(*[exp.column(c).to_pylist()
+                                                   for c in exp.column_names])])
+
+    # q_dedup_keep: keep iff singleton or the component's min member
+    cmp_if_present(
+        "q_dedup_keep", ["doc_id", "cluster_id", "keep"],
+        list(zip(did.tolist(), cid.tolist(), (did == cid).tolist())))
+
+    # q_canonical_keep: keep the longest doc (ties -> lowest id) per cluster
+    order = np.lexsort((did, -nch, cid))
+    keep_canon = np.zeros(len(did), dtype=bool)
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = cid[order][1:] != cid[order][:-1]
+    keep_canon[order[first]] = True
+    cmp_if_present(
+        "q_canonical_keep", ["doc_id", "cluster_id", "keep"],
+        list(zip(did.tolist(), cid.tolist(), keep_canon.tolist())))
+
+    # q_split_leakage: hash split over PAIR-PARTICIPATING docs, clusters
+    # with members on both sides of the train/test split
+    if _glob.glob(f"{out_dir}/q_split_leakage/*.parquet"):
+        import hashlib
+        thresh = f"{int(0.1 * 4294967296.0):08x}"
+        is_test = np.array(
+            [hashlib.md5(str(d).encode()).hexdigest()[:8] < thresh
+             for d in did.tolist()])
+        sel = in_pairs
+        agg = {}
+        for c, t_ in zip(cid[sel].tolist(), is_test[sel].tolist()):
+            tr, te = agg.get(c, (0, 0))
+            agg[c] = (tr + (0 if t_ else 1), te + (1 if t_ else 0))
+        got = [(c, tr, te) for c, (tr, te) in agg.items() if tr > 0 and te > 0]
+        cmp_if_present("q_split_leakage", ["cluster_id", "n_train", "n_test"], got)
     return ok
 
 
@@ -202,7 +254,7 @@ def main():
     ap.add_argument("--data", default="/root/testdata/sf0.01")
     ap.add_argument("--out", required=True)
     a = ap.parse_args()
-    ok = run_clusters(a.out) if a.which == "clusters" \
+    ok = run_clusters(a.out, a.data) if a.which == "clusters" \
         else run_topspeed(a.data, a.out)
     sys.exit(0 if ok else 1)
 
