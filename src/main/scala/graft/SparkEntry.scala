@@ -3017,18 +3017,33 @@ object SparkEntry {
     // BMP bytes): pixel p of doc = 32 + delta + (ascii(text[p mod len])
     // mod 192) over a ${ImgW}x${ImgH} row-major grid; 9x8 box averages
     // (integer floor); gradient sign per adjacent cell pair; pair
-    // hamming = differing signs. All-pairs is exact here because
-    // maxHamming < bands makes the Spark-side banding lossless and the
-    // gate corpus is far below the maxBucket guard. text is single-byte
+    // hamming = differing signs. Banding is lossless for h <= maxHamming
+    // (pigeonhole), and the maxBucket guard — part of the operator's
+    // contract, same as q_audio_neardup — is modeled explicitly: hash
+    // bit = gy*8+gx, so band b = rows {2b, 2b+1}. text is single-byte
     // ascii (same assumption as q_multimodal_decode), so character
     // indexing == byte indexing.
     "q_image_neardup" ->
       s"""WITH $imageSignsCtes,
+         |ibands AS (SELECT doc_id, gy // 2 AS b,
+         |                  sum(CASE WHEN sign
+         |                           THEN 1::BIGINT << ((gy % 2) * 8 + gx)
+         |                           ELSE 0 END) AS v
+         |           FROM signs GROUP BY doc_id, gy // 2),
+         |okb AS (SELECT b, v FROM ibands GROUP BY b, v
+         |        HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM ibands a JOIN ibands b ON a.b = b.b AND a.v = b.v
+         |    AND a.doc_id < b.doc_id
+         |  JOIN okb k ON k.b = a.b AND k.v = a.v),
          |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  SELECT c.doc_a, c.doc_b,
          |         sum(CASE WHEN a.sign != b.sign THEN 1 ELSE 0 END) AS h
-         |  FROM signs a JOIN signs b
-         |    ON a.gy = b.gy AND a.gx = b.gx AND a.doc_id < b.doc_id
+         |  FROM cand c
+         |  JOIN signs a ON a.doc_id = c.doc_a
+         |  JOIN signs b ON b.doc_id = c.doc_b
+         |    AND b.gy = a.gy AND b.gx = a.gx
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(h AS int) AS hamming
          |FROM pairs WHERE h <= $ImgMaxHamming""".stripMargin,
@@ -3073,13 +3088,31 @@ object SparkEntry {
          |                              THEN 1::BIGINT << bit
          |                              ELSE 0 END), 0) AS bigint) AS lo
          |FROM asigns GROUP BY doc_id""".stripMargin,
+    // banded + capped, mirroring bandedHammingPairs EXACTLY: a pair
+    // survives iff it shares >= 1 band (16 contiguous hash bits) whose
+    // bucket holds <= maxBucket fingerprints. Pigeonhole keeps banding
+    // lossless for h <= maxHamming, but the bucket cap is part of the
+    // operator's contract and first bites at sf10 (one audio band
+    // bucket crosses 1000 members there), so the oracle models it.
     "q_audio_neardup" ->
       s"""WITH $audioSignsCtes,
+         |abands AS (SELECT doc_id, bit // 16 AS b,
+         |                  sum(CASE WHEN sign THEN 1::BIGINT << (bit % 16)
+         |                           ELSE 0 END) AS v
+         |           FROM asigns GROUP BY doc_id, bit // 16),
+         |okb AS (SELECT b, v FROM abands GROUP BY b, v
+         |        HAVING count(*) BETWEEN 2 AND $LshMaxBucket),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM abands a JOIN abands b ON a.b = b.b AND a.v = b.v
+         |    AND a.doc_id < b.doc_id
+         |  JOIN okb k ON k.b = a.b AND k.v = a.v),
          |apairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  SELECT c.doc_a, c.doc_b,
          |         sum(CASE WHEN a.sign != b.sign THEN 1 ELSE 0 END) AS h
-         |  FROM asigns a JOIN asigns b
-         |    ON a.bit = b.bit AND a.doc_id < b.doc_id
+         |  FROM cand c
+         |  JOIN asigns a ON a.doc_id = c.doc_a
+         |  JOIN asigns b ON b.doc_id = c.doc_b AND b.bit = a.bit
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, CAST(h AS int) AS hamming
          |FROM apairs WHERE h <= $ImgMaxHamming""".stripMargin,
