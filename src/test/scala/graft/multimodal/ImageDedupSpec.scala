@@ -113,6 +113,32 @@ class ImageDedupSpec extends SparkSuite {
       "banding must have FULL recall for hamming <= bands-1 (pigeonhole)")
   }
 
+  test("bandedHammingPairs: maxBucket drops pairs whose only shared band " +
+    "is oversized (the sf10 audio-oracle divergence, pinned)") {
+    // band 0 (bits 0..15) value 0x1111 is shared by all five hashes →
+    // bucket size 5 > maxBucket 3 → that bucket contributes nothing.
+    val a = (0x2222L << 16) | 0x1111L            // bands 1..3 = 0x2222,0,0
+    val b = a ^ (1L << 40)                       // hamming 1; shares bands 0,1,3
+    val c = (0x7777L << 48) | (0x3333L << 32) | (0x4444L << 16) | 0x1111L
+    val d = c ^ (1L << 20) ^ (1L << 40) ^ (1L << 60) // hamming 3, one bit in
+                                                 // each of bands 1,2,3 → the
+                                                 // ONLY shared band is band 0
+    val e = (0x5A5AL << 48) | (0x9999L << 32) | (0x6666L << 16) | 0x1111L
+    val df = Seq((1L, a), (2L, b), (3L, c), (4L, d), (5L, e))
+      .toDF("doc_id", "dhash")
+    val capped = ImageDedup.bandedHammingPairs(df, maxHamming = 3, maxBucket = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // (1,2) survives via its size-2 band-1/band-3 buckets; (3,4) is a true
+    // hamming-3 near-dup but its only shared band is the oversized one
+    assert(capped === Set((1L, 2L, 1)),
+      "pair routed only through an over-cap bucket must drop")
+    // with the cap lifted the same corpus yields both pairs — the drop
+    // above is the skew guard's doing, not a recall hole in the banding
+    val uncapped = ImageDedup.bandedHammingPairs(df, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(uncapped === Set((1L, 2L, 1), (3L, 4L, 3)))
+  }
+
   test("incrementalImageNearDup: store and within-batch collisions gate; " +
     "undecodable payloads pass; sink replay is idempotent") {
     def img(seed: Int, shift: Int = 0): Array[Byte] =
