@@ -41,6 +41,24 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), "customer dim not broadcast")
   }
 
+  test("TPC-H q7: nation-filtered dims broadcast into the fact scans; one fact shuffle") {
+    // r12 sf100 finding: the left-deep order (li⋈ord first, nations
+    // last) shuffled the full 600M-row fact chain and stepped 18.8× at
+    // the sf10→sf100 bench. Filtering supplier/customer by nation FIRST
+    // and broadcasting them cuts both fact scans to ~8% before the one
+    // real shuffle (l_orderkey = o_orderkey); post-fix sf100 is 12.4 s.
+    // Pin: the four dim joins stay broadcast, and the tree needs at most
+    // the orderkey co-partitioning pair + final agg hash exchanges.
+    // sf0.01, not sf0.001: at the smaller SF the nation pair yields zero
+    // cross-nation rows and AQE collapses the whole tree to EmptyRelation.
+    val plan = executed(Relational.q7(spark, "/root/testdata/sf0.01"))
+      .split("== Initial Plan ==").head
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    val ex = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(bhj >= 4, s"q7 dim joins fell out of broadcast ($bhj):\n$plan")
+    assert(ex <= 3, s"q7 grew to $ex hash exchanges (bound 3):\n$plan")
+  }
+
   test("word count: explode pipeline stays in codegen with partial aggregation") {
     val plan = executed(Tokenize.wordCount(Tables.documents(spark, sf), "text"))
     assert(plan.contains("partial_count"), "no map-side combine")
