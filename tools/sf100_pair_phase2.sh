@@ -8,6 +8,15 @@
 # handled separately (CC via tools/sf100_cc_oracle.py; archetypes
 # already hash-checked in SF100_PAIR_ORACLE.log).
 #
+# CC-family re-run recipe (budget 2h+ for the Spark side — the 1.25B-edge
+# contraction dominates; run it FIRST in a session, nothing else on disk):
+#   SPARK_DRIVER_MEM=64g GRAFT_VERIFY_COALESCE=0 \
+#     tools/run_main.sh graft.Verify /root/repo/testdata_sf100 \
+#     /root/repo/.tmp/sf100cc \
+#     q_dedup_clusters,q_cluster_sizes,q_dedup_keep,q_canonical_keep,q_split_leakage
+#   DUCKDB_TMP=/root/repo/.tmp/duckcc DUCKDB_MEM=24GB \
+#     python3 tools/sf100_cc_oracle.py /root/repo/testdata_sf100 /root/repo/.tmp/sf100cc
+#
 # Oracle routes:
 #   exact line-hash  -> tools/oracle_batch.py   (outputs that fit fetchall)
 #   count+sum+xor    -> tools/sf10_big_oracle.py (>=4M-row outputs)
