@@ -65,19 +65,46 @@ object Bench {
     // clones every item `factor` times, so intra-band pair count grows
     // ~quadratically in factor exactly as for the text LSH ops
     "q_audio_neardup", "q_image_neardup", "q_video_shared")
+  /** The pair queries whose candidate volume IS what the minhash
+    * `lshPairVolume` pre-flight measures (text shingle-minhash banding,
+    * directly or through the memoized lsh_pairs frame). The measured
+    * text ratio applies ONLY to these: image/audio/video banded-Hamming
+    * candidate volume grows at its own rate, and a modality growing
+    * SLOWER than text bounded by the text ratio would get a slack bound
+    * that can mask a real super-quadratic regression. Those queries take
+    * a per-query ratio (SPARK_GRAFT_PAIR_VOLUME_RATIOS) or fall back to
+    * the 5·factor small-factor default. */
+  private val minhashPairQueries = Set(
+    "q_minhash_lsh_pairs", "q_pair_editdist", "q_dedup_agreement",
+    "q_dedup_clusters", "q_split_leakage", "q_canonical_keep")
+
   /** `pairRatio`: measured candidate-pair volume ratio between the two
-    * captures (from `Dedup.lshPairVolume` / `graft.apps.PairVolume`),
+    * captures (from `Dedup.lshPairVolume` / `graft.apps.PairVolume`) —
+    * derived by `main` from the pre-flight run on BOTH capture dirs, or
     * passed via SPARK_GRAFT_PAIR_VOLUME_RATIO. Pair-materializing queries
     * scale with CANDIDATE VOLUME, not rows — on the GenScale clone
     * replica that is ~quadratic in factor (measured 3189× at factor 100)
     * — so when the ratio is known the lint bounds them against it;
     * without it the 5·factor default is only meaningful at small factors
-    * (documented in SURVEY §12). */
+    * (documented in SURVEY §12). `perQueryRatio` overrides per query
+    * (any modality); the minhash-derived ratio never crosses modalities. */
   def scaleBound(name: String, factor: Double,
-                 pairRatio: Option[Double] = None): Double =
+                 pairRatio: Option[Double] = None,
+                 perQueryRatio: Map[String, Double] = Map.empty): Double =
     if (sublinearQueries(name)) 0.9 * factor
-    else if (pairQueries(name)) 5.0 * pairRatio.getOrElse(factor)
+    else if (pairQueries(name))
+      5.0 * perQueryRatio.get(name)
+        .orElse(if (minhashPairQueries(name)) pairRatio else None)
+        .getOrElse(factor)
     else 1.6 * factor
+
+  /** In-suite captures at factor ≥ 100 carry ±2× co-capture variance
+    * (GC + 21 GB page-cache churn under a 64 g heap — every one of the
+    * r12 sf100 suite's 18 flags decomposed into variance on a standalone
+    * re-measure). Mechanize that screen-then-standalone protocol: a flag
+    * within `band`× of its gate is a "needs standalone re-measure"
+    * advisory, not a violation; only beyond band× is it a hard flag. */
+  def varianceBand(factor: Double): Double = if (factor >= 100) 2.0 else 1.0
 
   /** Cross-SF scaling lint: given a BASE capture at 1× and this run at
     * `factor`× the data, flag queries whose time ratio exceeds their
@@ -87,12 +114,29 @@ object Bench {
                         now: Seq[(String, Double)], factor: Double,
                         pairRatio: Option[Double] = None)
       : Seq[(String, Double, Double, Double)] =
-    now.collect {
+    scalingSplit(base, now, factor, pairRatio)._1
+
+  /** Scaling lint with the variance band applied: returns
+    * (hard violations beyond band×bound,
+    *  advisories between bound and band×bound — re-measure standalone).
+    * At band = 1 the advisory list is empty and this is exactly
+    * [[scalingViolations]]. */
+  def scalingSplit(base: Map[String, Double],
+                   now: Seq[(String, Double)], factor: Double,
+                   pairRatio: Option[Double] = None,
+                   perQueryRatio: Map[String, Double] = Map.empty,
+                   band: Double = 1.0)
+      : (Seq[(String, Double, Double, Double)],
+         Seq[(String, Double, Double, Double)]) = {
+    val flagged = now.collect {
       case (name, sec) if sec >= 0 && base.get(name).exists(b =>
-        b > 0 && sec / b > scaleBound(name, factor, pairRatio) &&
+        b > 0 && sec / b > scaleBound(name, factor, pairRatio, perQueryRatio) &&
           sec - b > 0.3) =>
-        (name, base(name), sec, scaleBound(name, factor, pairRatio))
+        (name, base(name), sec,
+          scaleBound(name, factor, pairRatio, perQueryRatio))
     }
+    flagged.partition { case (_, b, sec, bound) => sec / b > band * bound }
+  }
 
   /** Ambient host load (1-min average) at capture start, read before the
     * session spins up so the number reflects OTHER processes, not this
@@ -137,11 +181,25 @@ object Bench {
     * ambient noise. */
   def regressions(prior: Map[String, Double],
                   now: Seq[(String, Double)]): Seq[(String, Double, Double)] =
-    now.collect {
+    regressionsSplit(prior, now)._1
+
+  /** Regression lint with the variance band applied: hard flags beyond
+    * band×1.5× prior, advisories (standalone re-measure) between 1.5×
+    * and band×1.5×. Band 1 (the default, and every per-round sf0.1
+    * gate) makes the advisory list empty. Big-SF suite captures set
+    * SPARK_GRAFT_VARIANCE_BAND=2 (or inherit it from factor ≥ 100 via
+    * [[varianceBand]]) so co-capture GC/page-cache variance lands as
+    * homework, not alarms. */
+  def regressionsSplit(prior: Map[String, Double],
+                       now: Seq[(String, Double)], band: Double = 1.0)
+      : (Seq[(String, Double, Double)], Seq[(String, Double, Double)]) = {
+    val flagged = now.collect {
       case (name, sec) if sec >= 0 && prior.get(name).exists(p =>
         p > 0 && sec > 1.5 * p && sec - p > 0.3) =>
         (name, prior(name), sec)
     }
+    flagged.partition { case (_, p, sec) => sec > band * 1.5 * p }
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -293,7 +351,15 @@ object Bench {
     // lost the seconds map): telemetry maps first, then the per-query
     // seconds + total + unit LAST, so any tail of the line still carries
     // the headline numbers.
-    val regressed = regressions(prior, results)
+    // Variance band: 1 for the per-round sf0.1 gate (unchanged behavior);
+    // big-SF suite captures set SPARK_GRAFT_VARIANCE_BAND=2 explicitly
+    // or inherit 2 from a scale factor ≥ 100 (varianceBand). Flags inside
+    // the band land in needs_standalone (re-measure on a quiet host)
+    // instead of regressed/scaling — mechanizing the r12 adjudication
+    // protocol that re-classified all 18 sf100 co-capture flags.
+    val envBand = sys.env.get("SPARK_GRAFT_VARIANCE_BAND").map(_.toDouble)
+    val regBand = envBand.getOrElse(1.0)
+    val (regressed, regAdvisory) = regressionsSplit(prior, results, regBand)
     regressed.foreach { case (n, p, c) =>
       System.err.println(f"[bench] REGRESSED $n: $p%.3f s -> $c%.3f s (${c / p}%.2fx)")
     }
@@ -304,15 +370,48 @@ object Bench {
     // of the SAME code on 1/SPARK_GRAFT_SCALE_FACTOR of this run's data
     // (the sf0.1 BENCH_LOCAL vs an sf1 run). Violations = queries that
     // left their declared complexity class.
-    val scaling = sys.env.get("SPARK_GRAFT_SCALE_BASE").toSeq.flatMap { p =>
+    // Per-query candidate-volume ratios (cross-modality pair queries):
+    // "q_audio_neardup=123.4,q_image_neardup=98.7".
+    val perQueryRatio: Map[String, Double] =
+      sys.env.get("SPARK_GRAFT_PAIR_VOLUME_RATIOS").map(_.split(",").toSeq
+        .map(_.split("=")).collect { case Array(k, v) => k -> v.toDouble }
+        .toMap).getOrElse(Map.empty)
+    val (scaling, scAdvisory) = sys.env.get("SPARK_GRAFT_SCALE_BASE").map { p =>
       val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toDouble
-      val pairRatio = sys.env.get("SPARK_GRAFT_PAIR_VOLUME_RATIO").map(_.toDouble)
       try {
         val (baseSf, baseQ) = parsePrior(Files.readString(Paths.get(p)))
-        if (baseSf == sfDir) Seq.empty // same data — the regression lint covers it
-        else scalingViolations(baseQ, results, factor, pairRatio)
-      } catch { case _: Throwable => Seq.empty }
-    }
+        if (baseSf == sfDir) (Seq.empty, Seq.empty) // same data — regression lint covers it
+        else {
+          // Pair-volume ratio for the minhash family: explicit env wins;
+          // otherwise, when a minhash pair query is actually in scope,
+          // derive it by running the O(buckets) lshPairVolume pre-flight
+          // on BOTH capture dirs — the same aggregate q_pair_volume gates
+          // (42 s at sf100), so the lint needs no hand-set number.
+          val pairRatio = sys.env.get("SPARK_GRAFT_PAIR_VOLUME_RATIO")
+            .map(_.toDouble).orElse {
+              if (!results.exists(r => minhashPairQueries(r._1) && r._2 >= 0))
+                None
+              else try {
+                def vol(dir: String): Double = graft.dedup.Dedup
+                  .lshPairVolume(graft.core.Tables.documents(spark, dir),
+                    n = 2, k = 6, rowsPerBand = 2)
+                  .head().getAs[Long]("candidate_pairs").toDouble
+                val (b, nw) = (vol(baseSf), vol(sfDir))
+                if (b > 0) {
+                  System.err.println(
+                    f"[bench] derived pair-volume ratio ${nw / b}%.1f ($b%.0f -> $nw%.0f candidates)")
+                  Some(nw / b)
+                } else None
+              } catch { case e: Throwable =>
+                System.err.println(s"[bench] pair-volume derivation failed: ${e.getMessage}")
+                None
+              }
+            }
+          scalingSplit(baseQ, results, factor, pairRatio, perQueryRatio,
+            band = math.max(envBand.getOrElse(1.0), varianceBand(factor)))
+        }
+      } catch { case _: Throwable => (Seq.empty, Seq.empty) }
+    }.getOrElse((Seq.empty, Seq.empty))
     scaling.foreach { case (n, b, c, bound) =>
       System.err.println(
         f"[bench] SCALING $n: $b%.3f s -> $c%.3f s (${c / b}%.1fx > bound $bound%.1fx)")
@@ -320,8 +419,13 @@ object Bench {
     val scJson = scaling.map { case (n, b, c, bound) =>
       s""""$n":{"base":$b,"now":$c,"bound":$bound}"""
     }.mkString("{", ",", "}")
+    val nsJson = (regAdvisory.map { case (n, p, c) =>
+      s""""$n":{"kind":"regression","prior":$p,"now":$c}"""
+    } ++ scAdvisory.map { case (n, b, c, bound) =>
+      s""""$n":{"kind":"scaling","base":$b,"now":$c,"bound":$bound}"""
+    }).mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","sf":"$sfDir","cpus":$cpus,"load_avg_start":$load0,"contended":${isContended(load0, cpus)},"errors":$errJson,"regressed":$regJson,"scaling":$scJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
+      s"""{"metric":"total","sf":"$sfDir","cpus":$cpus,"load_avg_start":$load0,"contended":${isContended(load0, cpus)},"errors":$errJson,"regressed":$regJson,"scaling":$scJson,"needs_standalone":$nsJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
     // r10/r11 both had the driver's contended run overwrite the quiet
     // committed baseline in the worktree — see captureWritePath.
     val writePath = captureWritePath(isContended(load0, cpus),

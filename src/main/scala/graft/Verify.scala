@@ -18,6 +18,24 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val spark = graft.core.GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Scratch pre-flight (r12 verdict item 3): refuse a dump whose
+    // estimated spill cannot fit, BEFORE hours of compute — the
+    // CC-family sf100 attempts died at hour two, twice. Sub-second at
+    // gate SF (the pair pre-flight only runs when a pair query is
+    // requested); GRAFT_DISK_GUARD=0 bypasses deliberately.
+    if (sys.env.getOrElse("GRAFT_DISK_GUARD", "1") != "0") {
+      import graft.core.DiskGuard
+      val names = SparkEntry.queries.keySet.filter(keep)
+      val est = try DiskGuard.estimateBytes(spark, sfDir, names)
+                catch { case e: Throwable =>
+                  System.err.println(s"[verify] disk estimate failed (${e.getMessage}) — proceeding")
+                  0L }
+      DiskGuard.shortfall(DiskGuard.usableBytes(outDir), est).foreach { msg =>
+        System.err.println(s"[verify] REFUSED: $msg")
+        spark.stop()
+        sys.exit(3)
+      }
+    }
     // coalesce(1) keeps the driver's sf0.01 dumps single-file; sf10
     // re-check dumps (214M-row pair frames) set GRAFT_VERIFY_COALESCE=0
     // so the final write isn't serialized through one task.

@@ -105,6 +105,12 @@ object SoakMain {
     q1.awaitTermination()
     require(listener.awaitTerminated(q1.runId), "phase-1 termination event lost")
     val phase1Sec = (System.nanoTime() - t1) / 1e9
+    // Fail fast on a misconfigured run: if phase 1 already drained the
+    // backlog, phase 2 would resume into nothing and the configuration
+    // error would only surface after the full (pointless) second drain.
+    require(!drainedInPhase1,
+      s"phase 1 drained the whole backlog before batch $restartAfter — " +
+        "raise --files / lower --files-per-trigger so the restart tests something")
 
     // ---- phase 2: NEW query, same checkpoint — resumes and finishes
     val t2 = System.nanoTime()
@@ -112,13 +118,14 @@ object SoakMain {
     require(q2.awaitTermination(3600 * 1000L), "phase-2 drain exceeded 1 h")
     require(listener.awaitTerminated(q2.runId), "phase-2 termination event lost")
     val phase2Sec = (System.nanoTime() - t2) / 1e9
-    require(!drainedInPhase1,
-      s"phase 1 drained the whole backlog before batch $restartAfter — " +
-        "raise --files / lower --files-per-trigger so the restart tests something")
 
-    // ---- funnel across BOTH runs (exactly-once ⇒ sums are exact)
+    // ---- funnel across BOTH runs, deduplicated by batchId (q1.id ==
+    // q2.id: same checkpoint). Summing raw per-run totals would double-
+    // count a batch whose commit raced q1.stop() and was replayed by
+    // phase 2; totalByBatch counts each batchId once, so the restart
+    // cannot manufacture a spurious funnel mismatch.
     def both(obs: String, field: String): Long =
-      listener.total(q1.runId, obs, field) + listener.total(q2.runId, obs, field)
+      listener.totalByBatch(q1.id, obs, field)
     val funnel = Map(
       "rows_in" -> both("ingest_parsed", "rows_in"),
       "rows_malformed" -> both("ingest_parsed", "rows_malformed"),

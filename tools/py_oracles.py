@@ -223,10 +223,14 @@ def run_topspeed(data_dir, out_dir):
         while True:
             # next row (strictly after rn) with distance-last_fired >= 50;
             # searchsorted approximates (dist[j] >= last+50 is not IEEE-
-            # identical to dist[j]-last >= 50), so back off a couple of
-            # rows and re-apply the EXACT predicate scanning forward
-            j = np.searchsorted(dist, last_fired + 50.0, side="left")
-            j = max(j - 2, rn + 1)
+            # identical to dist[j]-last >= 50), so re-anchor on the EXACT
+            # predicate: scan BACKWARD while the previous row also fires
+            # (a fixed backoff would miss a 3+-run of values within one
+            # ulp of last_fired+50), then forward while this row doesn't
+            j = max(np.searchsorted(dist, last_fired + 50.0, side="left"),
+                    rn + 1)
+            while j - 1 > rn and j - 1 < n and dist[j - 1] - last_fired >= 50.0:
+                j -= 1
             while j < n and not (dist[j] - last_fired >= 50.0):
                 j += 1
             if j >= n:

@@ -9,7 +9,11 @@ MEM="${SPARK_DRIVER_MEM:-8g}"
 # kernels the first time this script forgot to set it.
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
 SCALA_LIB=$(find /root/.cache/coursier -name "scala-library-2.13.17.jar" | head -1)
-CP="/root/repo/target/scala-2.13/classes:${SCALA_LIB}:/opt/spark/jars/*"
+# GRAFT_CLASSES: point long background runs at a snapshot copy of the
+# classes dir so a concurrent `sbt compile` can't swap class files under
+# a running JVM (lazy classloading would mix old and new code).
+CLASSES="${GRAFT_CLASSES:-/root/repo/target/scala-2.13/classes}"
+CP="${CLASSES}:${SCALA_LIB}:/opt/spark/jars/*"
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
