@@ -6,7 +6,10 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     // Optional third arg: comma-separated query-name subset (dev-only fast
-    // path; the driver always passes exactly two args → full run).
+    // path; the driver always passes exactly two args → full run). The
+    // literal subset `@oracle` runs NO queries and writes the FULL
+    // oracle_sql.json — tools/validate_decomposition.py needs only that
+    // file, not the dumps.
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, None)
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
@@ -15,7 +18,10 @@ object Verify {
         sys.exit(2)
         throw new IllegalStateException("unreachable")
     }
-    def keep(name: String): Boolean = only.forall(_.contains(name))
+    val oracleOnly = only.contains(Set("@oracle"))
+    def keep(name: String): Boolean =
+      if (oracleOnly) false else only.forall(_.contains(name))
+    def keepSql(name: String): Boolean = oracleOnly || keep(name)
     val spark = graft.core.GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     // Scratch pre-flight (r12 verdict item 3): refuse a dump whose
@@ -61,7 +67,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
+    val json = SparkEntry.oracleSql.filter(kv => keepSql(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

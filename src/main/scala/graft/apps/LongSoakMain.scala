@@ -1,0 +1,217 @@
+package graft.apps
+
+import java.util.UUID
+
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.SparkSession
+
+import graft.core.{Args, GraftSession}
+import graft.sources.Sources
+
+/** Endurance soak (r12 verdict stretch item 7): the time axis the
+  * row-count soaks cannot exercise. [[SoakMain]] proves SCALE — a 5M-doc
+  * backlog drained through RocksDB with one mid-drain restart — but it
+  * drains in ~a minute; a production ingest runs for days, and the
+  * defects that only time exposes are different in kind: state-store
+  * growth that eviction was supposed to bound, snapshot/compaction debt
+  * accumulating across maintenance cycles, funnel drift across MANY
+  * checkpoint restarts rather than one.
+  *
+  * This soak therefore runs the SAME ingest transform
+  * ([[IngestMain.transform]]) rate-throttled over a long wall window:
+  *
+  *  - `Trigger.ProcessingTime(triggerMs)` + `maxFilesPerTrigger` pace
+  *    the drain (default ≈ 6 s/batch over 300 files ⇒ ≥ 30 min wall);
+  *  - the query is stopped and resumed from its checkpoint every
+  *    `restart-every` batches — the soak REQUIRES ≥ `min-restarts`
+  *    resume cycles or it fails (a drain too fast to restart thrice is
+  *    a configuration error, same stance as SoakMain's fail-fast);
+  *  - RocksDB state store with changelog checkpointing and a short
+  *    maintenance interval, so snapshot upload + compaction run MANY
+  *    times during the soak, not zero;
+  *  - per-batch state footprint (rows / memory / SST bytes) is captured
+  *    from every progress event via [[graft.streaming.FunnelListener
+  *    .stateSeries]]; the soak asserts the series is BOUNDED: peak state
+  *    rows must stay below half the distinct keys seen (the 1-minute
+  *    dropDuplicatesWithinWatermark eviction actually evicting) and the
+  *    late-run peak must not exceed the mid-run peak by more than 2×
+  *    (plateau, not monotone growth);
+  *  - funnel exactness is asserted the same way as SoakMain — observe()
+  *    totals deduplicated by batchId across ALL runIds vs an independent
+  *    batch twin — which across ≥3 restarts is a much stronger
+  *    exactly-once statement than across one.
+  *
+  * Usage: --data /root/repo/testdata_sf30 --workdir /tmp/graft-long-soak
+  *        [--files 300] [--files-per-trigger 1] [--trigger-ms 6000]
+  *        [--restart-every 60] [--min-restarts 3] [--max-phases 40]
+  *        [--dup-docs 2000]
+  * Prints ONE JSON line (soak_long) with phase walls, restart count,
+  * funnel, and the (downsampled) state series; exits non-zero on any
+  * contract violation.
+  */
+object LongSoakMain {
+
+  /** Poll until this run has either drained the backlog (funnel rows_in
+    * reaches `expectedRows`) or completed `restartEvery` NEW batches,
+    * then stop it between batches. Returns (batchesThisRun, drained). */
+  private def runPhase(q: StreamingQuery, listener: graft.streaming.FunnelListener,
+                       queryId: UUID, expectedRows: Long, restartEvery: Long,
+                       phaseTimeoutMs: Long): (Long, Boolean) = {
+    val deadline = System.nanoTime() + phaseTimeoutMs * 1000000L
+    var firstBatch = -1L
+    var lastBatch = -1L
+    def drainedNow(): Boolean =
+      listener.totalByBatch(queryId, "ingest_parsed", "rows_in") >= expectedRows
+    var stop = false
+    while (!stop) {
+      if (!q.isActive)
+        throw q.exception
+          .getOrElse(new IllegalStateException("query died without exception"))
+      val p = q.lastProgress
+      if (p != null) {
+        if (firstBatch < 0) firstBatch = p.batchId
+        lastBatch = p.batchId
+      }
+      val batches = if (firstBatch < 0) 0L else lastBatch - firstBatch + 1
+      if (drainedNow() || batches >= restartEvery) stop = true
+      else if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"phase timed out after ${phaseTimeoutMs / 1000}s with $batches batches")
+      else Thread.sleep(500)
+    }
+    q.stop()
+    q.awaitTermination()
+    require(listener.awaitTerminated(q.runId),
+      s"termination event lost for run ${q.runId}")
+    // The final totals (post-termination listener flush) decide drained —
+    // a batch committed during stop() must count.
+    (if (firstBatch < 0) 0L else lastBatch - firstBatch + 1, drainedNow())
+  }
+
+  private def startThrottled(spark: SparkSession, in: String, out: String,
+                             perTrigger: Int, triggerMs: Long) =
+    IngestMain.transform(
+        Sources.readTextStreamThrottled(spark, in, perTrigger))
+      .writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/checkpoint")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .start()
+
+  def main(args: Array[String]): Unit = {
+    val a = Args(args)
+    val spark = GraftSession.build("graft-long-soak")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Changelog checkpointing + frequent maintenance: snapshot upload and
+    // RocksDB compaction must happen MANY times within the soak window
+    // (the endurance axis under test), not be deferred past its end.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    spark.conf.set("spark.sql.streaming.stateStore.maintenanceInterval", "30s")
+
+    val data = a.getOrElse("data", "/root/repo/testdata_sf30")
+    val work = a.getOrElse("workdir", "/tmp/graft-long-soak")
+    val files = a.getOrElse("files", "300").toInt
+    val perTrigger = a.getOrElse("files-per-trigger", "1").toInt
+    val triggerMs = a.getOrElse("trigger-ms", "6000").toLong
+    val restartEvery = a.getOrElse("restart-every", "60").toLong
+    val minRestarts = a.getOrElse("min-restarts", "3").toInt
+    val maxPhases = a.getOrElse("max-phases", "40").toInt
+    val dupDocs = a.getOrElse("dup-docs", "2000").toLong
+    val in = s"$work/in"
+    val out = s"$work/out"
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(work), true)
+
+    val t0 = System.nanoTime()
+    val (nDocs, nDupes, nMalformed) =
+      SoakMain.buildBacklog(spark, data, in, files, dupDocs)
+    val expectedRows = nDocs + nDupes + nMalformed
+    val backlogSec = (System.nanoTime() - t0) / 1e9
+
+    val listener = new graft.streaming.FunnelListener().register(spark)
+    // Generous per-phase ceiling: the pacing trigger bounds batch rate,
+    // so a phase is ~restartEvery × triggerMs plus slack for slow batches.
+    val phaseTimeoutMs = restartEvery * triggerMs * 5 + 300000L
+
+    val t1 = System.nanoTime()
+    var queryId: UUID = null
+    var drained = false
+    var phases = 0
+    val phaseBatches = Seq.newBuilder[Long]
+    while (!drained && phases < maxPhases) {
+      val q = startThrottled(spark, in, out, perTrigger, triggerMs)
+      if (queryId == null) queryId = q.id
+      require(q.id == queryId, "checkpoint resume changed the query id")
+      val (batches, d) = runPhase(q, listener, queryId, expectedRows,
+        restartEvery, phaseTimeoutMs)
+      phaseBatches += batches
+      drained = d
+      phases += 1
+    }
+    val drainSec = (System.nanoTime() - t1) / 1e9
+    require(drained, s"backlog not drained after $maxPhases phases")
+    val restarts = phases - 1
+    require(restarts >= minRestarts,
+      s"only $restarts restarts — raise --files / --restart-every so the " +
+        s"endurance axis is actually exercised (need >= $minRestarts)")
+
+    // ---- funnel + twin (batch-deduped across every runId of queryId)
+    def both(obs: String, field: String): Long =
+      listener.totalByBatch(queryId, obs, field)
+    val funnel = Map(
+      "rows_in" -> both("ingest_parsed", "rows_in"),
+      "rows_malformed" -> both("ingest_parsed", "rows_malformed"),
+      "rows_kept" -> both("ingest_gated", "rows_kept"))
+    val checks = SoakMain.twinChecks(spark, in, out, funnel, expectedRows)
+    val failedTwin = checks.filter { case (_, x, y) => x != y }
+    failedTwin.foreach { case (n, x, y) =>
+      System.err.println(s"[long-soak] MISMATCH $n: streamed=$x batch=$y") }
+
+    // ---- state-series boundedness
+    val series = listener.stateSeries(queryId)
+    require(series.nonEmpty, "no state-operator progress captured")
+    val peakRows = series.map(_._2).max
+    val peakSst = series.map(_._4).max
+    val n = series.length
+    val midPeak = series.slice(n / 3, 2 * n / 3).map(_._2).foldLeft(0L)(math.max)
+    val latePeak = series.drop(2 * n / 3).map(_._2).foldLeft(0L)(math.max)
+    val distinctKeys = nDocs // every doc_id enters the dedup state once
+    val stateViolations = Seq.newBuilder[String]
+    if (peakRows * 2 >= distinctKeys)
+      stateViolations += s"peak state rows $peakRows >= half of $distinctKeys keys — eviction not working"
+    if (midPeak > 0 && latePeak > midPeak * 2)
+      stateViolations += s"late-run peak $latePeak > 2x mid-run peak $midPeak — state growing, not plateaued"
+    val sv = stateViolations.result()
+    sv.foreach(v => System.err.println(s"[long-soak] STATE: $v"))
+
+    // Downsample the series for the JSON line (≤ 40 points, always
+    // keeping the last); full series lives only in memory by design.
+    val step = math.max(1, n / 40)
+    val sampled = (series.indices by step).map(series) :+ series.last
+    val seriesJson = sampled.distinct.map { case (b, r, m, s) =>
+      s"""[$b,$r,$m,$s]""" }.mkString("[", ",", "]")
+
+    val ok = failedTwin.isEmpty && sv.isEmpty
+    val json =
+      s"""{"metric":"soak_long","data":"$data","docs":$nDocs,""" +
+      s""""dup_lines":$nDupes,"files":$files,"files_per_trigger":$perTrigger,""" +
+      s""""trigger_ms":$triggerMs,"restart_every":$restartEvery,""" +
+      s""""phases":$phases,"restarts":$restarts,""" +
+      s""""phase_batches":${phaseBatches.result().mkString("[", ",", "]")},""" +
+      s""""state_store":"rocksdb-changelog","maintenance_interval_s":30,""" +
+      s""""rows_in":${funnel("rows_in")},"rows_malformed":${funnel("rows_malformed")},""" +
+      s""""rows_kept":${funnel("rows_kept")},""" +
+      s""""peak_state_rows":$peakRows,"peak_sst_bytes":$peakSst,""" +
+      s""""mid_peak_rows":$midPeak,"late_peak_rows":$latePeak,""" +
+      s""""state_series_batch_rows_mem_sst":$seriesJson,""" +
+      s""""backlog_sec":${math.rint(backlogSec * 10) / 10},""" +
+      s""""drain_sec":${math.rint(drainSec * 10) / 10},""" +
+      s""""funnel_match":$ok}"""
+    try spark.stop() catch { case _: Throwable => }
+    println(json)
+    if (!ok) sys.exit(1)
+  }
+}

@@ -40,7 +40,62 @@ import graft.text.TextAnalysis
   */
 object SoakMain {
 
-  private def startIngest(spark: SparkSession, in: String, out: String,
+  /** Materialize the soak backlog under `in`: one `id\ttext` line per
+    * document, duplicates of the lowest-id docs co-located in the SAME
+    * file as their originals (hash-partitioned by doc_id — the dedup
+    * decision must be same-micro-batch deterministic, not dependent on
+    * the processing-time watermark horizon spanning batches), plus the
+    * fixed malformed-line triple. Returns (nDocs, nDupLines,
+    * nMalformed). Shared with [[LongSoakMain]], whose multi-restart
+    * drain needs the identical backlog contract. */
+  private[apps] def buildBacklog(spark: SparkSession, data: String,
+                                 in: String, files: Int,
+                                 dupDocs: Long): (Long, Long, Int) = {
+    import spark.implicits._
+    val base = Tables.documents(spark, data)
+      .select($"doc_id", regexp_replace($"text", "[\\t\\n\\r]+", " ").as("text"))
+    val dupes = base.filter($"doc_id" < dupDocs)
+    val lines = base.unionAll(dupes)
+      .select($"doc_id", concat($"doc_id".cast("string"), lit("\t"), $"text").as("value"))
+      .repartition(files, $"doc_id")
+      .select("value")
+    val malformed = Seq("no tab here", "xyz\t", "not_a_number\tsome text")
+    lines.unionAll(malformed.toDF("value").coalesce(1))
+      .write.mode("overwrite").text(in)
+    (base.count(), dupes.count(), malformed.length)
+  }
+
+  /** The independent batch twin over the drained backlog + sink: the
+    * soak's correctness contract as (name, streamedValue, batchValue)
+    * triples that must agree (same shape as IngestSoakSpec — batch
+    * qualityScore API vs the stream's inline gate). */
+  private[apps] def twinChecks(spark: SparkSession, in: String, out: String,
+                               funnel: Map[String, Long],
+                               backlogLines: Long): Seq[(String, Long, Long)] = {
+    import spark.implicits._
+    val raw = spark.read.text(in)
+    val parsed = raw.select(
+      expr("try_cast(get(split(value, '\t'), 0) AS bigint)").as("doc_id"),
+      get(split($"value", "\t"), lit(1)).as("text"))
+    val rowsIn = raw.count()
+    val nMalformed = parsed.filter($"doc_id".isNull || $"text".isNull).count()
+    val wellFormed = parsed.filter($"doc_id".isNotNull && $"text".isNotNull)
+    val keptIds = TextAnalysis.qualityScore(wellFormed).filter($"keep").select("doc_id")
+    val nKept = wellFormed.join(keptIds.distinct(), "doc_id").count()
+    val nDistinctKept = keptIds.distinct().count()
+    val written = spark.read.parquet(s"$out/data")
+    val nWritten = written.count()
+    val piiLeaks = written.filter($"text_redacted".rlike(TextAnalysis.EmailRe)).count()
+    Seq(
+      ("rows_in", funnel("rows_in"), rowsIn),
+      ("rows_malformed", funnel("rows_malformed"), nMalformed),
+      ("rows_kept", funnel("rows_kept"), nKept),
+      ("written_vs_distinct_kept", nWritten, nDistinctKept),
+      ("pii_leaks", piiLeaks, 0L),
+      ("backlog_docs", funnel("rows_in"), backlogLines))
+  }
+
+  private[apps] def startIngest(spark: SparkSession, in: String, out: String,
                           filesPerTrigger: Int) =
     IngestMain.transform(
         Sources.readTextStreamThrottled(spark, in, filesPerTrigger))
@@ -72,22 +127,9 @@ object SoakMain {
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .delete(new org.apache.hadoop.fs.Path(work), true)
 
-    // ---- backlog: one `id\ttext` line per document, duplicates of the
-    // lowest-id docs appended IN THE SAME FILE as their originals
-    // (co-hash-partitioned on doc_id), plus malformed lines.
+    // ---- backlog: see buildBacklog scaladoc (dup co-location contract)
     val t0 = System.nanoTime()
-    val base = Tables.documents(spark, data)
-      .select($"doc_id", regexp_replace($"text", "[\\t\\n\\r]+", " ").as("text"))
-    val dupes = base.filter($"doc_id" < dupDocs)
-    val lines = base.unionAll(dupes)
-      .select($"doc_id", concat($"doc_id".cast("string"), lit("\t"), $"text").as("value"))
-      .repartition(files, $"doc_id")
-      .select("value")
-    val malformed = Seq("no tab here", "xyz\t", "not_a_number\tsome text")
-    lines.unionAll(malformed.toDF("value").coalesce(1))
-      .write.mode("overwrite").text(in)
-    val nDocs = base.count()
-    val nDupes = dupes.count()
+    val (nDocs, nDupes, nMalformedLines) = buildBacklog(spark, data, in, files, dupDocs)
     val backlogSec = (System.nanoTime() - t0) / 1e9
 
     // ---- phase 1: drain until `restartAfter` micro-batches, then stop
@@ -134,28 +176,12 @@ object SoakMain {
     // ---- batch twin, independent formulation (same shape as
     // IngestSoakSpec: batch qualityScore API vs the stream's inline gate)
     val t3 = System.nanoTime()
-    val raw = spark.read.text(in)
-    val parsed = raw.select(
-      expr("try_cast(get(split(value, '\t'), 0) AS bigint)").as("doc_id"),
-      get(split($"value", "\t"), lit(1)).as("text"))
-    val rowsIn = raw.count()
-    val nMalformed = parsed.filter($"doc_id".isNull || $"text".isNull).count()
-    val wellFormed = parsed.filter($"doc_id".isNotNull && $"text".isNotNull)
-    val keptIds = TextAnalysis.qualityScore(wellFormed).filter($"keep").select("doc_id")
-    val nKept = wellFormed.join(keptIds.distinct(), "doc_id").count()
-    val nDistinctKept = keptIds.distinct().count()
-    val written = spark.read.parquet(s"$out/data")
-    val nWritten = written.count()
-    val piiLeaks = written.filter($"text_redacted".rlike(TextAnalysis.EmailRe)).count()
+    val checks = twinChecks(spark, in, out, funnel,
+      nDocs + nDupes + nMalformedLines)
+    val nWritten = checks.collectFirst {
+      case ("written_vs_distinct_kept", w, _) => w }.get
     val twinSec = (System.nanoTime() - t3) / 1e9
 
-    val checks = Seq(
-      ("rows_in", funnel("rows_in"), rowsIn),
-      ("rows_malformed", funnel("rows_malformed"), nMalformed),
-      ("rows_kept", funnel("rows_kept"), nKept),
-      ("written_vs_distinct_kept", nWritten, nDistinctKept),
-      ("pii_leaks", piiLeaks, 0L),
-      ("backlog_docs", funnel("rows_in"), nDocs + nDupes + malformed.length))
     val failed = checks.filter { case (_, a0, b0) => a0 != b0 }
     failed.foreach { case (n, a0, b0) =>
       System.err.println(s"[soak] MISMATCH $n: streamed=$a0 batch=$b0") }

@@ -35,6 +35,13 @@ final class FunnelListener extends StreamingQueryListener {
   private val perBatch =
     new ConcurrentHashMap[(UUID, String, String, Long), Long]
   private val done = ConcurrentHashMap.newKeySet[UUID]()
+  // Per-batch state-store footprint keyed by query id (restart-stable),
+  // summed over the batch's state operators: (rows, memBytes, sstBytes).
+  // Same last-delivery-wins replay semantics as `perBatch`; bounded by
+  // drain length. sstBytes is the RocksDB provider's `rocksdbSstFileSize`
+  // custom metric (0 under the default in-heap provider).
+  private val stateByBatch =
+    new ConcurrentHashMap[(UUID, Long), (Long, Long, Long)]
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
@@ -47,7 +54,25 @@ final class FunnelListener extends StreamingQueryListener {
           record(p.id, p.runId, obs, f.name, p.batchId, row.getLong(i))
       }
     }
+    if (p.stateOperators != null && p.stateOperators.nonEmpty) {
+      var rows = 0L; var mem = 0L; var sst = 0L
+      p.stateOperators.foreach { so =>
+        rows += so.numRowsTotal
+        mem += so.memoryUsedBytes
+        val m = so.customMetrics
+        if (m != null) sst += m.getOrDefault("rocksdbSstFileSize", 0L)
+      }
+      recordState(p.id, p.batchId, rows, mem, sst)
+    }
   }
+
+  /** One batch's summed state-operator footprint — factored out of the
+    * event handler for the same reason as [[record]]: replay (last
+    * delivery wins) semantics need a unit test and the progress event
+    * cannot be fabricated. */
+  private[streaming] def recordState(queryId: UUID, batchId: Long,
+                                     rows: Long, mem: Long, sst: Long): Unit =
+    stateByBatch.put((queryId, batchId), (rows, mem, sst))
 
   /** One observed long landing from one micro-batch's progress event —
     * factored out of the event handler so the per-run vs per-batch
@@ -83,6 +108,20 @@ final class FunnelListener extends StreamingQueryListener {
       if (k._1 == queryId && k._2 == obs && k._3 == field) sum += v
     }
     sum
+  }
+
+  /** State-footprint series for a query, ordered by batchId: each entry
+    * is (batchId, stateRows, memoryBytes, sstFileBytes). The boundedness
+    * a long soak asserts — the dedup watermark EVICTING (peak rows well
+    * below total distinct keys seen) — is only visible as a series;
+    * point-in-time `lastProgress` cannot distinguish a plateau from
+    * monotone growth. */
+  def stateSeries(queryId: UUID): Seq[(Long, Long, Long, Long)] = {
+    val b = Seq.newBuilder[(Long, Long, Long, Long)]
+    stateByBatch.forEach { (k, v) =>
+      if (k._1 == queryId) b += ((k._2, v._1, v._2, v._3))
+    }
+    b.result().sortBy(_._1)
   }
 
   /** The listener bus is async: progress events for the final batch can

@@ -46,4 +46,21 @@ class FunnelListenerSpec extends AnyFunSuite {
     // a metric that never fired reads 0, mirroring total()
     assert(l.totalByBatch(qb, "gated", "rows_in") === 0L)
   }
+
+  test("stateSeries orders by batch, dedups replays, separates queries") {
+    val l = new FunnelListener
+    val qa = UUID.randomUUID()
+    val qb = UUID.randomUUID()
+    // out-of-order delivery (the listener bus is async w.r.t. the
+    // driver); batch 1 replayed after a restart with identical footprint
+    l.recordState(qa, 2L, 300L, 3000L, 30L)
+    l.recordState(qa, 0L, 100L, 1000L, 10L)
+    l.recordState(qa, 1L, 200L, 2000L, 20L)
+    l.recordState(qa, 1L, 200L, 2000L, 20L) // replay: last wins, no dup
+    l.recordState(qb, 0L, 999L, 9990L, 99L)
+    assert(l.stateSeries(qa) === Seq(
+      (0L, 100L, 1000L, 10L), (1L, 200L, 2000L, 20L), (2L, 300L, 3000L, 30L)))
+    assert(l.stateSeries(qb) === Seq((0L, 999L, 9990L, 99L)))
+    assert(l.stateSeries(UUID.randomUUID()).isEmpty)
+  }
 }

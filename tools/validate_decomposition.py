@@ -33,6 +33,7 @@ REGISTRY = [
     ("sf100_mm_inc_oracle.py", [], {}),
     ("sf100_recall_oracle.py", [], {}),
     ("sf10_vocab_oracle.py", [], {}),
+    ("agreement_oracle.py", [], {}),
 ]
 
 
@@ -40,7 +41,14 @@ def run_one(script, sf_dir, out_dir, extra, env_over):
     env = dict(os.environ, VALIDATE="1", **env_over)
     cmd = [sys.executable, os.path.join(HERE, script), sf_dir, out_dir] + extra
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
-    ok = r.returncode == 0 and "ALL GREEN" in r.stdout
+    # Green = clean exit + at least one per-query OK + no per-query FAIL.
+    # (Most tools also print a final "ALL GREEN" banner, but
+    # sf10_vocab_oracle's single-query path doesn't — requiring the
+    # banner marked a genuinely green run as FAIL in r13.)
+    lines = r.stdout.splitlines()
+    n_ok = sum(1 for l in lines if l.startswith("OK "))
+    n_fail = sum(1 for l in lines if l.startswith("FAIL"))
+    ok = r.returncode == 0 and n_ok > 0 and n_fail == 0
     return ok, r.stdout + r.stderr
 
 
