@@ -201,6 +201,30 @@ object Bench {
     flagged.partition { case (_, p, sec) => sec > band * 1.5 * p }
   }
 
+  /** Fixed single-thread CPU anchor: seconds for 100M rounds of a
+    * 64-bit mix loop, JIT-warmed by one untimed pass. Captures host
+    * speed alongside each bench so a cross-round total shift can be
+    * attributed (r13: a fresh VM ran the unchanged suite 1.31x slower
+    * than r12's — diagnosed by hand from sbt-test wall time; this field
+    * makes that one division). Pure ALU+register work: no allocation,
+    * no memory traffic, immune to page-cache state. */
+  def cpuAnchorSec(): Double = {
+    def pass(): Long = {
+      var h = 0x9E3779B97F4A7C15L
+      var i = 0L
+      while (i < 100000000L) {
+        h ^= i; h *= 0xC2B2AE3D27D4EB4FL; h ^= (h >>> 29); i += 1
+      }
+      h
+    }
+    val warm = pass()
+    val t0 = System.nanoTime()
+    val timed = pass()
+    val sec = (System.nanoTime() - t0) / 1e9
+    require(warm == timed, "anchor loop is deterministic") // also defeats DCE
+    math.rint(sec * 1000) / 1000
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -230,6 +254,7 @@ object Bench {
     // Sampled BEFORE the session builds: ambient load from other
     // processes, not this bench's own warm-up.
     val load0 = loadAvgStart()
+    val anchor = cpuAnchorSec()
     // Contention denominator defaults to the REAL core count: with the
     // old hard-coded 4, a capture on the 32-core driver host started
     // without SPARK_GRAFT_CPUS flagged contended at load > 0.5 — i.e.
@@ -425,7 +450,7 @@ object Bench {
       s""""$n":{"kind":"scaling","base":$b,"now":$c,"bound":$bound}"""
     }).mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","sf":"$sfDir","cpus":$cpus,"load_avg_start":$load0,"contended":${isContended(load0, cpus)},"errors":$errJson,"regressed":$regJson,"scaling":$scJson,"needs_standalone":$nsJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
+      s"""{"metric":"total","sf":"$sfDir","cpus":$cpus,"load_avg_start":$load0,"cpu_anchor_sec":$anchor,"contended":${isContended(load0, cpus)},"errors":$errJson,"regressed":$regJson,"scaling":$scJson,"needs_standalone":$nsJson,"exchanges":$exJson,"shuffle_mb":$shJson,"sp1_unbounded":$spJson,"memo_sec":$memoJson,"queries":$qs,"value":$total,"unit":"sec"}"""
     // r10/r11 both had the driver's contended run overwrite the quiet
     // committed baseline in the worktree — see captureWritePath.
     val writePath = captureWritePath(isContended(load0, cpus),

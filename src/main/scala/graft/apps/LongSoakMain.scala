@@ -88,6 +88,39 @@ object LongSoakMain {
     (if (firstBatch < 0) 0L else lastBatch - firstBatch + 1, drainedNow())
   }
 
+  /** The multi-restart drain: run phases of at most `restartEvery`
+    * batches, stopping the query BETWEEN batches and resuming from the
+    * same checkpoint, until the funnel shows the whole backlog consumed.
+    * Returns (queryId, per-phase batch counts); phase count - 1 is the
+    * number of checkpoint restarts exercised. Factored out of main so
+    * the restart/drain-detection logic is integration-testable at spec
+    * scale (seconds) — the 30-min soak is the same code at a longer
+    * trigger. */
+  private[apps] def drainWithRestarts(spark: SparkSession, in: String,
+                                      out: String, perTrigger: Int,
+                                      triggerMs: Long, restartEvery: Long,
+                                      maxPhases: Int, expectedRows: Long,
+                                      listener: graft.streaming.FunnelListener)
+      : (UUID, Seq[Long]) = {
+    val phaseTimeoutMs = restartEvery * triggerMs * 5 + 300000L
+    var queryId: UUID = null
+    var drained = false
+    val phaseBatches = Seq.newBuilder[Long]
+    var phases = 0
+    while (!drained && phases < maxPhases) {
+      val q = startThrottled(spark, in, out, perTrigger, triggerMs)
+      if (queryId == null) queryId = q.id
+      require(q.id == queryId, "checkpoint resume changed the query id")
+      val (batches, d) = runPhase(q, listener, queryId, expectedRows,
+        restartEvery, phaseTimeoutMs)
+      phaseBatches += batches
+      drained = d
+      phases += 1
+    }
+    require(drained, s"backlog not drained after $maxPhases phases")
+    (queryId, phaseBatches.result())
+  }
+
   private def startThrottled(spark: SparkSession, in: String, out: String,
                              perTrigger: Int, triggerMs: Long) =
     IngestMain.transform(
@@ -132,27 +165,11 @@ object LongSoakMain {
     val backlogSec = (System.nanoTime() - t0) / 1e9
 
     val listener = new graft.streaming.FunnelListener().register(spark)
-    // Generous per-phase ceiling: the pacing trigger bounds batch rate,
-    // so a phase is ~restartEvery × triggerMs plus slack for slow batches.
-    val phaseTimeoutMs = restartEvery * triggerMs * 5 + 300000L
-
     val t1 = System.nanoTime()
-    var queryId: UUID = null
-    var drained = false
-    var phases = 0
-    val phaseBatches = Seq.newBuilder[Long]
-    while (!drained && phases < maxPhases) {
-      val q = startThrottled(spark, in, out, perTrigger, triggerMs)
-      if (queryId == null) queryId = q.id
-      require(q.id == queryId, "checkpoint resume changed the query id")
-      val (batches, d) = runPhase(q, listener, queryId, expectedRows,
-        restartEvery, phaseTimeoutMs)
-      phaseBatches += batches
-      drained = d
-      phases += 1
-    }
+    val (queryId, batchesPerPhase) = drainWithRestarts(spark, in, out,
+      perTrigger, triggerMs, restartEvery, maxPhases, expectedRows, listener)
     val drainSec = (System.nanoTime() - t1) / 1e9
-    require(drained, s"backlog not drained after $maxPhases phases")
+    val phases = batchesPerPhase.length
     val restarts = phases - 1
     require(restarts >= minRestarts,
       s"only $restarts restarts — raise --files / --restart-every so the " +
@@ -200,7 +217,7 @@ object LongSoakMain {
       s""""dup_lines":$nDupes,"files":$files,"files_per_trigger":$perTrigger,""" +
       s""""trigger_ms":$triggerMs,"restart_every":$restartEvery,""" +
       s""""phases":$phases,"restarts":$restarts,""" +
-      s""""phase_batches":${phaseBatches.result().mkString("[", ",", "]")},""" +
+      s""""phase_batches":${batchesPerPhase.mkString("[", ",", "]")},""" +
       s""""state_store":"rocksdb-changelog","maintenance_interval_s":30,""" +
       s""""rows_in":${funnel("rows_in")},"rows_malformed":${funnel("rows_malformed")},""" +
       s""""rows_kept":${funnel("rows_kept")},""" +

@@ -152,4 +152,14 @@ class BenchLintSpec extends AnyFunSuite {
       "new" -> 9.9)   // no prior → nothing to compare
     assert(Bench.regressions(prior, now) === Seq(("slow", 1.0, 2.2)))
   }
+
+  test("cpu anchor: positive, bounded, repeatable within noise") {
+    val a = Bench.cpuAnchorSec()
+    val b = Bench.cpuAnchorSec()
+    // ~0.1-1 s on any plausible host; 10 s would mean the loop was
+    // deoptimized (anchor useless), 0 would mean it was folded away
+    assert(a > 0.01 && a < 10.0, s"anchor out of range: $a")
+    // same JVM, back-to-back: a >2x swing would make the field noise
+    assert(math.max(a, b) / math.min(a, b) < 2.0, s"anchor unstable: $a vs $b")
+  }
 }

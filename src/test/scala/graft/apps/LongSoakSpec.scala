@@ -1,0 +1,85 @@
+package graft.apps
+
+import graft.SparkSuite
+import graft.core.Tables
+
+/** Spec-scale twin of the 30-minute endurance soak (SOAK_LONG_R13.json):
+  * [[LongSoakMain.drainWithRestarts]] at a fast trigger over a small
+  * backlog — the SAME multi-restart drain loop, RocksDB state store, and
+  * state-series capture, so the restart/drain-detection logic stays
+  * covered by `sbt test` between the (manual, tagged) long runs. The
+  * endurance-only assertions (wall >= 30 min, eviction plateau) live in
+  * the long run; what a fast drain CAN prove is asserted here: multiple
+  * genuine checkpoint resume cycles, exact funnel across all of them,
+  * and a non-empty bounded state series. */
+class LongSoakSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("multi-restart drain: >=2 resumes, exact funnel, state series captured") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val work = java.nio.file.Files.createTempDirectory("graft-minisoak").toString
+    val in = s"$work/in"
+    val out = s"$work/out"
+    val data = "/root/testdata/sf0.01"
+    val (nDocs, nDupes, nMalformed) =
+      SoakMain.buildBacklog(spark, data, in, files = 12, dupDocs = 50)
+    val expected = nDocs + nDupes + nMalformed
+
+    val listener = new graft.streaming.FunnelListener().register(spark)
+    try {
+      val (queryId, batchesPerPhase) = LongSoakMain.drainWithRestarts(
+        spark, in, out, perTrigger = 1, triggerMs = 200L,
+        restartEvery = 3L, maxPhases = 12, expectedRows = expected,
+        listener = listener)
+      // 12 files at 1/trigger, restart every 3 batches → ≥3 phases
+      assert(batchesPerPhase.length >= 3,
+        s"expected >=2 restarts, got phases=$batchesPerPhase")
+      assert(batchesPerPhase.init.forall(_ >= 1))
+      // funnel exact across every resume, batchId-deduplicated
+      assert(listener.totalByBatch(queryId, "ingest_parsed", "rows_in")
+        === expected)
+      assert(listener.totalByBatch(queryId, "ingest_parsed", "rows_malformed")
+        === nMalformed.toLong)
+      // the written sink equals the distinct kept set (exactly-once
+      // across restarts), via the same twin SoakMain/LongSoakMain use
+      val funnel = Map(
+        "rows_in" -> listener.totalByBatch(queryId, "ingest_parsed", "rows_in"),
+        "rows_malformed" -> listener.totalByBatch(queryId, "ingest_parsed", "rows_malformed"),
+        "rows_kept" -> listener.totalByBatch(queryId, "ingest_gated", "rows_kept"))
+      val checks = SoakMain.twinChecks(spark, in, out, funnel, expected)
+      assert(checks.filter { case (_, a, b) => a != b } === Seq.empty)
+      // state series: captured for the dedup operator, bounded by the
+      // number of well-formed rows it ever saw
+      val series = listener.stateSeries(queryId)
+      assert(series.nonEmpty)
+      assert(series.map(_._2).max <= nDocs + nDupes)
+      assert(series.map(_._1) === series.map(_._1).sorted)
+    } finally {
+      spark.streams.removeListener(listener)
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  test("drainWithRestarts fails loudly when the backlog cannot drain in maxPhases") {
+    val work = java.nio.file.Files.createTempDirectory("graft-minisoak2").toString
+    val in = s"$work/in"
+    // 6 single-line files; expectedRows of MORE than the backlog can
+    // ever deliver → drained is never reached and maxPhases trips
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(in))
+    (0 until 6).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(in, s"f$i.txt"),
+        s"$i\tdoc number $i with some filler text\n")
+    }
+    val listener = new graft.streaming.FunnelListener().register(spark)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LongSoakMain.drainWithRestarts(spark, in, s"$work/out",
+          perTrigger = 1, triggerMs = 100L, restartEvery = 2L,
+          maxPhases = 2, expectedRows = Long.MaxValue, listener = listener)
+      }
+      assert(e.getMessage.contains("not drained"))
+    } finally spark.streams.removeListener(listener)
+  }
+}
