@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Throughput GC for a batch engine: G1 (the JDK 17 default) optimizes
+  // pause times nobody here observes; ParallelGC measured 6-9% faster on
+  // the full 156-query sf0.1 suite at every heap size tried (A/B in
+  // round 13: 69.0->64.7s at 16g, 66.2->60.6s at 32g), and the larger
+  // default heap is another ~4% (the old 8g default spent it on GC).
+  "-XX:+UseParallelGC",
 )

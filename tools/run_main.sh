@@ -3,7 +3,7 @@
 # background runs). Usage: run_main.sh [-mXmx] <mainClass> [args...]
 # Env passthrough: SPARK_GRAFT_* vars work as with sbt runMain.
 set -euo pipefail
-MEM="${SPARK_DRIVER_MEM:-8g}"
+MEM="${SPARK_DRIVER_MEM:-32g}"  # matches build.sbt default (r13)
 # Match the driver's environment (local[32]); GraftSession's own default
 # is 4, which silently produced 4-thread "regressions" in CPU-dense
 # kernels the first time this script forgot to set it.
@@ -22,6 +22,8 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java -cp "$CP" $ADD_OPENS \
+# ParallelGC: matches build.sbt javaOptions (6-9% faster than G1 on the
+# full suite, measured r13) so sbt-run and script-run captures agree.
+exec java -cp "$CP" $ADD_OPENS -XX:+UseParallelGC \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"$MEM" "$@"
