@@ -603,6 +603,15 @@ object SparkEntry {
     "q_pair_volume" -> ((s, d) =>
       Dedup.lshPairVolume(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
         maxBucket = LshMaxBucket)),
+    // the production pairing at 100 TB: one representative per content
+    // class enters the banding, class pairs carry implied member-pair
+    // counts — candidate volume is O(classes²) regardless of how
+    // duplicate-dense the corpus is (the raw q_minhash_lsh_pairs hits a
+    // ~47 GB scratch wall at sf100; this is its scale-correct variant,
+    // sum(member_pairs) == the raw pair count by construction)
+    "q_pair_repr" -> ((s, d) =>
+      Dedup.lshReprPairs(Tables.documents(s, d), n = 2, k = 6, rowsPerBand = 2,
+        maxBucket = LshMaxBucket)),
     // production pipeline order: EXACT dedup first, THEN near-dup
     // pairing — byte-identical copies collapse before the quadratic
     // pair stage ever sees them. Dense duplication makes raw pair
@@ -2358,6 +2367,36 @@ object SparkEntry {
          |       cast(count(CASE WHEN sz > $LshMaxBucket THEN 1 END) AS bigint) AS buckets_over_cap,
          |       cast(count(CASE WHEN sz BETWEEN 2 AND $LshMaxBucket THEN 1 END) AS bigint) AS buckets_pairing
          |FROM bs""".stripMargin,
+    // class-representative pairing: same signature CTEs over ONE doc per
+    // distinct text, bucket cap on MEMBER-weighted size, class pairs
+    // expanded to implied member-pair counts (never to member rows) —
+    // sum(member_pairs) == count(q_minhash_lsh_pairs) by construction
+    "q_pair_repr" ->
+      s"""WITH cls AS (SELECT min(doc_id) AS doc_id, count(*) AS m, text
+         |             FROM documents GROUP BY text),
+         |t AS (SELECT doc_id, $DuckToks AS tk FROM cls),
+         |sh AS (SELECT doc_id, unnest(list_distinct($DuckBigrams)) AS shingle FROM t),
+         |sig AS (SELECT doc_id,
+         |               min(md5('0:' || shingle)) AS mh_0, min(md5('1:' || shingle)) AS mh_1,
+         |               min(md5('2:' || shingle)) AS mh_2, min(md5('3:' || shingle)) AS mh_3,
+         |               min(md5('4:' || shingle)) AS mh_4, min(md5('5:' || shingle)) AS mh_5
+         |        FROM sh GROUP BY doc_id),
+         |bands AS (SELECT 0 AS band, mh_0 || '|' || mh_1 AS band_key, doc_id FROM sig
+         |          UNION ALL SELECT 1, mh_2 || '|' || mh_3, doc_id FROM sig
+         |          UNION ALL SELECT 2, mh_4 || '|' || mh_5, doc_id FROM sig),
+         |ok AS (SELECT band, band_key FROM bands JOIN cls USING (doc_id)
+         |       GROUP BY band, band_key HAVING sum(m) BETWEEN 2 AND $LshMaxBucket),
+         |rp AS (SELECT DISTINCT a.doc_id AS repr_a, b.doc_id AS repr_b
+         |       FROM bands a JOIN bands b
+         |         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <= b.doc_id
+         |       JOIN ok ON a.band = ok.band AND a.band_key = ok.band_key)
+         |SELECT repr_a, repr_b, ca.m AS n_a, cb.m AS n_b, member_pairs
+         |FROM rp JOIN cls ca ON ca.doc_id = rp.repr_a
+         |        JOIN cls cb ON cb.doc_id = rp.repr_b
+         |CROSS JOIN LATERAL (SELECT CASE WHEN repr_a = repr_b
+         |                      THEN ca.m * (ca.m - 1) // 2
+         |                      ELSE ca.m * cb.m END AS member_pairs) mp
+         |WHERE member_pairs > 0""".stripMargin,
     "q_neardup_after_exact" ->
       s"""WITH kept AS (SELECT min(doc_id) AS doc_id FROM documents
          |              GROUP BY md5(text)),

@@ -53,13 +53,16 @@ object LongSoakMain {
 
   /** Poll until this run has either drained the backlog (funnel rows_in
     * reaches `expectedRows`) or completed `restartEvery` NEW batches,
-    * then stop it between batches. Returns (batchesThisRun, drained). */
+    * then stop it between batches. Returns (batchesThisRun, drained).
+    * Batch counting comes from the listener's per-run batch census
+    * (dedup'd by batchId), NOT from sampling `lastProgress`: at a fast
+    * trigger, batches completed before the first poll or between polls
+    * would be silently missed by the sampling form (the r13 advisory),
+    * overshooting `restartEvery` and flaking the per-phase >= 1 assert. */
   private def runPhase(q: StreamingQuery, listener: graft.streaming.FunnelListener,
                        queryId: UUID, expectedRows: Long, restartEvery: Long,
                        phaseTimeoutMs: Long): (Long, Boolean) = {
     val deadline = System.nanoTime() + phaseTimeoutMs * 1000000L
-    var firstBatch = -1L
-    var lastBatch = -1L
     def drainedNow(): Boolean =
       listener.totalByBatch(queryId, "ingest_parsed", "rows_in") >= expectedRows
     var stop = false
@@ -67,12 +70,7 @@ object LongSoakMain {
       if (!q.isActive)
         throw q.exception
           .getOrElse(new IllegalStateException("query died without exception"))
-      val p = q.lastProgress
-      if (p != null) {
-        if (firstBatch < 0) firstBatch = p.batchId
-        lastBatch = p.batchId
-      }
-      val batches = if (firstBatch < 0) 0L else lastBatch - firstBatch + 1
+      val batches = listener.batchCount(q.runId)
       if (drainedNow() || batches >= restartEvery) stop = true
       else if (System.nanoTime() > deadline)
         throw new IllegalStateException(
@@ -83,9 +81,9 @@ object LongSoakMain {
     q.awaitTermination()
     require(listener.awaitTerminated(q.runId),
       s"termination event lost for run ${q.runId}")
-    // The final totals (post-termination listener flush) decide drained —
+    // The final census (post-termination listener flush) decides both —
     // a batch committed during stop() must count.
-    (if (firstBatch < 0) 0L else lastBatch - firstBatch + 1, drainedNow())
+    (listener.batchCount(q.runId), drainedNow())
   }
 
   /** The multi-restart drain: run phases of at most `restartEvery`
@@ -119,6 +117,56 @@ object LongSoakMain {
     }
     require(drained, s"backlog not drained after $maxPhases phases")
     (queryId, phaseBatches.result())
+  }
+
+  /** One checkpoint-state file census: recursive walk of the
+    * checkpoint directory counting RocksDB artifact files by kind —
+    * (sstFiles, zipFiles, changelogFiles, totalFiles). SST + zip files
+    * are the uploaded snapshots, changelogs the per-batch deltas;
+    * maintenance must DELETE superseded ones, so an unbounded census
+    * over a multi-hour soak is compaction/cleanup debt even when every
+    * per-batch metric looks healthy. Driver-side walk of a few thousand
+    * files per sample — negligible next to a 6 s trigger. */
+  private[apps] def checkpointCensus(dir: java.nio.file.Path): (Long, Long, Long, Long) = {
+    var sst = 0L; var zip = 0L; var chg = 0L; var all = 0L
+    if (java.nio.file.Files.isDirectory(dir)) {
+      val stream = java.nio.file.Files.walk(dir)
+      try {
+        stream.forEach { p =>
+          if (java.nio.file.Files.isRegularFile(p)) {
+            all += 1
+            val n = p.getFileName.toString
+            if (n.endsWith(".sst")) sst += 1
+            else if (n.endsWith(".zip")) zip += 1
+            else if (n.endsWith(".changelog")) chg += 1
+          }
+        }
+      } finally stream.close()
+    }
+    (sst, zip, chg, all)
+  }
+
+  /** Periodic checkpoint census on a daemon thread; `stop()` returns the
+    * collected (elapsedSec, sst, zip, changelog, total) samples. */
+  private[apps] final class CensusPoller(dir: java.nio.file.Path, intervalMs: Long) {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    @volatile private var running = true
+    private val t0 = System.nanoTime()
+    private val th = new Thread(() => {
+      while (running) {
+        val (s, z, c, a) = try checkpointCensus(dir) catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
+        buf.synchronized { buf += (((System.nanoTime() - t0) / 1000000000L, s, z, c, a)) }
+        val deadline = System.nanoTime() + intervalMs * 1000000L
+        while (running && System.nanoTime() < deadline) Thread.sleep(200)
+      }
+    }, "graft-census-poller")
+    th.setDaemon(true)
+    th.start()
+    def stop(): Seq[(Long, Long, Long, Long, Long)] = {
+      running = false
+      th.join(5000)
+      buf.synchronized { buf.toSeq }
+    }
   }
 
   private def startThrottled(spark: SparkSession, in: String, out: String,
@@ -166,8 +214,12 @@ object LongSoakMain {
 
     val listener = new graft.streaming.FunnelListener().register(spark)
     val t1 = System.nanoTime()
+    // Census cadence = the maintenance interval, so sample count ≈
+    // maintenance cycles observed.
+    val poller = new CensusPoller(java.nio.file.Path.of(out, "checkpoint"), 30000L)
     val (queryId, batchesPerPhase) = drainWithRestarts(spark, in, out,
       perTrigger, triggerMs, restartEvery, maxPhases, expectedRows, listener)
+    val census = poller.stop()
     val drainSec = (System.nanoTime() - t1) / 1e9
     val phases = batchesPerPhase.length
     val restarts = phases - 1
@@ -193,14 +245,42 @@ object LongSoakMain {
     val peakRows = series.map(_._2).max
     val peakSst = series.map(_._4).max
     val n = series.length
-    val midPeak = series.slice(n / 3, 2 * n / 3).map(_._2).foldLeft(0L)(math.max)
-    val latePeak = series.drop(2 * n / 3).map(_._2).foldLeft(0L)(math.max)
+    def windowPeak[A](xs: Seq[A])(f: A => Long): (Long, Long) = {
+      val m = xs.length
+      (xs.slice(m / 3, 2 * m / 3).map(f).foldLeft(0L)(math.max),
+       xs.drop(2 * m / 3).map(f).foldLeft(0L)(math.max))
+    }
+    val (midPeak, latePeak) = windowPeak(series)(_._2)
     val distinctKeys = nDocs // every doc_id enters the dedup state once
     val stateViolations = Seq.newBuilder[String]
     if (peakRows * 2 >= distinctKeys)
       stateViolations += s"peak state rows $peakRows >= half of $distinctKeys keys — eviction not working"
     if (midPeak > 0 && latePeak > midPeak * 2)
       stateViolations += s"late-run peak $latePeak > 2x mid-run peak $midPeak — state growing, not plateaued"
+    // Snapshot-upload lag (versions behind) from the SnapshotLastUploaded
+    // instance metrics: uploads must KEEP UP — a drifting lag series is
+    // snapshot debt that a restart pays as changelog replay time. The
+    // floor (60 versions) absorbs the legitimate oscillation set by
+    // minDeltasForSnapshot + batches-per-maintenance-cycle.
+    val lags = series.filter(_._5 >= 0)
+    val (midLag, lateLag) = windowPeak(lags)(_._5)
+    val peakLag = lags.map(_._5).foldLeft(-1L)(math.max)
+    if (lags.length >= 12 && lateLag > math.max(2 * midLag, 60L))
+      stateViolations += s"late-run snapshot lag $lateLag versions > max(2x mid $midLag, 60) — uploads not keeping up"
+    // Checkpoint file census (SST / zip / changelog counts): maintenance
+    // must delete superseded snapshot files and old changelogs, so the
+    // census plateaus; monotone growth is cleanup/compaction debt. Only
+    // asserted with >= 12 samples (>= ~6 min of 30 s maintenance
+    // cycles) — spec-scale drains are over before the pattern exists.
+    val cOk = census.filter(_._2 >= 0)
+    val (midSstN, lateSstN) = windowPeak(cOk)(_._2)
+    val (midChg, lateChg) = windowPeak(cOk)(_._4)
+    if (cOk.length >= 12) {
+      if (lateSstN > math.max(2 * midSstN, 64L))
+        stateViolations += s"late-run checkpoint SST count $lateSstN > max(2x mid $midSstN, 64) — snapshot cleanup debt"
+      if (lateChg > math.max(2 * midChg, 256L))
+        stateViolations += s"late-run changelog count $lateChg > max(2x mid $midChg, 256) — changelog cleanup debt"
+    }
     val sv = stateViolations.result()
     sv.foreach(v => System.err.println(s"[long-soak] STATE: $v"))
 
@@ -208,8 +288,14 @@ object LongSoakMain {
     // keeping the last); full series lives only in memory by design.
     val step = math.max(1, n / 40)
     val sampled = (series.indices by step).map(series) :+ series.last
-    val seriesJson = sampled.distinct.map { case (b, r, m, s) =>
-      s"""[$b,$r,$m,$s]""" }.mkString("[", ",", "]")
+    val seriesJson = sampled.distinct.map { case (b, r, m, s, lg) =>
+      s"""[$b,$r,$m,$s,$lg]""" }.mkString("[", ",", "]")
+    val cStep = math.max(1, cOk.length / 40)
+    val cSampled =
+      if (cOk.isEmpty) Seq.empty
+      else ((cOk.indices by cStep).map(cOk) :+ cOk.last).distinct
+    val censusJson = cSampled.map { case (t, s, z, c, a) =>
+      s"""[$t,$s,$z,$c,$a]""" }.mkString("[", ",", "]")
 
     val ok = failedTwin.isEmpty && sv.isEmpty
     val json =
@@ -223,7 +309,12 @@ object LongSoakMain {
       s""""rows_kept":${funnel("rows_kept")},""" +
       s""""peak_state_rows":$peakRows,"peak_sst_bytes":$peakSst,""" +
       s""""mid_peak_rows":$midPeak,"late_peak_rows":$latePeak,""" +
-      s""""state_series_batch_rows_mem_sst":$seriesJson,""" +
+      s""""peak_snapshot_lag":$peakLag,"mid_peak_lag":$midLag,"late_peak_lag":$lateLag,""" +
+      s""""census_samples":${cOk.length},""" +
+      s""""mid_sst_files":$midSstN,"late_sst_files":$lateSstN,""" +
+      s""""mid_changelogs":$midChg,"late_changelogs":$lateChg,""" +
+      s""""census_sec_sst_zip_chg_all":$censusJson,""" +
+      s""""state_series_batch_rows_mem_sst_lag":$seriesJson,""" +
       s""""backlog_sec":${math.rint(backlogSec * 10) / 10},""" +
       s""""drain_sec":${math.rint(drainSec * 10) / 10},""" +
       s""""funnel_match":$ok}"""

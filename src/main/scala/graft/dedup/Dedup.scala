@@ -163,6 +163,70 @@ object Dedup {
       .distinct()
   }
 
+  /** Class-representative LSH pairing — the production mitigation for
+    * pair-materialization blowup on duplicate-dense corpora. Every
+    * signature here is a function of TEXT CONTENT only, so byte-identical
+    * documents share all band keys and the raw member-level candidate set
+    * of [[minhashLshPairs]] is exactly the expansion of a CLASS-level
+    * pair table: group documents into content classes (distinct text),
+    * band ONE representative per class, weight every bucket-size decision
+    * by MEMBER count (so the `maxBucket` skew guard admits and drops
+    * precisely the buckets the raw operator would), and emit class pairs
+    * with their implied member-pair counts instead of the members.
+    *
+    * Exactness invariant (spec-asserted): member pair (a, b) is a raw
+    * candidate iff cls(a), cls(b) share a band bucket whose member-
+    * weighted size lies in [2, maxBucket] — exactly the survival
+    * condition of the class pair here — and distinct class pairs expand
+    * to disjoint member-pair sets, so
+    * `sum(member_pairs) == count(minhashLshPairs(df))`.
+    *
+    * Scale: candidate volume collapses from O(Σ C(bucket_members, 2)) to
+    * O(Σ C(bucket_classes, 2)). On the GenScale replica the member count
+    * grows with the scale factor while the class count stays fixed, so
+    * the raw operator's output grows ~quadratically (1.92B candidates,
+    * ~47 GB scratch at sf100) while this one's stays CONSTANT — the
+    * pre-aggregation (one exact-dedup-shaped shuffle on text) is the only
+    * stage that sees every row. This is the pairing a 100 TB dedup job
+    * should run; the raw member expansion exists for pipelines that need
+    * per-member pair rows downstream.
+    *
+    * Output: repr_a <= repr_b (class representatives = min doc_id per
+    * class), member counts n_a / n_b, and member_pairs = n_a * n_b for
+    * distinct classes or C(n_a, 2) within one class; rows implying zero
+    * member pairs (a singleton class sharing a bucket) are dropped. */
+  def lshReprPairs(df: DataFrame, n: Int, k: Int, rowsPerBand: Int,
+                   maxBucket: Int = 1000): DataFrame = {
+    val cls = df.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
+    // Band the representatives only; rejoin the member count (the class
+    // table is orders of magnitude smaller than the corpus — AQE
+    // broadcasts it when it fits).
+    val bands = bandFrame(cls.select("doc_id", "text"), n, k, rowsPerBand)
+      .join(cls.select("doc_id", "m"), Seq("doc_id"))
+    // Pair generation in the reducer, self-pair included: element i also
+    // pairs with itself (slice is 1-based, so element i sits at i+1),
+    // carrying the intra-class C(m,2) member pairs.
+    val ids = col("ids")
+    val reprPairs = flatten(transform(ids, (a, i) =>
+      transform(slice(ids, i + 1, size(ids) - i),
+        b => struct(a("doc_id").as("repr_a"), b("doc_id").as("repr_b"),
+          a("m").as("n_a"), b("m").as("n_b")))))
+    bands.groupBy("band", "band_key")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("m")))).as("ids"),
+        sum(col("m")).as("members"))
+      .filter(col("members").between(2, maxBucket))
+      .select(explode(reprPairs).as("p"))
+      .select(col("p.repr_a").as("repr_a"), col("p.repr_b").as("repr_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .distinct()
+      .withColumn("member_pairs",
+        when(col("repr_a") === col("repr_b"),
+          (col("n_a") * (col("n_a") - 1) / 2).cast("bigint"))
+          .otherwise(col("n_a") * col("n_b")))
+      .filter(col("member_pairs") > 0)
+  }
+
   /** SimHash (default 64-bit, as a hex string): per document, bit b is
     * the majority vote of bit b of md5(token) across all token
     * occurrences. Hamming-close simhashes ⇒ similar token distributions.

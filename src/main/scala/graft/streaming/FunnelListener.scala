@@ -35,18 +35,29 @@ final class FunnelListener extends StreamingQueryListener {
   private val perBatch =
     new ConcurrentHashMap[(UUID, String, String, Long), Long]
   private val done = ConcurrentHashMap.newKeySet[UUID]()
+  // Every (runId, batchId) whose progress event was delivered — the
+  // exact per-run batch census. Phase control that polls `lastProgress`
+  // misses batches completed before the first poll or between polls at
+  // a fast trigger (the r13 advisory on LongSoakMain.runPhase); this
+  // set dedups by batchId and is complete once the termination event
+  // lands. Bounded by drain length.
+  private val runBatches = ConcurrentHashMap.newKeySet[(UUID, Long)]()
   // Per-batch state-store footprint keyed by query id (restart-stable),
-  // summed over the batch's state operators: (rows, memBytes, sstBytes).
+  // summed over the batch's state operators:
+  // (rows, memBytes, sstBytes, snapshotLagVersions).
   // Same last-delivery-wins replay semantics as `perBatch`; bounded by
   // drain length. sstBytes is the RocksDB provider's `rocksdbSstFileSize`
-  // custom metric (0 under the default in-heap provider).
+  // custom metric (0 under the default in-heap provider);
+  // snapshotLagVersions is derived from the SnapshotLastUploaded.*
+  // instance metrics (-1 when the provider reports none).
   private val stateByBatch =
-    new ConcurrentHashMap[(UUID, Long), (Long, Long, Long)]
+    new ConcurrentHashMap[(UUID, Long), (Long, Long, Long, Long)]
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
+    runBatches.add((p.runId, p.batchId))
     p.observedMetrics.forEach { (obs, row) =>
       val schema = row.schema
       if (schema != null) schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -55,14 +66,32 @@ final class FunnelListener extends StreamingQueryListener {
       }
     }
     if (p.stateOperators != null && p.stateOperators.nonEmpty) {
-      var rows = 0L; var mem = 0L; var sst = 0L
+      var rows = 0L; var mem = 0L; var sst = 0L; var lag = -1L
       p.stateOperators.foreach { so =>
         rows += so.numRowsTotal
         mem += so.memoryUsedBytes
         val m = so.customMetrics
-        if (m != null) sst += m.getOrDefault("rocksdbSstFileSize", 0L)
+        if (m != null) {
+          sst += m.getOrDefault("rocksdbSstFileSize", 0L)
+          // Snapshot-upload lag: the state-store version for batch N is
+          // N+1; the SnapshotLastUploaded.partition_* instance metrics
+          // report the LAST UPLOADED snapshot version for the most
+          // lagging store instances (Spark reports the worst K, so the
+          // min over reported values is the global minimum). A value of
+          // -1 means "never uploaded yet" and clamps to version 0. The
+          // per-batch lag is the worst operator's (N+1 - minUploaded);
+          // an unbounded series here is exactly the compaction/upload
+          // debt a multi-hour soak exists to catch.
+          var minUp = Long.MaxValue
+          m.forEach { (k, v) =>
+            if (k.startsWith("SnapshotLastUploaded"))
+              minUp = math.min(minUp, math.max(v, 0L))
+          }
+          if (minUp != Long.MaxValue)
+            lag = math.max(lag, p.batchId + 1 - minUp)
+        }
       }
-      recordState(p.id, p.batchId, rows, mem, sst)
+      recordState(p.id, p.batchId, rows, mem, sst, lag)
     }
   }
 
@@ -71,8 +100,9 @@ final class FunnelListener extends StreamingQueryListener {
     * delivery wins) semantics need a unit test and the progress event
     * cannot be fabricated. */
   private[streaming] def recordState(queryId: UUID, batchId: Long,
-                                     rows: Long, mem: Long, sst: Long): Unit =
-    stateByBatch.put((queryId, batchId), (rows, mem, sst))
+                                     rows: Long, mem: Long, sst: Long,
+                                     lag: Long = -1L): Unit =
+    stateByBatch.put((queryId, batchId), (rows, mem, sst, lag))
 
   /** One observed long landing from one micro-batch's progress event —
     * factored out of the event handler so the per-run vs per-batch
@@ -80,6 +110,7 @@ final class FunnelListener extends StreamingQueryListener {
     * has no public constructor to fabricate replay scenarios with). */
   private[streaming] def record(queryId: UUID, runId: UUID, obs: String,
                                 field: String, batchId: Long, value: Long): Unit = {
+    runBatches.add((runId, batchId))
     acc.computeIfAbsent((runId, obs, field), _ => new AtomicLong).addAndGet(value)
     perBatch.put((queryId, obs, field, batchId), value)
   }
@@ -111,17 +142,29 @@ final class FunnelListener extends StreamingQueryListener {
   }
 
   /** State-footprint series for a query, ordered by batchId: each entry
-    * is (batchId, stateRows, memoryBytes, sstFileBytes). The boundedness
-    * a long soak asserts — the dedup watermark EVICTING (peak rows well
-    * below total distinct keys seen) — is only visible as a series;
-    * point-in-time `lastProgress` cannot distinguish a plateau from
-    * monotone growth. */
-  def stateSeries(queryId: UUID): Seq[(Long, Long, Long, Long)] = {
-    val b = Seq.newBuilder[(Long, Long, Long, Long)]
+    * is (batchId, stateRows, memoryBytes, sstFileBytes,
+    * snapshotLagVersions). The boundedness a long soak asserts — the
+    * dedup watermark EVICTING (peak rows well below total distinct keys
+    * seen), snapshot uploads KEEPING UP (lag plateaus) — is only visible
+    * as a series; point-in-time `lastProgress` cannot distinguish a
+    * plateau from monotone growth. */
+  def stateSeries(queryId: UUID): Seq[(Long, Long, Long, Long, Long)] = {
+    val b = Seq.newBuilder[(Long, Long, Long, Long, Long)]
     stateByBatch.forEach { (k, v) =>
-      if (k._1 == queryId) b += ((k._2, v._1, v._2, v._3))
+      if (k._1 == queryId) b += ((k._2, v._1, v._2, v._3, v._4))
     }
     b.result().sortBy(_._1)
+  }
+
+  /** Distinct batches whose progress events were delivered for one RUN
+    * id — the exact phase batch count. Complete once [[awaitTerminated]]
+    * returns for the run (the termination event is posted after every
+    * progress event); dedup by batchId makes a replayed delivery count
+    * once. */
+  def batchCount(runId: UUID): Long = {
+    var n = 0L
+    runBatches.forEach { k => if (k._1 == runId) n += 1 }
+    n
   }
 
   /** The listener bus is async: progress events for the final batch can

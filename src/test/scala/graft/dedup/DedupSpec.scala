@@ -38,6 +38,42 @@ class DedupSpec extends SparkSuite {
     assert(pairs === Seq((0L, 1L)))
   }
 
+  test("lshReprPairs: class pairs with member counts; intra-class C(m,2)") {
+    // two classes: "a b c d" ×3 (class repr 0), "a b c x" ×2 (repr 3) —
+    // near-dup texts sharing band keys, plus an unrelated singleton
+    val d = docs("a b c d", "a b c d", "a b c x", "a b c d", "a b c x",
+      "q r s t")
+    val r = Dedup.lshReprPairs(d, 2, 6, 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    // intra-class rows: (0,0) C(3,2)=3 and (2,2) C(2,2)=1; the cross row
+    // (0,2) 3*2=6 appears iff the classes share a band bucket
+    assert(r.contains((0L, 0L, 3L, 3L, 3L)))
+    assert(r.contains((2L, 2L, 2L, 2L, 1L)))
+    assert(r.forall { case (a, b, na, nb, mp) =>
+      a <= b && mp > 0 && (a != b || na == nb) })
+    // the singleton class never implies a pair
+    assert(!r.exists { case (a, b, _, _, _) => a == 5L || b == 5L })
+  }
+
+  test("lshReprPairs exactness: sum(member_pairs) == raw pair count, " +
+    "member-weighted cap drops the same buckets") {
+    // duplicate-dense corpus: 30 copies of one text (over a cap of 8 →
+    // its bucket is dropped by BOTH operators), 3+2 copies of two
+    // near-dup texts, singletons
+    val texts = Seq.fill(30)("big dup cluster text") ++
+      Seq.fill(3)("a b c d") ++ Seq.fill(2)("a b c x") ++
+      Seq("lone wolf one", "another singleton")
+    val d = docs(texts: _*)
+    val raw = Dedup.minhashLshPairs(d, 2, 6, 2, maxBucket = 8).count()
+    val repr = Dedup.lshReprPairs(d, 2, 6, 2, maxBucket = 8)
+    import org.apache.spark.sql.functions.sum
+    val implied = repr.agg(sum("member_pairs")).head().getLong(0)
+    assert(implied === raw)
+    assert(raw > 0) // the identity isn't vacuous
+    // the 30-copy class was capped out: its repr never appears
+    assert(repr.filter($"n_a" === 30L || $"n_b" === 30L).count() === 0L)
+  }
+
   test("LSH maxBucket cap drops mega-buckets (skew guard)") {
     val five = docs("a b c", "a b c", "a b c", "a b c", "a b c")
     assert(Dedup.minhashLshPairs(five, 2, 6, 2).count() === 10L) // C(5,2)

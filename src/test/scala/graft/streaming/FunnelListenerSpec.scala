@@ -53,14 +53,33 @@ class FunnelListenerSpec extends AnyFunSuite {
     val qb = UUID.randomUUID()
     // out-of-order delivery (the listener bus is async w.r.t. the
     // driver); batch 1 replayed after a restart with identical footprint
-    l.recordState(qa, 2L, 300L, 3000L, 30L)
-    l.recordState(qa, 0L, 100L, 1000L, 10L)
-    l.recordState(qa, 1L, 200L, 2000L, 20L)
-    l.recordState(qa, 1L, 200L, 2000L, 20L) // replay: last wins, no dup
-    l.recordState(qb, 0L, 999L, 9990L, 99L)
+    l.recordState(qa, 2L, 300L, 3000L, 30L, 3L)
+    l.recordState(qa, 0L, 100L, 1000L, 10L, 1L)
+    l.recordState(qa, 1L, 200L, 2000L, 20L, 2L)
+    l.recordState(qa, 1L, 200L, 2000L, 20L, 2L) // replay: last wins, no dup
+    l.recordState(qb, 0L, 999L, 9990L, 99L) // no lag reported → -1
     assert(l.stateSeries(qa) === Seq(
-      (0L, 100L, 1000L, 10L), (1L, 200L, 2000L, 20L), (2L, 300L, 3000L, 30L)))
-    assert(l.stateSeries(qb) === Seq((0L, 999L, 9990L, 99L)))
+      (0L, 100L, 1000L, 10L, 1L), (1L, 200L, 2000L, 20L, 2L),
+      (2L, 300L, 3000L, 30L, 3L)))
+    assert(l.stateSeries(qb) === Seq((0L, 999L, 9990L, 99L, -1L)))
     assert(l.stateSeries(UUID.randomUUID()).isEmpty)
+  }
+
+  test("batchCount censuses distinct batches per RUN, dedup'd by batchId") {
+    val l = new FunnelListener
+    val qid = UUID.randomUUID()
+    val run1 = UUID.randomUUID()
+    val run2 = UUID.randomUUID()
+    // phase-control counting (LongSoakMain.runPhase): batches land via
+    // progress events; a replayed delivery must count once, and the
+    // count is per-run so a resumed phase starts from zero.
+    l.record(qid, run1, "ingest", "rows_in", 0L, 10L)
+    l.record(qid, run1, "ingest", "rows_in", 1L, 10L)
+    l.record(qid, run1, "ingest", "rows_in", 1L, 10L) // replay: once
+    assert(l.batchCount(run1) === 2L)
+    assert(l.batchCount(run2) === 0L)
+    l.record(qid, run2, "ingest", "rows_in", 2L, 10L)
+    assert(l.batchCount(run2) === 1L)
+    assert(l.batchCount(run1) === 2L)
   }
 }
