@@ -154,12 +154,91 @@ class BenchLintSpec extends AnyFunSuite {
   }
 
   test("cpu anchor: positive, bounded, repeatable within noise") {
-    val a = Bench.cpuAnchorSec()
-    val b = Bench.cpuAnchorSec()
+    // Wall-clock assertion on a busy loop: on a contended/frequency-
+    // scaling host one pass can spike, so retry the stability check once
+    // before failing (r13 ADVICE item 3) — a REAL deopt/fold defect is
+    // deterministic and fails both attempts.
+    def attempt(): (Double, Double) = (Bench.cpuAnchorSec(), Bench.cpuAnchorSec())
+    val (a, b) = {
+      val first = attempt()
+      if (math.max(first._1, first._2) / math.min(first._1, first._2) < 2.0) first
+      else attempt()
+    }
     // ~0.1-1 s on any plausible host; 10 s would mean the loop was
     // deoptimized (anchor useless), 0 would mean it was folded away
     assert(a > 0.01 && a < 10.0, s"anchor out of range: $a")
     // same JVM, back-to-back: a >2x swing would make the field noise
     assert(math.max(a, b) / math.min(a, b) < 2.0, s"anchor unstable: $a vs $b")
+  }
+
+  test("parseNum pulls top-level anchor/load/total fields; absent → None") {
+    val cap =
+      """{"metric":"total","sf":"/x","cpus":32,"load_avg_start":0.05,""" +
+        """"cpu_anchor_sec":0.218,"par_anchor_sec":0.31,"anchor_scale":1.0,""" +
+        """"queries":{"q_a":0.25},"value":68.58,"unit":"sec"}"""
+    assert(Bench.parseNum(cap, "cpu_anchor_sec") === Some(0.218))
+    assert(Bench.parseNum(cap, "par_anchor_sec") === Some(0.31))
+    assert(Bench.parseNum(cap, "load_avg_start") === Some(0.05))
+    assert(Bench.parseNum(cap, "value") === Some(68.58))
+    assert(Bench.parseNum(cap, "not_there") === None)
+    assert(Bench.parseNum("", "value") === None)
+  }
+
+  test("anchorScale: ratio of anchors, clamped to [0.5, 2], 1 when unknown") {
+    assert(math.abs(Bench.anchorScale(Some(0.2), 0.26) - 1.3) < 1e-12)
+    assert(Bench.anchorScale(Some(0.26), 0.2) === 0.2 / 0.26)
+    // clamped: a >2x 'host shift' is news, not normalization material
+    assert(Bench.anchorScale(Some(0.1), 0.5) === 2.0)
+    assert(Bench.anchorScale(Some(0.5), 0.1) === 0.5)
+    // missing or degenerate anchors → no normalization
+    assert(Bench.anchorScale(None, 0.2) === 1.0)
+    assert(Bench.anchorScale(Some(0.0), 0.2) === 1.0)
+    assert(Bench.anchorScale(Some(0.2), 0.0) === 1.0)
+  }
+
+  test("anchor normalization: a uniform 1.3x host slowdown with a matching " +
+    "anchor shift yields an EMPTY regressed map; a genuine 2x still fires") {
+    val prior = Map("q_a" -> 1.0, "q_b" -> 2.0, "q_c" -> 0.8)
+    // the r13 scenario: every query 1.3x slower, anchor moved 0.2 -> 0.26
+    val hostShift = prior.toSeq.map { case (k, v) => k -> v * 1.3 }
+    val scale = Bench.anchorScale(Some(0.2), 0.26)
+    assert(Bench.regressions(Bench.normalizedPrior(prior, scale), hostShift)
+      === Seq.empty)
+    // …whereas WITHOUT normalization two of the three would have flagged
+    assert(Bench.regressions(prior, hostShift).nonEmpty === false) // 1.3 < 1.5 gate
+    val hostShift16 = prior.toSeq.map { case (k, v) => k -> v * 1.6 }
+    assert(Bench.regressions(prior, hostShift16).nonEmpty) // raw: false alarms
+    assert(Bench.regressions(
+      Bench.normalizedPrior(prior, Bench.anchorScale(Some(0.2), 0.32)),
+      hostShift16) === Seq.empty) // normalized: quiet
+    // a genuine single-query 2x fires through the normalization: same
+    // host (scale 1) …
+    val oneBad = Seq("q_a" -> 2.0, "q_b" -> 2.0, "q_c" -> 0.8)
+    assert(Bench.regressions(Bench.normalizedPrior(prior, 1.0), oneBad)
+      .map(_._1) === Seq("q_a"))
+    // … and on a 1.3x-slower host a 2.6x absolute (2x real) still fires
+    val oneBadShifted = Seq("q_a" -> 2.6, "q_b" -> 2.6, "q_c" -> 1.04)
+    assert(Bench.regressions(Bench.normalizedPrior(prior, 1.3), oneBadShifted)
+      .map(_._1) === Seq("q_a"))
+  }
+
+  test("preferPrior: a more-loaded AND slower capture never replaces the " +
+    "quiet committed baseline; quieter or faster runs always write") {
+    // the r13 case: committed 68.58 s @ load 0.05 vs driver 72.12 @ 3.94
+    assert(Bench.preferPrior(Some(0.05), 3.94, Some(68.58), 72.12))
+    // faster despite load → write (strictly better bound)
+    assert(!Bench.preferPrior(Some(0.05), 3.94, Some(68.58), 60.0))
+    // quieter run → write, even if slower (code may genuinely be slower)
+    assert(!Bench.preferPrior(Some(3.0), 0.1, Some(68.58), 75.0))
+    // load jitter inside the 0.5 hysteresis → write
+    assert(!Bench.preferPrior(Some(0.1), 0.4, Some(68.58), 69.0))
+    // no prior metadata (older capture) → write
+    assert(!Bench.preferPrior(None, 3.94, Some(68.58), 72.12))
+    assert(!Bench.preferPrior(Some(0.05), 3.94, None, 72.12))
+  }
+
+  test("parallel anchor: positive, bounded, and not wildly off the single-thread one") {
+    val par = Bench.parAnchorSec(4)
+    assert(par > 0.01 && par < 30.0, s"par anchor out of range: $par")
   }
 }
