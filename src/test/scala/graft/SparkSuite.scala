@@ -10,7 +10,15 @@ import graft.core.GraftSession
   * suites can't hit a dead context. */
 object TestSpark {
   lazy val spark: SparkSession = {
-    val s = GraftSession.builder("graft-test").getOrCreate()
+    // local[n,2]: permit ONE task retry, matching a real cluster's
+    // spark.task.maxFailures > 1 — RetryDeterminismSpec injects a
+    // transient first-attempt failure and asserts operator output is
+    // unchanged, which local[n]'s maxFailures=1 cannot express. Every
+    // other suite is unaffected: a deterministic test failure fails its
+    // second attempt identically.
+    val s = GraftSession.builder("graft-test")
+      .master(s"local[${GraftSession.cpus},2]")
+      .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
