@@ -288,6 +288,9 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // Janitor first (r13 verdict stretch item 8): stale scratch from a
+    // killed prior run both starves spills and skews I/O timings.
+    graft.core.DiskGuard.sweepStaleScratch()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     // The local capture path is overridable so off-sf captures (sf1

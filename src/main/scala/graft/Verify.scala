@@ -24,6 +24,10 @@ object Verify {
     def keepSql(name: String): Boolean = oracleOnly || keep(name)
     val spark = graft.core.GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
+    // Janitor before the pre-flight (r13 verdict stretch item 8): a
+    // previously KILLED run's orphaned scratch is exactly what makes the
+    // guard below refuse; reclaim recognized stale dirs first.
+    graft.core.DiskGuard.sweepStaleScratch()
     // Scratch pre-flight (r12 verdict item 3): refuse a dump whose
     // estimated spill cannot fit, BEFORE hours of compute — the
     // CC-family sf100 attempts died at hour two, twice. Sub-second at

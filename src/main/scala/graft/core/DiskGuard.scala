@@ -70,6 +70,76 @@ object DiskGuard {
     base + pair
   }
 
+  /** Scratch-dir name patterns this engine (or a Spark JVM it started)
+    * creates under a temp root: soak/ingest workdirs, the bucketed-table
+    * warehouse, and Spark's own per-JVM spill dirs. A KILLED process
+    * orphans these — Spark's shutdown hook never runs — and the r12
+    * post-mortem found 42 GB of exactly such debris starving a later
+    * oracle run. Only names matching here are ever candidates for the
+    * janitor; a shared temp root is full of files that are not ours. */
+  private val scratchName =
+    "^(spark-|blockmgr-|graft-warehouse|graft-soak|graft-long-soak|graft-ingest|duck).*".r
+
+  /** (totalBytes, newestMtimeMs) over a tree in one walk — the janitor
+    * needs BOTH: size to report the reclaim, newest mtime so a dir some
+    * live process is still writing (any file fresh) is never swept even
+    * if its root mtime is old. */
+  private def sizeAndNewest(p: Path): (Long, Long) =
+    if (Files.isDirectory(p)) {
+      val kids = try Files.list(p).toArray.map(_.asInstanceOf[Path])
+                 catch { case _: java.io.IOException => Array.empty[Path] }
+      val own = Files.getLastModifiedTime(p).toMillis
+      kids.map(sizeAndNewest).foldLeft((0L, own)) {
+        case ((b1, t1), (b2, t2)) => (b1 + b2, math.max(t1, t2)) }
+    } else if (Files.exists(p))
+      (Files.size(p), Files.getLastModifiedTime(p).toMillis)
+    else (0L, 0L)
+
+  /** Janitor for orphaned scratch (r13 verdict stretch item 8): sweep
+    * each root for entries matching [[scratchName]] whose ENTIRE tree
+    * has been idle longer than `maxAge`, delete them, and return
+    * (path, bytesReclaimed) per deletion, logging each to stderr. The
+    * pre-flight guard above refuses jobs when free space is short; this
+    * closes the failure mode where the space is short only because a
+    * previously KILLED run never cleaned up after itself. Conservative
+    * by construction: recognized names only, a full day of idleness
+    * (default), and concurrent live runs are safe because anything
+    * actively written has a fresh mtime somewhere in its tree.
+    * GRAFT_DISK_GUARD=0 disables, same switch as the pre-flight. */
+  def sweepStaleScratch(
+      roots: Seq[Path] = Seq(
+        Paths.get(System.getProperty("java.io.tmpdir")),
+        Paths.get("/root/repo/.tmp")),
+      maxAgeMs: Long = 24L * 3600 * 1000,
+      nowMs: Long = System.currentTimeMillis()): Seq[(String, Long)] = {
+    if (sys.env.get("GRAFT_DISK_GUARD").contains("0")) return Nil
+    val reclaimed = Seq.newBuilder[(String, Long)]
+    for {
+      root <- roots if Files.isDirectory(root)
+      entry <- (try Files.list(root).toArray.map(_.asInstanceOf[Path])
+                catch { case _: java.io.IOException => Array.empty[Path] })
+      if scratchName.findFirstIn(entry.getFileName.toString).isDefined
+    } {
+      val (bytes, newest) = sizeAndNewest(entry)
+      if (newest > 0 && nowMs - newest > maxAgeMs) {
+        deleteTree(entry)
+        val idleH = (nowMs - newest) / 3600000L
+        System.err.println(
+          f"[disk-guard] reclaimed ${bytes / 1e9}%.2f GB from $entry (idle ${idleH}h)")
+        reclaimed += ((entry.toString, bytes))
+      }
+    }
+    reclaimed.result()
+  }
+
+  private def deleteTree(p: Path): Unit = {
+    if (Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      (try Files.list(p).toArray.map(_.asInstanceOf[Path])
+       catch { case _: java.io.IOException => Array.empty[Path] })
+        .foreach(deleteTree)
+    try Files.deleteIfExists(p) catch { case _: java.io.IOException => }
+  }
+
   /** None = enough room; Some(message) = refuse, naming the shortfall. */
   def shortfall(freeBytes: Long, estimateBytes: Long,
                 margin: Double = 1.5): Option[String] = {

@@ -42,4 +42,33 @@ class DiskGuardSpec extends SparkSuite {
     assert(DiskGuard.usableBytes("/root/repo/.tmp/does/not/exist/yet") > 0L)
     assert(DiskGuard.usableBytes("/root/repo") > 0L)
   }
+
+  test("janitor sweeps only recognized, fully-idle, over-age scratch") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("janitor-spec-root")
+    def mk(name: String, ageMs: Long, freshChild: Boolean = false): java.nio.file.Path = {
+      val d = Files.createDirectory(root.resolve(name))
+      val f = Files.writeString(d.resolve("payload"), "x" * 1024)
+      val old = FileTime.fromMillis(System.currentTimeMillis() - ageMs)
+      Files.setLastModifiedTime(f, old); Files.setLastModifiedTime(d, old)
+      if (freshChild) Files.writeString(d.resolve("live"), "y") // fresh mtime
+      d
+    }
+    val day = 24L * 3600 * 1000
+    val stale    = mk("graft-soak-dead", 3 * day)          // reclaim
+    val sparkDir = mk("spark-0123-dead", 2 * day)          // reclaim
+    val fresh    = mk("graft-soak-live", 1000)             // too young
+    val active   = mk("blockmgr-active", 3 * day, freshChild = true) // live file inside
+    val foreign  = mk("user-data-precious", 30 * day)      // not our naming
+
+    val swept = DiskGuard.sweepStaleScratch(roots = Seq(root), maxAgeMs = day)
+    assert(swept.map(_._1).toSet === Set(stale.toString, sparkDir.toString))
+    assert(swept.forall(_._2 >= 1024L), s"reported bytes too small: $swept")
+    assert(!Files.exists(stale) && !Files.exists(sparkDir))
+    assert(Files.exists(fresh) && Files.exists(active) && Files.exists(foreign))
+    DiskGuard.sweepStaleScratch(roots = Seq(root), maxAgeMs = 0) // cleanup rest is fine
+    Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => Files.deleteIfExists(p))
+  }
 }

@@ -50,8 +50,51 @@ def disk_shortfall(sf_dir, tmp):
             f"GRAFT_ORACLE_SPILL_FACTOR, or set GRAFT_DISK_GUARD=0")
 
 
+SCRATCH_PREFIXES = ("spark-", "blockmgr-", "graft-warehouse", "graft-soak",
+                    "graft-long-soak", "graft-ingest", "duck")
+
+
+def sweep_stale_scratch(roots=("/tmp", "/root/repo/.tmp"),
+                        max_age_s=24 * 3600):
+    """Janitor (r13 verdict stretch item 8), Python twin of
+    graft.core.DiskGuard.sweepStaleScratch: a KILLED oracle/soak run
+    orphans its DUCKDB_TMP / Spark spill dirs (the r12 42 GB incident),
+    and the pre-flight above then refuses healthy runs. Delete entries
+    under the scratch roots that match OUR naming scheme and whose whole
+    tree has been idle > 1 day (any fresh file inside protects a live
+    concurrent run). GRAFT_DISK_GUARD=0 disables."""
+    if os.environ.get("GRAFT_DISK_GUARD", "1") == "0":
+        return
+    now = time.time()
+    for root in roots:
+        if not os.path.isdir(root):
+            continue
+        for entry in os.listdir(root):
+            if not entry.startswith(SCRATCH_PREFIXES):
+                continue
+            path = os.path.join(root, entry)
+            newest, total = 0.0, 0
+            for r, _, files in os.walk(path):
+                try:
+                    newest = max(newest, os.path.getmtime(r))
+                except OSError:
+                    pass
+                for f in files:
+                    try:
+                        p = os.path.join(r, f)
+                        newest = max(newest, os.path.getmtime(p))
+                        total += os.path.getsize(p)
+                    except OSError:
+                        pass
+            if newest and now - newest > max_age_s:
+                shutil.rmtree(path, ignore_errors=True)
+                print(f"[disk-guard] reclaimed {total / 1e9:.2f} GB from "
+                      f"{path} (idle {(now - newest) / 3600:.0f}h)")
+
+
 def main():
     sf_dir, out_dir, budget = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    sweep_stale_scratch()
     names = sys.argv[4].split(",") if len(sys.argv) > 4 else \
         sorted(json.load(open(f"{out_dir}/oracle_sql.json")))
     tmp = os.environ.get("DUCKDB_TMP", "/root/repo/.tmp/duck")
