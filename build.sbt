@@ -23,10 +23,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap default: SPARK_DRIVER_MEM wins; otherwise half of physical RAM,
+// capped at 32g (the measured bench-host sweet spot) and floored at 2g.
+// A pinned 32g on an 8-16 GB contributor machine defers ParallelGC past
+// physical memory and lands in swap/OOM-kill instead of a GC cycle
+// (r13 advisory). /proc/meminfo is Linux-only; elsewhere fall back to a
+// conservative 8g.
+val defaultHeapGb: Int = {
+  val physGb =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().find(_.startsWith("MemTotal"))
+        .map(_.replaceAll("[^0-9]", "").toLong / 1048576L).getOrElse(0L).toInt
+      finally src.close()
+    } catch { case _: Throwable => 0 }
+  if (physGb <= 0) 8 else math.max(2, math.min(32, physGb / 2))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
   // Throughput GC for a batch engine: G1 (the JDK 17 default) optimizes
   // pause times nobody here observes; ParallelGC measured 6-9% faster on
   // the full 156-query sf0.1 suite at every heap size tried (A/B in

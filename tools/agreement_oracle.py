@@ -58,10 +58,16 @@ def class_pair_sets(oracle):
     # duckSimhashPairCtes(8, 7) the agreement embeds under its sp_ prefix)
     sh = cut_at(simhash_rewrite(oracle["q_simhash_pairs8"]),
                 "SELECT least(ma.id", "SELECT DISTINCT ta, tb FROM chp")
-    # embedding-SRP class pairs over vector classes
+    # embedding-SRP class pairs over vector classes; the cosine threshold
+    # is lifted from the committed q_embed_neardup SQL (r13 advisory — a
+    # hard-coded 0.4 here would silently drift if SparkEntry's changes)
+    import re
+    thr = re.search(r"cos_sim\s*>=\s*([0-9.]+)", oracle["q_embed_neardup"])
+    assert thr, "cosine threshold not found in committed q_embed_neardup"
     em = cut_at(embed_neardup(oracle["q_embed_neardup"]),
                 "SELECT least(ma.id",
-                "SELECT DISTINCT ta AS va, tb AS vb FROM cp WHERE cos_sim >= 0.4")
+                "SELECT DISTINCT ta AS va, tb AS vb FROM cp "
+                f"WHERE cos_sim >= {thr.group(1)}")
     return mh, sh, em
 
 
@@ -82,6 +88,20 @@ def decomposed_counts(con, oracle):
     con.execute(f"CREATE OR REPLACE TEMP TABLE smh AS {mh}")
     con.execute(f"CREATE OR REPLACE TEMP TABLE ssh AS {sh}")
     con.execute(f"CREATE OR REPLACE TEMP TABLE sem AS {em}")
+    # The rc build below LEFT-JOINs vm on vm.id = d.doc_id, i.e. it
+    # assumes every embeddings.vec_id IS a documents.doc_id (true for
+    # the generator: both id spaces contiguous from 0, fewer vecs than
+    # docs). That containment is an ASSUMPTION on top of the class-
+    # determinism argument, not implied by it — a dataset violating it
+    # would silently drop those vectors from n_embed, so assert it
+    # (r13 advisory) instead of trusting it.
+    orphans = con.execute(
+        "SELECT count(*) FROM embeddings e ANTI JOIN documents d "
+        "ON e.vec_id = d.doc_id").fetchone()[0]
+    assert orphans == 0, (
+        f"{orphans} embeddings have no matching documents.doc_id — the "
+        "refined-class LEFT JOIN would drop them; decomposition invalid "
+        "for this dataset")
     # refined classes: (text class, vec class-or-null) with member counts;
     # rid is an arbitrary stable key for pair normalization
     con.execute("""

@@ -3,7 +3,17 @@
 # background runs). Usage: run_main.sh [-mXmx] <mainClass> [args...]
 # Env passthrough: SPARK_GRAFT_* vars work as with sbt runMain.
 set -euo pipefail
-MEM="${SPARK_DRIVER_MEM:-32g}"  # matches build.sbt default (r13)
+# Heap default mirrors build.sbt (r13 advisory): SPARK_DRIVER_MEM wins,
+# else half of physical RAM capped at 32g, floored at 2g (8g if unknown).
+MEM="${SPARK_DRIVER_MEM:-}"
+if [ -z "$MEM" ]; then
+  PHYS_GB=$(awk '/MemTotal/{print int($2/1048576)}' /proc/meminfo 2>/dev/null || echo 0)
+  HALF=$(( PHYS_GB / 2 ))
+  if [ "$PHYS_GB" -le 0 ]; then HALF=8; fi
+  if [ "$HALF" -gt 32 ]; then HALF=32; fi
+  if [ "$HALF" -lt 2 ]; then HALF=2; fi
+  MEM="${HALF}g"
+fi
 # Match the driver's environment (local[32]); GraftSession's own default
 # is 4, which silently produced 4-thread "regressions" in CPU-dense
 # kernels the first time this script forgot to set it.

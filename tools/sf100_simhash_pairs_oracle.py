@@ -46,9 +46,15 @@ def rewrite(sql):
     t = re.search(r"WHERE hamming <= (\d+)", sql)
     assert t, "hamming threshold not found"
     maxh = t.group(1)
+    # bucket cap lifted from the committed sp_ok clause, not hard-coded:
+    # if LshMaxBucket changes in SparkEntry the decomposer must follow
+    # (r13 advisory — a pinned 2..1000 here would drift silently)
+    cap = re.search(r"BETWEEN\s+(\d+)\s+AND\s+(\d+)", sql[i:], re.I)
+    assert cap, "bucket cap not found in committed sp_ok clause"
+    lo, hi = cap.group(1), cap.group(2)
     return head + f"""sp_ok AS (SELECT band_key FROM sp_bands
        JOIN (SELECT tid, count(*) AS m FROM memv GROUP BY tid) mc USING (tid)
-       GROUP BY band_key HAVING sum(m) BETWEEN 2 AND 1000),
+       GROUP BY band_key HAVING sum(m) BETWEEN {lo} AND {hi}),
 clp AS (SELECT DISTINCT a.tid AS ta, b.tid AS tb,
                a.simhash AS sa, b.simhash AS sb
         FROM sp_bands a JOIN sp_bands b
