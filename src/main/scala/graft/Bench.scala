@@ -99,11 +99,15 @@ object Bench {
     "q_filtered_topk", "q_filtered_ivf", "q_ann_recall", "q_semantic_dedup")
   private val pairQueries = Set(
     "q_minhash_lsh_pairs", "q_pair_editdist", "q_dedup_agreement",
-    "q_dedup_clusters", "q_split_leakage", "q_canonical_keep",
     // multimodal near-dup is the same pair-materializing shape (banded
     // candidate pairs over decoded fingerprints): the GenScale replica
     // clones every item `factor` times, so intra-band pair count grows
-    // ~quadratically in factor exactly as for the text LSH ops
+    // ~quadratically in factor exactly as for the text LSH ops.
+    // The clustering family (q_dedup_clusters/q_split_leakage/
+    // q_canonical_keep) left this class in r15: CC now runs over the
+    // CLASS graph, so its cost is linear in rows (class shuffle +
+    // label-expansion join), not candidate volume — the default linear
+    // bound applies and a pair-volume-sized bound would be masking slack
     "q_audio_neardup", "q_image_neardup", "q_video_shared")
   /** The pair queries whose candidate volume IS what the minhash
     * `lshPairVolume` pre-flight measures (text shingle-minhash banding,
@@ -115,8 +119,7 @@ object Bench {
     * a per-query ratio (SPARK_GRAFT_PAIR_VOLUME_RATIOS) or fall back to
     * the 5·factor small-factor default. */
   private val minhashPairQueries = Set(
-    "q_minhash_lsh_pairs", "q_pair_editdist", "q_dedup_agreement",
-    "q_dedup_clusters", "q_split_leakage", "q_canonical_keep")
+    "q_minhash_lsh_pairs", "q_pair_editdist", "q_dedup_agreement")
 
   /** `pairRatio`: measured candidate-pair volume ratio between the two
     * captures (from `Dedup.lshPairVolume` / `graft.apps.PairVolume`) —
@@ -203,6 +206,26 @@ object Bench {
   def isContended(loadAvg: Double, cpus: Int): Boolean =
     loadAvg > cpus / 8.0
 
+  /** Settle-and-retry (r14 verdict item 2): when the host is contended
+    * at capture start, wait — bounded — for the 1-min load to drop under
+    * the contention gate before measuring, instead of knowingly
+    * recording a starved number as the round's headline (r14: a load-16
+    * host measured 72 s of work as 146.6 s). Polls every `pollMs` until
+    * `maxWaitMs`; returns the final load (settled or not — the caller
+    * re-checks `isContended`). The 1-min average needs ~1 min to decay
+    * after the competing work exits, hence the multi-minute cap. */
+  def settleLoad(cpus: Int, maxWaitMs: Long = 300000L, pollMs: Long = 10000L,
+                 now: () => Double = loadAvgStart): Double = {
+    val deadline = System.nanoTime() + maxWaitMs * 1000000L
+    var load = now()
+    while (isContended(load, cpus) && System.nanoTime() < deadline) {
+      System.err.println(f"[bench] host contended (load $load%.2f > ${cpus / 8.0}%.1f) — settling")
+      Thread.sleep(pollMs)
+      load = now()
+    }
+    load
+  }
+
   /** Where this capture may be written. Quiet captures are the ONLY
     * writers of the committed regression baseline (BENCH_LOCAL.json); a
     * contended run diverts to BENCH_CONTENDED.json so the next lint
@@ -287,6 +310,23 @@ object Bench {
     math.rint(sec * 1000) / 1000
   }
 
+  /** Truncation-proof trailer (r14 verdict item 1): the big capture line
+    * buries the host-normalization evidence BEFORE ~11 KB of per-query
+    * maps, so a tail capture of it shows a naked total with no anchor,
+    * no load, no normalized value — r14's "2.35x gate breach" was
+    * exactly this (the exonerating fields existed only repo-side, in
+    * BENCH_CONTENDED.json). This second, short (<400 B) line is printed
+    * AFTER the big one and carries just the adjudication fields, so any
+    * tail of the combined stdout keeps them intact. */
+  def trailerLine(sfDir: String, cpus: Int, load0: Double, anchor: Double,
+                  parAnchor: Double, hostScale: Double, contended: Boolean,
+                  errorCount: Int, totalNorm: Double, total: Double): String =
+    s"""{"metric":"total_trailer","sf":"$sfDir","cpus":$cpus,""" +
+      s""""load_avg_start":$load0,"cpu_anchor_sec":$anchor,""" +
+      s""""par_anchor_sec":$parAnchor,"anchor_scale":$hostScale,""" +
+      s""""contended":$contended,"error_count":$errorCount,""" +
+      s""""total_hostnorm":$totalNorm,"value":$total,"unit":"sec"}"""
+
   def main(args: Array[String]): Unit = {
     // Janitor first (r13 verdict stretch item 8): stale scratch from a
     // killed prior run both starves spills and skews I/O timings.
@@ -317,16 +357,19 @@ object Bench {
     val runs: Int = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
       .max(1)
     def keep(name: String): Boolean = only.forall(_.contains(name))
-    // Sampled BEFORE the session builds: ambient load from other
-    // processes, not this bench's own warm-up.
-    val load0 = loadAvgStart()
-    val anchor = cpuAnchorSec()
     // Contention denominator defaults to the REAL core count: with the
     // old hard-coded 4, a capture on the 32-core driver host started
     // without SPARK_GRAFT_CPUS flagged contended at load > 0.5 — i.e.
     // nearly always — making the annotation spuriously true.
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
+    // Sampled BEFORE the session builds: ambient load from other
+    // processes, not this bench's own warm-up. A contended start first
+    // settles (bounded wait, r14 item 2) — load0 is the load the timed
+    // run ACTUALLY started under, settled or not.
+    val load0 = settleLoad(cpus,
+      maxWaitMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "300000").toLong)
+    val anchor = cpuAnchorSec()
     val parAnchor = parAnchorSec(cpus)
     // Host normalization for the regression lint: the parallel anchor
     // when both captures carry one (it tracks what 32-thread queries
@@ -551,15 +594,19 @@ object Bench {
     // when SPARK_GRAFT_BENCH_LOCAL names a path explicitly — otherwise a
     // focused run would clobber the committed full-suite baseline and
     // silently drop regression-lint coverage for every absent query.
+    val trailer = trailerLine(sfDir, cpus, load0, anchor, parAnchor,
+      hostScale, isContended(load0, cpus), errors.size, totalNorm, total)
     if (only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_LOCAL"))
-      Files.writeString(Paths.get(writePath), json + "\n")
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p => Files.writeString(Paths.get(p), json + "\n"))
+      Files.writeString(Paths.get(writePath), json + "\n" + trailer + "\n")
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach(p =>
+      Files.writeString(Paths.get(p), json + "\n" + trailer + "\n"))
     // Stop the session BEFORE printing: the driver captures a stdout
     // tail, and shutdown logging after the JSON line is what truncated
-    // BENCH_r10/r11's parsed copy. The JSON line is the last stdout the
-    // JVM emits.
+    // BENCH_r10/r11's parsed copy. The JSON + trailer lines are the last
+    // stdout the JVM emits.
     try spark.stop() catch { case _: Throwable => }
     println(json)
+    println(trailer)
     if (errors.nonEmpty) sys.exit(1)
   }
 }

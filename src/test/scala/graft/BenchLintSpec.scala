@@ -97,7 +97,10 @@ class BenchLintSpec extends AnyFunSuite {
   test("scaleBound: the measured minhash ratio never crosses modalities; " +
     "per-query ratios override anywhere") {
     // text-minhash family follows the derived text candidate-volume ratio
-    assert(Bench.scaleBound("q_dedup_clusters", 100.0, Some(3189.0)) === 5.0 * 3189.0)
+    assert(Bench.scaleBound("q_dedup_agreement", 100.0, Some(3189.0)) === 5.0 * 3189.0)
+    // the clustering family left the pair class in r15 (CC over the
+    // CLASS graph — cost is linear in rows, not candidate volume)
+    assert(Bench.scaleBound("q_dedup_clusters", 100.0, Some(3189.0)) === 160.0)
     // an audio/image/video pair query is NOT bounded by the text ratio —
     // a slower-growing modality under the faster text bound would get
     // slack that masks a real super-quadratic regression (r12 ADVICE 1)
@@ -240,5 +243,50 @@ class BenchLintSpec extends AnyFunSuite {
   test("parallel anchor: positive, bounded, and not wildly off the single-thread one") {
     val par = Bench.parAnchorSec(4)
     assert(par > 0.01 && par < 30.0, s"par anchor out of range: $par")
+  }
+
+  test("settleLoad: quiet start returns immediately; a contended start polls " +
+    "until the load drops; a never-settling host hits the deadline and returns") {
+    // quiet: no polling at all (a throwing second sample would fail)
+    var calls = 0
+    val quiet = Bench.settleLoad(32, maxWaitMs = 1000, pollMs = 1,
+      now = () => { calls += 1; 0.1 })
+    assert(quiet === 0.1 && calls === 1)
+    // contended then settling: returns the SETTLED load (what the timed
+    // run actually starts under), having polled past the contended samples
+    val samples = Iterator(16.0, 12.0, 3.0)
+    val settled = Bench.settleLoad(32, maxWaitMs = 10000, pollMs = 1,
+      now = () => samples.next())
+    assert(settled === 3.0)
+    // never settles: bounded — returns a still-contended load at deadline
+    // instead of hanging the capture (caller marks contended + diverts)
+    val stuck = Bench.settleLoad(32, maxWaitMs = 50, pollMs = 10,
+      now = () => 16.0)
+    assert(stuck === 16.0 && Bench.isContended(stuck, 32))
+  }
+
+  test("trailer line: short, tail-survivable, and carries every adjudication " +
+    "field the r14 truncation lost") {
+    val t = Bench.trailerLine("/root/testdata/sf0.1", 32, 15.97, 0.254,
+      0.384, 1.31, contended = true, errorCount = 0,
+      totalNorm = 112.0, total = 146.6)
+    // short enough that ANY plausible tail capture keeps it whole
+    assert(t.length < 400, s"trailer too long to survive truncation: ${t.length}")
+    assert(!t.contains("\n"))
+    // the adjudication fields are machine-readable via the same parser
+    assert(Bench.parseNum(t, "total_hostnorm") === Some(112.0))
+    assert(Bench.parseNum(t, "load_avg_start") === Some(15.97))
+    assert(Bench.parseNum(t, "par_anchor_sec") === Some(0.384))
+    assert(Bench.parseNum(t, "anchor_scale") === Some(1.31))
+    assert(Bench.parseNum(t, "value") === Some(146.6))
+    assert(t.contains(""""contended":true"""))
+    // and a baseline file carrying main line + trailer still parses as
+    // before: first queries block and first value win
+    val twoLines = sample + "\n" + Bench.trailerLine("/root/testdata/sf0.1",
+      32, 0.1, 0.2, 0.3, 1.0, contended = false, 0, 1.25, 1.25)
+    val (sf, qs) = Bench.parsePrior(twoLines)
+    assert(sf === "/root/testdata/sf0.1")
+    assert(qs === Map("q_a" -> 0.25, "q_b" -> 1.0, "q_c" -> -1.0))
+    assert(Bench.parseNum(twoLines, "value") === Some(1.25))
   }
 }
