@@ -37,6 +37,15 @@ object GraftSession {
       // saveAsTable targets (bucketed tables) go to tmp, not the repo
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft-warehouse")
+      // All Spark scratch (blockmgr spill, driver temp) under ONE
+      // engine-named, pid-tagged root instead of generic spark-*/
+      // blockmgr-* dirs strewn across a (possibly shared) tmp. This is
+      // what lets the DiskGuard janitor reclaim a KILLED run's spill
+      // with certainty — the owning pid is in the dir name, so "owner
+      // dead" replaces the fragile "whole tree idle >24h" heuristic,
+      // and a live-but-idle JVM's scratch is never touched (r14 ADVICE).
+      .config("spark.local.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-spill-${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 
   def build(appName: String): SparkSession = {

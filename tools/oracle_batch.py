@@ -50,8 +50,51 @@ def disk_shortfall(sf_dir, tmp):
             f"GRAFT_ORACLE_SPILL_FACTOR, or set GRAFT_DISK_GUARD=0")
 
 
-SCRATCH_PREFIXES = ("spark-", "blockmgr-", "graft-warehouse", "graft-soak",
-                    "graft-long-soak", "graft-ingest", "duck")
+# Engine-owned names only (r14 ADVICE): generic spark-*/blockmgr-* dirs
+# in a shared tmp may belong to another user's (or a live-but-idle)
+# Spark JVM — GraftSession routes ALL Spark scratch into the pid-tagged
+# graft-spill-<pid> root instead, where ownership is decidable.
+SCRATCH_PREFIXES = ("graft-spill-", "graft-spec-", "graft-warehouse",
+                    "graft-soak", "graft-long-soak", "graft-ingest", "duck")
+
+
+def tree_stats(path):
+    """(total_bytes, newest_mtime) over a tree, lstat-based (symlinks
+    count as their own link, never followed). Returns newest=None —
+    "unknowable", the FRESH direction — on ANY enumeration error: an
+    unreadable subtree must hide deletions, never enable them (r14
+    ADVICE: the default os.walk silently skips unreadable dirs, making
+    fresh files invisible). A plain-FILE entry gets its own stats (the
+    old walk-only form never set newest for files, so stale scratch
+    FILES were never reclaimed)."""
+    errors = []
+    try:
+        st = os.lstat(path)
+    except OSError:
+        return 0, None
+    import stat as stat_mod
+    if not stat_mod.S_ISDIR(st.st_mode):
+        return st.st_size, st.st_mtime
+    newest, total = st.st_mtime, 0
+    for r, dirs, files in os.walk(path, onerror=errors.append):
+        for name in dirs + files:
+            try:
+                s = os.lstat(os.path.join(r, name))
+                newest = max(newest, s.st_mtime)
+                if not stat_mod.S_ISDIR(s.st_mode):
+                    total += s.st_size
+            except OSError as e:
+                errors.append(e)
+    if errors:
+        return total, None
+    return total, newest
+
+
+def pid_alive(pid):
+    """True/False where /proc exists; None (unanswerable) elsewhere."""
+    if not os.path.isdir("/proc"):
+        return None
+    return os.path.exists(f"/proc/{pid}")
 
 
 def sweep_stale_scratch(roots=("/tmp", "/root/repo/.tmp"),
@@ -59,37 +102,49 @@ def sweep_stale_scratch(roots=("/tmp", "/root/repo/.tmp"),
     """Janitor (r13 verdict stretch item 8), Python twin of
     graft.core.DiskGuard.sweepStaleScratch: a KILLED oracle/soak run
     orphans its DUCKDB_TMP / Spark spill dirs (the r12 42 GB incident),
-    and the pre-flight above then refuses healthy runs. Delete entries
-    under the scratch roots that match OUR naming scheme and whose whole
-    tree has been idle > 1 day (any fresh file inside protects a live
-    concurrent run). GRAFT_DISK_GUARD=0 disables."""
+    and the pre-flight above then refuses healthy runs. Ownership tests,
+    strongest first (kept in lockstep with the Scala janitor):
+    graft-spill-<pid> roots are reclaimed iff their owning pid is DEAD
+    (alive → never, any age; no /proc → idle-age fallback); everything
+    else needs a full day of whole-tree idleness, where any enumeration
+    error reads as FRESH. GRAFT_DISK_GUARD=0 disables."""
     if os.environ.get("GRAFT_DISK_GUARD", "1") == "0":
         return
     now = time.time()
     for root in roots:
         if not os.path.isdir(root):
             continue
-        for entry in os.listdir(root):
+        try:
+            entries = os.listdir(root)
+        except OSError:
+            continue
+        for entry in entries:
             if not entry.startswith(SCRATCH_PREFIXES):
                 continue
             path = os.path.join(root, entry)
-            newest, total = 0.0, 0
-            for r, _, files in os.walk(path):
-                try:
-                    newest = max(newest, os.path.getmtime(r))
-                except OSError:
-                    pass
-                for f in files:
+            alive = None
+            pid_part = entry.split("-")[-1] \
+                if entry.startswith(("graft-spill-", "graft-spec-")) else ""
+            if pid_part.isdigit():
+                pid = int(pid_part)
+                if pid == os.getpid():
+                    continue
+                alive = pid_alive(pid)
+            if alive is True:
+                continue  # live owner — never touch, any age
+            total, newest = tree_stats(path)
+            idle_over_age = newest is not None and newest > 0 \
+                and now - newest > max_age_s
+            if alive is False or idle_over_age:
+                if os.path.isdir(path) and not os.path.islink(path):
+                    shutil.rmtree(path, ignore_errors=True)
+                else:
                     try:
-                        p = os.path.join(r, f)
-                        newest = max(newest, os.path.getmtime(p))
-                        total += os.path.getsize(p)
+                        os.remove(path)
                     except OSError:
                         pass
-            if newest and now - newest > max_age_s:
-                shutil.rmtree(path, ignore_errors=True)
                 print(f"[disk-guard] reclaimed {total / 1e9:.2f} GB from "
-                      f"{path} (idle {(now - newest) / 3600:.0f}h)")
+                      f"{path}")
 
 
 def main():
