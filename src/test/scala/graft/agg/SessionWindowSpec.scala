@@ -4,6 +4,10 @@ import graft.SparkSuite
 import org.apache.spark.sql.functions.{countDistinct, expr}
 
 class SessionWindowSpec extends SparkSuite {
+  // the valueStats fractional-digits guard deliberately fails a task
+  override protected def expectedTaskFailureSubstrings: Seq[String] =
+    Seq("2 fractional digits")
+
   import spark.implicits._
 
   private def run(rows: (Long, Long, Double)*) =

@@ -3,6 +3,10 @@ package graft.join
 import graft.SparkSuite
 
 class AsofJoinSpec extends SparkSuite {
+  // contract-check tests deliberately fail tasks with loud raises
+  override protected def expectedTaskFailureSubstrings: Seq[String] =
+    Seq("asof contract violation", "requires non-null key and ts")
+
   import spark.implicits._
 
   test("asof: latest right row at-or-before each left ts per key; no-match keeps NULL") {

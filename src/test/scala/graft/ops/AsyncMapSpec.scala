@@ -28,6 +28,11 @@ object AsyncProbe {
 }
 
 class AsyncMapSpec extends SparkSuite {
+  // error-path tests below deliberately fail tasks: the stalled-future
+  // deadline test surfaces a TimeoutException through the job
+  override protected def expectedTaskFailureSubstrings: Seq[String] =
+    Seq("TimeoutException")
+
   import spark.implicits._
 
   test("R9 output order equals input order within each partition") {

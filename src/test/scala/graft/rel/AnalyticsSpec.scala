@@ -10,6 +10,11 @@ import graft.core.Tables
   * plan shape (the map-side top-k that makes the operator scale), and
   * lag-delta invariants. */
 class AnalyticsSpec extends SparkSuite {
+  // the scd2Merge validate=true test deliberately fails a task with a
+  // contract-violation raise
+  override protected def expectedTaskFailureSubstrings: Seq[String] =
+    Seq("scd2Merge contract violation")
+
 
   private val sf = "/root/testdata/sf0.001"
 

@@ -17,6 +17,11 @@ import org.apache.spark.sql.types._
   * (an id regenerated as a string) must throw naming the column, not
   * silently load a schema the 155 gated queries were never built for. */
 class SchemaDriftSpec extends SparkSuite {
+  // drift tests deliberately fail tasks: out-of-range narrowing raises
+  // (ANSI cast overflow naming the column) and conform-failure raises
+  override protected def expectedTaskFailureSubstrings: Seq[String] =
+    Seq("r_regionkey", "CAST_OVERFLOW", "overflow")
+
 
   private def tmpDir(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
