@@ -1,0 +1,217 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+
+import scala.concurrent.Future
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.dedup.Dedup
+import graft.ops.AsyncMap
+
+/** Speculative-execution determinism probe (r14 verdict item 7).
+  *
+  * RetryDeterminismSpec proves FAILURE-retry determinism; speculation
+  * (`spark.speculation=true`) is a different race: a healthy-but-slow
+  * task gets a concurrent DUPLICATE attempt, both run to completion,
+  * and the scheduler commits whichever finishes first while killing the
+  * other. At 100 TB with stragglers this happens constantly, so every
+  * hash-exact claim additionally assumes operators are attempt-
+  * idempotent under CONCURRENT duplicate attempts — not just sequential
+  * retry-after-failure.
+  *
+  * Two scheduler facts force the shape of this probe (both measured
+  * here before it grew this form):
+  *  - local[n] never starts the speculation thread
+  *    (TaskSchedulerImpl.start guards on !isLocal), so the probe is its
+  *    own JVM with a standalone master — SpeculationSpec launches it as
+  *    a subprocess (the test JVM's shared local[n] context cannot
+  *    coexist with a second one);
+  *  - the scheduler never LAUNCHES a speculative duplicate on the same
+  *    host string as the original attempt, so a local-cluster[2,2,*]
+  *    (both workers "localhost") marks tasks speculatable but can never
+  *    run the copy. The probe therefore spawns a real master + two
+  *    worker processes with DISTINCT SPARK_LOCAL_HOSTNAME strings
+  *    (localhost / 127.0.0.1 — same loopback, different scheduler
+  *    hosts), which launches genuine concurrent duplicates.
+  *
+  * Workload: the same two operators RetryDeterminismSpec covers —
+  * [[AsyncMap.orderedWait]] and the LSH→edit-distance chain — with an
+  * 8 s sleep hooked on attempt 0 of partition 0 (past the 1.2×
+  * multiplier at quantile 0.5, 100 ms checks), so the duplicate attempt
+  * finishes first and the sleeper's late result must be discarded: the
+  * exact commit race under test. Prints one JSON line with
+  * `speculative_attempts` (must be ≥ 1 or the probe proved nothing —
+  * exit 2) and clean-vs-speculated gate hashes (mismatch — exit 1).
+  */
+object SpeculationProbe {
+
+  private val addOpensList: Seq[String] =
+    (Seq("java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic")
+      ++ Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar"))
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+
+  /** Sleep on the FIRST attempt of partition 0 only: the speculative
+    * duplicate (attemptNumber > 0) runs at full speed and wins the
+    * commit race. Object-scoped so the closure serializes clean. */
+  def slowFirstAttempt(): Unit = {
+    val tc = TaskContext.get()
+    if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
+      Thread.sleep(8000)
+  }
+
+  private def docs(spark: SparkSession, slow: Boolean): DataFrame = {
+    import spark.implicits._
+    spark.range(0, 240, 1, 8).mapPartitions { it =>
+      if (slow) slowFirstAttempt()
+      it
+    }.map { i =>
+      val c = i % 40
+      (i, s"doc class $c: the quick brown fox $c jumps over the lazy dog ${c * 7} again")
+    }.toDF("doc_id", "text")
+  }
+
+  private def gateHash(rows: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    rows.foreach(r => md.update(r.getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString.take(16)
+  }
+
+  private def freePort(): Int = {
+    val s = new java.net.ServerSocket(0)
+    try s.getLocalPort finally s.close()
+  }
+
+  /** Spawn a Spark deploy daemon (Master/Worker main) as a subprocess,
+    * echoing its output into `log`. The daemons need only the Spark
+    * jars, but the probe's own classpath is a superset — reuse it. */
+  private def spawnDaemon(cls: String, daemonArgs: Seq[String],
+                          hostname: String, log: java.nio.file.Path): Process = {
+    val java = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+    val cmd = Seq(java, "-Xmx512m", "-cp", System.getProperty("java.class.path")) ++
+      addOpensList ++ Seq(cls) ++ daemonArgs
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.environment().put("SPARK_LOCAL_HOSTNAME", hostname)
+    pb.environment().put("SPARK_SCALA_VERSION", "2.13")
+    pb.environment().put("SPARK_HOME",
+      sys.env.getOrElse("SPARK_HOME", "/opt/spark"))
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(log.toFile)
+    pb.start()
+  }
+
+  private def awaitWorkers(masterLog: java.nio.file.Path, n: Int,
+                           timeoutMs: Long): Boolean = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline) {
+      val count =
+        if (Files.exists(masterLog))
+          Files.readString(masterLog).linesIterator
+            .count(_.contains("Registering worker"))
+        else 0
+      if (count >= n) return true
+      Thread.sleep(500)
+    }
+    false
+  }
+
+  def main(args: Array[String]): Unit = {
+    val a = graft.core.Args(args)
+    val external = a.get("master") // reuse a caller-managed cluster
+    val work = Files.createDirectories(Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft-spec-${ProcessHandle.current().pid()}"))
+    var daemons: Seq[Process] = Nil
+    val masterUrl = external.getOrElse {
+      val port = freePort()
+      val masterLog = work.resolve("master.log")
+      daemons = Seq(
+        spawnDaemon("org.apache.spark.deploy.master.Master",
+          Seq("--host", "localhost", "--port", port.toString, "--webui-port", "0"),
+          "localhost", masterLog)) ++ {
+        Thread.sleep(3000) // master RPC up before workers dial in
+        Seq("localhost", "127.0.0.1").zipWithIndex.map { case (host, i) =>
+          spawnDaemon("org.apache.spark.deploy.worker.Worker",
+            Seq(s"spark://localhost:$port", "--cores", "2", "--memory", "1g",
+              "--webui-port", "0", "--work-dir", work.resolve(s"w$i").toString),
+            host, work.resolve(s"worker$i.log"))
+        }
+      }
+      require(awaitWorkers(work.resolve("master.log"), 2, 60000),
+        "standalone cluster did not come up (2 workers) within 60 s")
+      s"spark://localhost:$port"
+    }
+    try run(masterUrl)
+    finally {
+      daemons.foreach(_.destroyForcibly())
+      daemons.foreach(_.waitFor())
+      graft.core.DiskGuard.deleteTreeForTests(work)
+    }
+  }
+
+  private def run(masterUrl: String): Unit = {
+    val spark = SparkSession.builder()
+      .appName("graft-speculation-probe")
+      .master(masterUrl)
+      // executors are separate processes: ship the probe's full classpath
+      // and the module opens Spark needs on Java 17+
+      .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+      .config("spark.executor.extraJavaOptions", addOpensList.mkString(" "))
+      .config("spark.speculation", "true")
+      .config("spark.speculation.interval", "100ms")
+      .config("spark.speculation.multiplier", "1.2")
+      .config("spark.speculation.quantile", "0.5")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val specStarted = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskStart(t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+        if (t.taskInfo.speculative) specStarted.incrementAndGet(): Unit
+    })
+
+    // ---- operator 1: orderedWait (async map, per-partition ordering)
+    val in = spark.range(0, 4000, 1, 8).as[Long]
+    val asyncClean = AsyncMap.orderedWait(in)(x => Future.successful(x * 3 + 1))
+      .collect().map(_.toString).toSeq
+    val slowIn = spark.range(0, 4000, 1, 8).as[Long]
+      .mapPartitions { it => slowFirstAttempt(); it }
+    val asyncSpec = AsyncMap.orderedWait(slowIn)(x => Future.successful(x * 3 + 1))
+      .collect().map(_.toString).toSeq
+
+    // ---- operator 2: LSH pairs -> edit-distance chain (shuffle + join
+    // downstream of the speculated source stage)
+    val d0 = docs(spark, slow = false)
+    val cleanPairs = Dedup.minhashLshPairs(d0, n = 3, k = 32, rowsPerBand = 4)
+    val pairsClean = Dedup.pairEditDistance(d0, cleanPairs, prefixLen = 40, maxDist = 10)
+      .collect().map(_.toString).sorted.toSeq
+    val d1 = docs(spark, slow = true)
+    val specPairs = Dedup.minhashLshPairs(d1, n = 3, k = 32, rowsPerBand = 4)
+    val pairsSpec = Dedup.pairEditDistance(d1, specPairs, prefixLen = 40, maxDist = 10)
+      .collect().map(_.toString).sorted.toSeq
+
+    // listener bus is async; let the last speculative task-start land
+    Thread.sleep(1000)
+    val json =
+      s"""{"metric":"speculation_probe","master":"$masterUrl",""" +
+      s""""speculative_attempts":${specStarted.get()},""" +
+      s""""async_rows":${asyncClean.size},"pair_rows":${pairsClean.size},""" +
+      s""""async_hash_clean":"${gateHash(asyncClean)}","async_hash_spec":"${gateHash(asyncSpec)}",""" +
+      s""""pair_hash_clean":"${gateHash(pairsClean)}","pair_hash_spec":"${gateHash(pairsSpec)}",""" +
+      s""""async_match":${asyncClean == asyncSpec},"pair_match":${pairsClean == pairsSpec}}"""
+    try spark.stop() catch { case _: Throwable => }
+    println(json)
+    if (specStarted.get() < 1) {
+      System.err.println("[speculation-probe] no speculative attempt launched — probe proved nothing")
+      sys.exit(2)
+    }
+    if (asyncClean != asyncSpec || pairsClean != pairsSpec) sys.exit(1)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Speculative-execution determinism (r14 verdict item 7), driven
+  * through [[graft.apps.SpeculationProbe]] in a SUBPROCESS: the shared
+  * test session is local[n] (whose scheduler never starts the
+  * speculation thread) and a JVM allows one SparkContext, so the probe
+  * builds its own standalone two-hostname mini-cluster in its own JVM —
+  * see the probe's scaladoc for why both are forced. This spec asserts
+  * on the probe's JSON: at least one REAL speculative duplicate attempt
+  * launched (no vacuous pass), and the speculated runs' gate hashes are
+  * identical to the clean runs' for both covered operators. */
+class SpeculationSpec extends AnyFunSuite {
+
+  test("operators are attempt-idempotent under real speculative duplicates " +
+    "(orderedWait + LSH pair chain, standalone 2-host cluster)") {
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val opens = (Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
+      "java.io", "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic")
+      ++ Seq("sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar"))
+      .map(p => s"--add-opens=java.base/$p=ALL-UNNAMED")
+    val cmd = Seq(javaBin, "-Xmx2g", "-XX:+UseParallelGC",
+      "-cp", System.getProperty("java.class.path")) ++ opens ++
+      Seq("-Dspark.ui.enabled=false", "graft.apps.SpeculationProbe")
+    val pb = new ProcessBuilder(cmd: _*)
+    // stderr to a file, not a pipe: Spark's startup logging can fill a
+    // pipe buffer and deadlock against a reader draining stdout first
+    val errFile = java.nio.file.Files.createTempFile("spec-probe", ".err")
+    pb.redirectError(errFile.toFile)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    val finished = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    if (!finished) {
+      // kill the whole tree: the probe's master/worker daemons are its
+      // children and would linger past a forcible kill of the probe alone
+      proc.descendants().forEach(h => { h.destroyForcibly(); () })
+      proc.destroyForcibly()
+    }
+    val err = try new String(java.nio.file.Files.readAllBytes(errFile), "UTF-8")
+              finally java.nio.file.Files.deleteIfExists(errFile)
+    assert(finished, s"speculation probe did not finish within 300 s; stderr tail: ${err.takeRight(2000)}")
+    val line = out.linesIterator
+      .find(_.startsWith("""{"metric":"speculation_probe""""))
+      .getOrElse(fail(s"no probe JSON in stdout.\nstdout: $out\nstderr tail: ${err.takeRight(2000)}"))
+    assert(proc.exitValue() === 0,
+      s"probe exited ${proc.exitValue()}: $line\nstderr tail: ${err.takeRight(2000)}")
+    def num(f: String): Long =
+      ("\"" + f + "\":(\\d+)").r.findFirstMatchIn(line).map(_.group(1).toLong)
+        .getOrElse(fail(s"field $f missing in $line"))
+    assert(num("speculative_attempts") >= 1, s"vacuous probe: $line")
+    assert(line.contains(""""async_match":true"""), line)
+    assert(line.contains(""""pair_match":true"""), line)
+    // rows sane: the duplicate-attempt commit race must not drop/dup rows
+    assert(num("async_rows") === 4000L && num("pair_rows") === 600L, line)
+    info(line)
+  }
+}
