@@ -98,11 +98,18 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(s, d), n = 2, k = 6,
         rowsPerBand = 2, maxBucket = LshMaxBucket))
 
-  /** Connected components over the memoized pair frame (q_dedup_clusters
-    * output; q_dedup_keep input). */
+  /** Connected components (q_dedup_clusters output; q_dedup_keep /
+    * q_canonical_keep / q_split_leakage input) — computed over the
+    * CLASS graph (Dedup.connectedComponentsByClass), byte-identical to
+    * CC over the member pair frame but without materializing member
+    * pairs: the raw form hit a measured ~47 GB scratch wall at the
+    * GenScale sf100 replica, the class form's sf100 hash point is
+    * committed (r15). Same banding parameters as lshPairsMemo, so the
+    * exactness invariant is against exactly q_minhash_lsh_pairs. */
   private def dedupClustersMemo(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "dedup_clusters")(
-      Dedup.connectedComponents(lshPairsMemo(s, d)))
+      Dedup.connectedComponentsByClass(Tables.documents(s, d), n = 2, k = 6,
+        rowsPerBand = 2, maxBucket = LshMaxBucket))
 
   /** SimHash 8-band pair set (q_simhash_pairs8 output; agreement input). */
   private def simhashPairs8Memo(s: SparkSession, d: String): DataFrame =

@@ -130,18 +130,31 @@ object Dedup {
   /** Candidate-pair VOLUME under the same banding as [[minhashLshPairs]]
     * — `sum C(bucket,2)` over surviving buckets plus the count of
     * over-cap buckets dropped by the skew guard — WITHOUT materializing
-    * a single pair. One aggregate over the band frame: at 100 TB this is
-    * the capacity-planning query a dedup job runs FIRST, because the
-    * pair explode's cost is exactly this number (pre-`distinct`) and on
-    * a duplicate-dense corpus it grows super-linearly (the GenScale
-    * factor-100 documents replica, measured via graft.apps.PairVolume:
-    * 67,132 candidate pairs at sf0.1 → 214,107,900 at 100× the docs —
-    * 3189× the volume for 100× the data, with 159 over-cap buckets
-    * dropped by the skew guard). */
+    * a single pair. At 100 TB this is the capacity-planning query a
+    * dedup job runs FIRST, because the pair explode's cost is exactly
+    * this number (pre-`distinct`) and on a duplicate-dense corpus it
+    * grows super-linearly (the GenScale factor-100 documents replica,
+    * measured via graft.apps.PairVolume: 67,132 candidate pairs at
+    * sf0.1 → 214,107,900 at 100× the docs — 3189× the volume for 100×
+    * the data, with 159 over-cap buckets dropped by the skew guard).
+    *
+    * Computed CLASS-decomposed (r14 verdict item 5): a minhash band key
+    * is a function of text content alone, so a bucket's MEMBER count is
+    * the sum of member counts of the content classes in it. Group to
+    * classes first (one exact-dedup-shaped shuffle on text), band one
+    * representative per class, and aggregate member-weighted bucket
+    * sizes — identical output to banding every row, but the band
+    * explode and bucket shuffle are O(classes), not O(members). The raw
+    * formulation burned 31.9 s at sf100 (5× the production pairing it
+    * gates) banding 100 copies of every class; this form does the same
+    * math on 1/100th the band rows. */
   def lshPairVolume(df: DataFrame, n: Int, k: Int, rowsPerBand: Int,
                     maxBucket: Int = 1000): DataFrame = {
-    val sz = count(lit(1))
-    bandFrame(df, n, k, rowsPerBand)
+    val cls = df.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("m"))
+    val sz = sum(col("m")) // member-weighted bucket size, exact
+    bandFrame(cls.select("doc_id", "text"), n, k, rowsPerBand)
+      .join(cls.select("doc_id", "m"), Seq("doc_id"))
       .groupBy("band", "band_key").agg(sz.as("sz"))
       .agg(
         sum(when(col("sz").between(2, maxBucket),
@@ -387,6 +400,58 @@ object Dedup {
     out.count()
     cached.foreach(_.unpersist())
     out.toDF("doc_id", "cluster_id")
+  }
+
+  /** [[connectedComponents]] over the CLASS graph instead of the member
+    * pair graph (r14 verdict item 6) — the clustering a 100 TB dedup job
+    * should run. Exactness argument (the same one
+    * tools/sf100_cc_oracle.py validates oracle-side, and
+    * [[lshReprPairs]] asserts pair-side):
+    *  - a minhash band key is a function of text content alone, so every
+    *    member of a content class carries exactly its representative's
+    *    band rows, and a surviving bucket (member-weighted size in
+    *    [2, maxBucket] — [[lshReprPairs]] mirrors the raw admission) is
+    *    a full CLIQUE over the members of the classes in it;
+    *  - therefore the member-level component structure IS the class-
+    *    level one: classes sharing a surviving bucket merge, every
+    *    member of an active class (≥1 surviving bucket) joins its
+    *    class's component, members of inactive classes never appear;
+    *  - labels agree too: a component's cluster_id is its minimum
+    *    member doc_id, representatives are per-class minimum doc_ids,
+    *    and min over a component's members = min over its classes'
+    *    representatives.
+    * The raw member-level form ([[connectedComponents]] over
+    * [[minhashLshPairs]]) persists ~1.9B edges across several levels at
+    * the GenScale sf100 replica (measured ~47 GB scratch — DiskGuard-
+    * refused); this form's edge list is O(classes² per bucket) and its
+    * only full-data stages are the exact-dedup-shaped class shuffle and
+    * the final label-expansion join — both linear, both shuffle on keys
+    * a 1000-executor cluster partitions cleanly.
+    * Output: (doc_id, cluster_id), byte-identical to the raw form. */
+  def connectedComponentsByClass(docs: DataFrame, n: Int, k: Int,
+                                 rowsPerBand: Int,
+                                 maxBucket: Int = 1000): DataFrame = {
+    val rp = lshReprPairs(docs, n, k, rowsPerBand, maxBucket)
+    val edges = rp.filter(col("repr_a") =!= col("repr_b"))
+      .select(col("repr_a").as("doc_a"), col("repr_b").as("doc_b"))
+    val classLabels = connectedComponents(edges)
+      .withColumnRenamed("doc_id", "repr")
+    // active classes: any surviving bucket yields a pair row naming the
+    // class (a cross row, or the intra-class self row when m >= 2) —
+    // exactly the classes whose members appear in raw member pairs
+    val active = rp
+      .select(explode(array(col("repr_a"), col("repr_b"))).as("repr"))
+      .distinct()
+    // a class whose component never crossed class lines has no entry in
+    // classLabels — its representative IS the label (intra-class clique)
+    val reprLabel = active.join(classLabels, Seq("repr"), "left")
+      .select(col("repr"),
+        coalesce(col("cluster_id"), col("repr")).as("cluster_id"))
+    val cls = docs.groupBy(col("text")).agg(min(col("doc_id")).as("repr"))
+    docs.select(col("doc_id"), col("text"))
+      .join(cls, Seq("text"))
+      .join(reprLabel, Seq("repr"))
+      .select(col("doc_id"), col("cluster_id"))
   }
 
   /** SimHash near-duplicate pairs: band the 64-bit fingerprint into

@@ -188,6 +188,36 @@ class DedupSpec extends SparkSuite {
     assert(multi === expected)
   }
 
+  test("connectedComponentsByClass == CC over raw member pairs, byte-identical: " +
+    "cross-class merges, intra-class-only cliques, capped buckets, inactive docs") {
+    // duplicate-dense corpus exercising every admission case the class
+    // decomposition must mirror: a 30-copy class capped out at
+    // maxBucket=8 (absent from BOTH), two near-dup classes that merge
+    // across class lines, a 4-copy class whose component never crosses
+    // class lines (label = its own representative), singletons that
+    // never pair, and a sub-n-token doc with no signature at all
+    val texts = Seq.fill(30)("big dup cluster text") ++
+      Seq.fill(3)("a b c d") ++ Seq.fill(2)("a b c x") ++
+      Seq.fill(4)("z z top tribute band") ++
+      Seq("lone wolf one", "another singleton", "xx")
+    val d = docs(texts: _*)
+    val raw = Dedup.connectedComponents(
+        Dedup.minhashLshPairs(d, 2, 6, 2, maxBucket = 8))
+      .as[(Long, Long)].collect().toSeq.sorted
+    val byCls = Dedup.connectedComponentsByClass(d, 2, 6, 2, maxBucket = 8)
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(raw.nonEmpty) // the identity isn't vacuous
+    assert(byCls === raw)
+    // the intra-class-only clique is present and labeled by its repr
+    // (doc_ids 35..38), proving the coalesce path for class components
+    // that never crossed class lines
+    assert(byCls.filter(_._1 >= 35L).forall(_._2 === 35L))
+    assert(byCls.count(_._1 >= 35L) === 4)
+    // all-singleton corpus: both forms empty
+    val singletons = docs("aa bb cc", "dd ee ff", "gg hh ii")
+    assert(Dedup.connectedComponentsByClass(singletons, 2, 6, 2).count() === 0L)
+  }
+
   test("decontaminate: docs sharing any bench bigram are dropped, others kept") {
     val d = docs("the quick brown fox", "a quick brown dog", "totally unrelated words here")
     // bench = doc 0; doc 1 shares the bigram "quick brown"; doc 2 clean
