@@ -246,13 +246,26 @@ object Bench {
                   now: Seq[(String, Double)]): Seq[(String, Double, Double)] =
     regressionsSplit(prior, now)._1
 
+  /** Queries whose wall time is scheduling-latency-bound, not CPU-bound,
+    * with a MEASURED per-run spread wider than the 1.5× gate can
+    * tolerate (r14 verdict item 4, adjudicated r15): q_async_identity
+    * submits one Future/Await pair per element on the global pool, so
+    * min-of-N within one JVM under identical ambient load spans
+    * 0.68–0.97 s (±40%), identically under ParallelGC and G1 and
+    * independent of core count. Its regression gate carries a 2× band:
+    * a real regression (lost partition parallelism, a complexity slip)
+    * still lands >3× prior; pool jitter no longer flags. Keyed per
+    * query so the slack never leaks to CPU-bound queries. */
+  val jitterBand: Map[String, Double] = Map("q_async_identity" -> 2.0)
+
   /** Regression lint with the variance band applied: hard flags beyond
     * band×1.5× prior, advisories (standalone re-measure) between 1.5×
     * and band×1.5×. Band 1 (the default, and every per-round sf0.1
     * gate) makes the advisory list empty. Big-SF suite captures set
     * SPARK_GRAFT_VARIANCE_BAND=2 (or inherit it from factor ≥ 100 via
     * [[varianceBand]]) so co-capture GC/page-cache variance lands as
-    * homework, not alarms. */
+    * homework, not alarms. Per-query [[jitterBand]] entries floor the
+    * band for queries whose measured noise is wider than the gate. */
   def regressionsSplit(prior: Map[String, Double],
                        now: Seq[(String, Double)], band: Double = 1.0)
       : (Seq[(String, Double, Double)], Seq[(String, Double, Double)]) = {
@@ -261,7 +274,8 @@ object Bench {
         p > 0 && sec > 1.5 * p && sec - p > 0.3) =>
         (name, prior(name), sec)
     }
-    flagged.partition { case (_, p, sec) => sec > band * 1.5 * p }
+    flagged.partition { case (name, p, sec) =>
+      sec > math.max(band, jitterBand.getOrElse(name, 1.0)) * 1.5 * p }
   }
 
   /** Fixed single-thread CPU anchor: seconds for 100M rounds of a

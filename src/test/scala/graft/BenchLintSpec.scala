@@ -145,6 +145,24 @@ class BenchLintSpec extends AnyFunSuite {
     assert(Bench.regressionsSplit(prior, now)._1.map(_._1) === Seq("a", "b"))
   }
 
+  test("jitterBand: q_async_identity's measured pool jitter routes 1.5-3x to " +
+    "advisory even at band 1; >3x stays hard; no slack leaks to other queries") {
+    val prior = Map("q_async_identity" -> 0.616, "q_wordcount" -> 0.616)
+    // the r14 case: 0.616 -> 0.954 (1.55x) — inside the measured ±40%
+    // spread for the async query, a hard flag for a CPU-bound one
+    val now = Seq("q_async_identity" -> 0.954, "q_wordcount" -> 0.954)
+    val (hard, adv) = Bench.regressionsSplit(prior, now)
+    assert(hard.map(_._1) === Seq("q_wordcount"))
+    assert(adv.map(_._1) === Seq("q_async_identity"))
+    // a REAL async regression (>3x = 2x band x 1.5 gate) still fires hard
+    val (h2, a2) = Bench.regressionsSplit(prior, Seq("q_async_identity" -> 2.0))
+    assert(h2.map(_._1) === Seq("q_async_identity") && a2.isEmpty)
+    // a wider global band still wins when larger than the per-query one
+    val (h3, a3) = Bench.regressionsSplit(prior,
+      Seq("q_async_identity" -> 2.0), band = 4.0)
+    assert(h3.isEmpty && a3.map(_._1) === Seq("q_async_identity"))
+  }
+
   test("regressions: fires only past BOTH the 1.5x ratio and 0.3 s absolute gates") {
     val prior = Map("fast" -> 0.1, "slow" -> 1.0, "mid" -> 0.5, "err" -> 2.0)
     val now = Seq(
