@@ -16,6 +16,33 @@ cd /root/repo
 # not a violation.
 ALLOW='^(CORRECTNESS_r[0-9]+\.json|BENCH_r[0-9]+\.json|LEAKCHECK\.json|COPYCHECK\.json|PROGRESS\.jsonl|TESTDATA\.md|BASELINE\.(md|json)|VERDICT\.md|ADVICE\.md|BENCH_CONTENDED\.json)$'
 
+# BENCH_LOCAL.json is special (r15 verdict item 4): the driver's
+# post-commit bench run legitimately rewrites the committed quiet
+# baseline when its capture is quieter-or-faster (Bench.preferPrior
+# already diverted the contended case to BENCH_CONTENDED.json). That
+# one modification is policy, not a violation — but ONLY when the
+# worktree content is the driver's own capture, i.e. it matches the
+# newest BENCH_rN.json the same run wrote. Any other BENCH_LOCAL.json
+# modification (a builder capture left uncommitted) stays red.
+bench_local_is_driver_rewrite() {
+  local latest
+  latest=$(ls BENCH_r[0-9]*.json 2>/dev/null | sort -V | tail -1)
+  [ -n "$latest" ] || return 1
+  cmp -s BENCH_LOCAL.json "$latest" && return 0
+  # Tolerate byte-level drift (trailing newline, key order): compare
+  # the parsed JSON of every line instead.
+  python3 - "$latest" <<'EOF'
+import json, sys
+def parse(path):
+    with open(path) as f:
+        return [json.loads(l) for l in f if l.strip()]
+try:
+    sys.exit(0 if parse("BENCH_LOCAL.json") == parse(sys.argv[1]) else 1)
+except Exception:
+    sys.exit(1)
+EOF
+}
+
 dirty=0
 while IFS= read -r line; do
   [ -z "$line" ] && continue
@@ -24,6 +51,9 @@ while IFS= read -r line; do
   f="${f##* -> }"
   if echo "$f" | grep -qE "$ALLOW"; then
     echo "allowed (driver file): $line"
+  elif [ "$f" = "BENCH_LOCAL.json" ] && [ "${line:0:2}" = " M" ] \
+       && bench_local_is_driver_rewrite; then
+    echo "allowed (driver baseline refresh, matches newest BENCH_rN.json): $line"
   else
     echo "VIOLATION (uncommitted work at round close): $line"
     dirty=1
