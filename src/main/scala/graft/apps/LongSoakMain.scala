@@ -262,11 +262,36 @@ object LongSoakMain {
     // snapshot debt that a restart pays as changelog replay time. The
     // floor (60 versions) absorbs the legitimate oscillation set by
     // minDeltasForSnapshot + batches-per-maintenance-cycle.
-    val lags = series.filter(_._5 >= 0)
-    val (midLag, lateLag) = windowPeak(lags)(_._5)
-    val peakLag = lags.map(_._5).foldLeft(-1L)(math.max)
-    if (lags.length >= 12 && lateLag > math.max(2 * midLag, 60L))
-      stateViolations += s"late-run snapshot lag $lateLag versions > max(2x mid $midLag, 60) — uploads not keeping up"
+    //
+    // Restart-aware (r15 verdict item 6): the FIRST sample after a
+    // checkpoint resume reads lag ≈ the restart's global batch index —
+    // the version counter resumes at the checkpointed batch while the
+    // upload gauge starts fresh — an artifact that decays within one
+    // maintenance cycle. The r15 soak's windowed peaks (1,123 / 1,762 vs
+    // steady-state 1–14) were exactly these samples, and the bound held
+    // only by window geometry. The assert now runs on the STEADY-STATE
+    // series (post-restart samples excluded); the excluded samples are
+    // still captured and emitted in full so the artifact is checkable
+    // from the JSON, not argued around.
+    val postRestart = listener.postRestartBatches(queryId)
+    val steadyLags = series.filter(s => s._5 >= 0 && !postRestart(s._1))
+    val prSamples = series.filter(s => postRestart(s._1))
+    val (midLag, lateLag) = windowPeak(steadyLags)(_._5)
+    val peakLag = steadyLags.map(_._5).foldLeft(-1L)(math.max)
+    val peakLagPr = prSamples.map(_._5).foldLeft(-1L)(math.max)
+    if (steadyLags.length >= 12 && lateLag > math.max(2 * midLag, 60L))
+      stateViolations += s"late-run steady-state snapshot lag $lateLag versions > max(2x mid $midLag, 60) — uploads not keeping up"
+    // The artifact itself must also DECAY: each post-restart sample's
+    // lag must be back inside the steady band by the NEXT sampled batch
+    // of the series. A lag still ≈ batch-index one sample later is real
+    // upload debt hiding behind the restart excuse.
+    val sorted = series.sortBy(_._1)
+    prSamples.foreach { pr =>
+      sorted.find(s => s._1 > pr._1 && s._5 >= 0 && !postRestart(s._1)).foreach { nxt =>
+        if (nxt._5 > math.max(2 * math.max(midLag, 1L), 60L))
+          stateViolations += s"post-restart lag did not decay: batch ${pr._1} lag ${pr._5}, next steady batch ${nxt._1} still ${nxt._5}"
+      }
+    }
     // Checkpoint file census (SST / zip / changelog counts): maintenance
     // must delete superseded snapshot files and old changelogs, so the
     // census plateaus; monotone growth is cleanup/compaction debt. Only
@@ -284,15 +309,29 @@ object LongSoakMain {
     val sv = stateViolations.result()
     sv.foreach(v => System.err.println(s"[long-soak] STATE: $v"))
 
-    // Downsample the series for the JSON line (≤ 40 points, always
-    // keeping the last); full series lives only in memory by design.
-    val step = math.max(1, n / 40)
-    val sampled = (series.indices by step).map(series) :+ series.last
-    val seriesJson = sampled.distinct.map { case (b, r, m, s, lg) =>
-      s"""[$b,$r,$m,$s,$lg]""" }.mkString("[", ",", "]")
-    val cStep = math.max(1, cOk.length / 40)
+    // Series emission (r15 ADVICE: the JSON must reproduce its own
+    // headline numbers). Full series when it fits a sane line (≤ 1200
+    // points), else stride-sampled WITH the stride stated; the
+    // post-restart samples — the ones carrying the resume artifact the
+    // steady-state assert excludes — are always emitted in full as
+    // their own array, so the artifact-vs-steady split is checkable
+    // from the file alone. Each state entry carries a 6th element:
+    // 1 = first batch of a resumed run, 0 = steady state.
+    val maxPts = 1200
+    val step = if (n <= maxPts) 1 else math.max(1, n / maxPts)
+    val sampled =
+      if (step == 1) series
+      else ((series.indices by step).map(series) :+ series.last).distinct
+    def stateRow(e: (Long, Long, Long, Long, Long)): String = {
+      val (b, r, m, s, lg) = e
+      s"""[$b,$r,$m,$s,$lg,${if (postRestart(b)) 1 else 0}]"""
+    }
+    val seriesJson = sampled.map(stateRow).mkString("[", ",", "]")
+    val prJson = prSamples.map(stateRow).mkString("[", ",", "]")
+    val cStep = if (cOk.length <= maxPts) 1 else math.max(1, cOk.length / maxPts)
     val cSampled =
       if (cOk.isEmpty) Seq.empty
+      else if (cStep == 1) cOk
       else ((cOk.indices by cStep).map(cOk) :+ cOk.last).distinct
     val censusJson = cSampled.map { case (t, s, z, c, a) =>
       s"""[$t,$s,$z,$c,$a]""" }.mkString("[", ",", "]")
@@ -309,12 +348,17 @@ object LongSoakMain {
       s""""rows_kept":${funnel("rows_kept")},""" +
       s""""peak_state_rows":$peakRows,"peak_sst_bytes":$peakSst,""" +
       s""""mid_peak_rows":$midPeak,"late_peak_rows":$latePeak,""" +
-      s""""peak_snapshot_lag":$peakLag,"mid_peak_lag":$midLag,"late_peak_lag":$lateLag,""" +
-      s""""census_samples":${cOk.length},""" +
+      s""""peak_snapshot_lag_steady":$peakLag,"mid_peak_lag_steady":$midLag,""" +
+      s""""late_peak_lag_steady":$lateLag,""" +
+      s""""peak_snapshot_lag_post_restart":$peakLagPr,""" +
+      s""""post_restart_batches":${postRestart.size},""" +
+      s""""post_restart_samples":$prJson,""" +
+      s""""state_series_len":$n,"state_series_stride":$step,""" +
+      s""""census_samples":${cOk.length},"census_stride":$cStep,""" +
       s""""mid_sst_files":$midSstN,"late_sst_files":$lateSstN,""" +
       s""""mid_changelogs":$midChg,"late_changelogs":$lateChg,""" +
       s""""census_sec_sst_zip_chg_all":$censusJson,""" +
-      s""""state_series_batch_rows_mem_sst_lag":$seriesJson,""" +
+      s""""state_series_batch_rows_mem_sst_lag_pr":$seriesJson,""" +
       s""""backlog_sec":${math.rint(backlogSec * 10) / 10},""" +
       s""""drain_sec":${math.rint(drainSec * 10) / 10},""" +
       s""""funnel_match":$ok}"""

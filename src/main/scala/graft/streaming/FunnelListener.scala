@@ -52,12 +52,20 @@ final class FunnelListener extends StreamingQueryListener {
   // instance metrics (-1 when the provider reports none).
   private val stateByBatch =
     new ConcurrentHashMap[(UUID, Long), (Long, Long, Long, Long)]
+  // Lowest batchId delivered per (queryId, runId): the first batch of a
+  // checkpoint-resumed run. Gauge-style state metrics (snapshot-upload
+  // lag in particular) read as artifacts on exactly that batch — the
+  // version counter resumes at the checkpointed batch index while the
+  // upload gauge starts fresh — so boundedness asserts need to know
+  // which samples are post-restart (r15 verdict item 6).
+  private val runFirstBatch = new ConcurrentHashMap[(UUID, UUID), Long]
 
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
   override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
     val p = e.progress
     runBatches.add((p.runId, p.batchId))
+    recordRunBatch(p.id, p.runId, p.batchId)
     p.observedMetrics.forEach { (obs, row) =>
       val schema = row.schema
       if (schema != null) schema.fields.zipWithIndex.foreach { case (f, i) =>
@@ -111,8 +119,35 @@ final class FunnelListener extends StreamingQueryListener {
   private[streaming] def record(queryId: UUID, runId: UUID, obs: String,
                                 field: String, batchId: Long, value: Long): Unit = {
     runBatches.add((runId, batchId))
+    recordRunBatch(queryId, runId, batchId)
     acc.computeIfAbsent((runId, obs, field), _ => new AtomicLong).addAndGet(value)
     perBatch.put((queryId, obs, field, batchId), value)
+  }
+
+  /** Track the lowest batchId seen for this (query, run) — factored out
+    * of the event handler for the same fabrication-impossible reason as
+    * [[record]]/[[recordState]]. */
+  private[streaming] def recordRunBatch(queryId: UUID, runId: UUID,
+                                        batchId: Long): Unit =
+    runFirstBatch.merge((queryId, runId), batchId,
+      (a, b) => math.min(a, b))
+
+  /** Batch ids that were the first batch of a checkpoint-RESUMED run of
+    * this query — i.e. the first batch of every run except the one that
+    * started earliest. State gauges sampled on these batches carry the
+    * resume artifact (snapshot-lag ≈ the restart's global batch index);
+    * boundedness asserts should run on the complement. A batch replayed
+    * across a stop()-vs-commit race can appear as the first batch of two
+    * runs; set semantics make that a single exclusion. */
+  def postRestartBatches(queryId: UUID): Set[Long] = {
+    val firsts = Seq.newBuilder[Long]
+    runFirstBatch.forEach { (k, v) => if (k._1 == queryId) firsts += v }
+    val f = firsts.result()
+    if (f.isEmpty) Set.empty
+    else {
+      val initial = f.min
+      f.filter(_ != initial).toSet
+    }
   }
 
   override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit =

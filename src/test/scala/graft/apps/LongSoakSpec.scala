@@ -55,6 +55,15 @@ class LongSoakSpec extends SparkSuite {
       assert(series.nonEmpty)
       assert(series.map(_._2).max <= nDocs + nDupes)
       assert(series.map(_._1) === series.map(_._1).sorted)
+      // restart-aware census (r15 verdict item 6): one tagged first
+      // batch per RESUMED run — none for the initial run, and every
+      // tagged batch is a real batch of the drain
+      val pr = listener.postRestartBatches(queryId)
+      assert(pr.size === batchesPerPhase.length - 1,
+        s"post-restart tags $pr vs phases $batchesPerPhase")
+      val batches = series.map(_._1).toSet
+      assert(pr.subsetOf(batches))
+      assert(!pr.contains(series.map(_._1).min))
     } finally {
       spark.streams.removeListener(listener)
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

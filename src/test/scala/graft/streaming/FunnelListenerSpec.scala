@@ -65,6 +65,32 @@ class FunnelListenerSpec extends AnyFunSuite {
     assert(l.stateSeries(UUID.randomUUID()).isEmpty)
   }
 
+  test("postRestartBatches tags the first batch of every resumed run only") {
+    val l = new FunnelListener
+    val qid = UUID.randomUUID()
+    val other = UUID.randomUUID()
+    val run1 = UUID.randomUUID()
+    val run2 = UUID.randomUUID()
+    val run3 = UUID.randomUUID()
+    // initial run: batches 0..2 (out-of-order delivery must not matter)
+    l.record(qid, run1, "ingest", "rows_in", 1L, 10L)
+    l.record(qid, run1, "ingest", "rows_in", 0L, 10L)
+    l.record(qid, run1, "ingest", "rows_in", 2L, 10L)
+    // resume 1 REPLAYS batch 2 (stop-vs-commit race), then 3..4
+    l.record(qid, run2, "ingest", "rows_in", 2L, 10L)
+    l.record(qid, run2, "ingest", "rows_in", 3L, 10L)
+    l.record(qid, run2, "ingest", "rows_in", 4L, 10L)
+    // resume 2 starts clean at batch 5
+    l.record(qid, run3, "ingest", "rows_in", 5L, 10L)
+    // a different query's runs must not leak in
+    l.record(other, UUID.randomUUID(), "ingest", "rows_in", 0L, 10L)
+    // first batches of RESUMED runs: the replayed 2 and the clean 5;
+    // the initial run's first batch (0) is NOT post-restart
+    assert(l.postRestartBatches(qid) === Set(2L, 5L))
+    assert(l.postRestartBatches(other) === Set.empty[Long])
+    assert(l.postRestartBatches(UUID.randomUUID()) === Set.empty[Long])
+  }
+
   test("batchCount censuses distinct batches per RUN, dedup'd by batchId") {
     val l = new FunnelListener
     val qid = UUID.randomUUID()
