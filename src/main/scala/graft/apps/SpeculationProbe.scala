@@ -118,6 +118,58 @@ object SpeculationProbe {
     false
   }
 
+  /** Stateful streaming leg (r15 verdict item 5): the ingest dedup —
+    * dropDuplicatesWithinWatermark over the RocksDB provider with
+    * changelog checkpointing, the exact state path the endurance soaks
+    * certify — run to completion under forced speculation, with the
+    * slow-task hook in the POST-SHUFFLE stateful stage. That placement
+    * matters: a sleep in the source stage (operators 1–2) speculates a
+    * stateless scan, but the state-commit race needs the duplicated
+    * task to be the one that loads, updates, and commits a state-store
+    * partition — the speculative copy runs on the OTHER host, loads its
+    * own store replica from the checkpoint, and both race the version
+    * commit. Batch boundaries are pinned (maxFilesPerTrigger) so the
+    * clean and speculated runs see identical batch compositions; the
+    * gate hash excludes the wall-clock `ingest_ts`. */
+  private def streamDedup(spark: SparkSession, work: java.nio.file.Path,
+                          inDir: String, tag: String, slow: Boolean): Seq[String] = {
+    val out = work.resolve(s"stream-$tag").toString
+    val df0 = IngestMain.transform(spark.readStream
+      .option("maxFilesPerTrigger", "2").text(inDir))
+    val enc = org.apache.spark.sql.Encoders.row(df0.schema)
+    val df = if (slow) df0.mapPartitions { it => slowFirstAttempt(); it }(enc)
+             else df0
+    val q = df.writeStream.format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/checkpoint")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$out/data")
+      .select("doc_id", "text_redacted", "n_emails")
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  /** 8 files x 500 lines, every doc duplicated across two files (so the
+    * watermarked dedup state actually dedups across micro-batches), plus
+    * two malformed lines the parse gate must quarantine. Duplicate lines
+    * are byte-identical, so WHICH copy wins the state race cannot leak
+    * into row content — only into row COUNT, which is exactly what the
+    * clean-vs-speculated hash compares. */
+  private def writeStreamBacklog(dir: java.nio.file.Path): Unit = {
+    Files.createDirectories(dir)
+    for (f <- 0 until 8) {
+      val sb = new StringBuilder
+      for (i <- 0 until 500) {
+        val id = (f % 4) * 500 + i // files f and f+4 carry the same ids
+        sb.append(s"$id\tdoc $id body with enough filler tokens to pass the quality gate ${id % 7} ok\n")
+      }
+      if (f == 3) sb.append("malformed line no tab\n").append("nan\t\n")
+      Files.writeString(dir.resolve(f"part-$f%02d.txt"), sb.toString)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val a = graft.core.Args(args)
     val external = a.get("master") // reuse a caller-managed cluster
@@ -143,7 +195,7 @@ object SpeculationProbe {
         "standalone cluster did not come up (2 workers) within 60 s")
       s"spark://localhost:$port"
     }
-    try run(masterUrl)
+    try run(masterUrl, work)
     finally {
       daemons.foreach(_.destroyForcibly())
       daemons.foreach(_.waitFor())
@@ -151,7 +203,7 @@ object SpeculationProbe {
     }
   }
 
-  private def run(masterUrl: String): Unit = {
+  private def run(masterUrl: String, work: java.nio.file.Path): Unit = {
     val spark = SparkSession.builder()
       .appName("graft-speculation-probe")
       .master(masterUrl)
@@ -197,21 +249,42 @@ object SpeculationProbe {
     val pairsSpec = Dedup.pairEditDistance(d1, specPairs, prefixLen = 40, maxDist = 10)
       .collect().map(_.toString).sorted.toSeq
 
-    // listener bus is async; let the last speculative task-start land
-    Thread.sleep(1000)
+    // ---- operator 3: stateful streaming ingest dedup (RocksDB +
+    // changelog checkpointing) with the slow hook in the stateful stage
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    val inDir = work.resolve("stream-in")
+    writeStreamBacklog(inDir)
+    val beforeStream = specStarted.get()
+    val streamClean = streamDedup(spark, work, inDir.toString, "clean", slow = false)
+    val streamSpec = streamDedup(spark, work, inDir.toString, "spec", slow = true)
+    Thread.sleep(1000) // listener bus is async; let task-starts land
+    val streamAttempts = specStarted.get() - beforeStream
+
     val json =
       s"""{"metric":"speculation_probe","master":"$masterUrl",""" +
       s""""speculative_attempts":${specStarted.get()},""" +
+      s""""stream_speculative_attempts":$streamAttempts,""" +
       s""""async_rows":${asyncClean.size},"pair_rows":${pairsClean.size},""" +
+      s""""stream_rows":${streamClean.size},""" +
       s""""async_hash_clean":"${gateHash(asyncClean)}","async_hash_spec":"${gateHash(asyncSpec)}",""" +
       s""""pair_hash_clean":"${gateHash(pairsClean)}","pair_hash_spec":"${gateHash(pairsSpec)}",""" +
-      s""""async_match":${asyncClean == asyncSpec},"pair_match":${pairsClean == pairsSpec}}"""
+      s""""stream_hash_clean":"${gateHash(streamClean)}","stream_hash_spec":"${gateHash(streamSpec)}",""" +
+      s""""async_match":${asyncClean == asyncSpec},"pair_match":${pairsClean == pairsSpec},""" +
+      s""""stream_match":${streamClean == streamSpec}}"""
     try spark.stop() catch { case _: Throwable => }
     println(json)
     if (specStarted.get() < 1) {
       System.err.println("[speculation-probe] no speculative attempt launched — probe proved nothing")
       sys.exit(2)
     }
-    if (asyncClean != asyncSpec || pairsClean != pairsSpec) sys.exit(1)
+    if (streamAttempts < 1) {
+      System.err.println("[speculation-probe] no speculative attempt in the STREAMING leg — state-commit race not exercised")
+      sys.exit(2)
+    }
+    if (asyncClean != asyncSpec || pairsClean != pairsSpec ||
+        streamClean != streamSpec) sys.exit(1)
   }
 }

@@ -14,7 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SpeculationSpec extends AnyFunSuite {
 
   test("operators are attempt-idempotent under real speculative duplicates " +
-    "(orderedWait + LSH pair chain, standalone 2-host cluster)") {
+    "(orderedWait + LSH pair chain + stateful streaming dedup, standalone 2-host cluster)") {
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val opens = (Seq("java.lang", "java.lang.invoke", "java.lang.reflect",
@@ -32,7 +32,7 @@ class SpeculationSpec extends AnyFunSuite {
     pb.redirectError(errFile.toFile)
     val proc = pb.start()
     val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-    val finished = proc.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)
+    val finished = proc.waitFor(480, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) {
       // kill the whole tree: the probe's master/worker daemons are its
       // children and would linger past a forcible kill of the probe alone
@@ -41,7 +41,7 @@ class SpeculationSpec extends AnyFunSuite {
     }
     val err = try new String(java.nio.file.Files.readAllBytes(errFile), "UTF-8")
               finally java.nio.file.Files.deleteIfExists(errFile)
-    assert(finished, s"speculation probe did not finish within 300 s; stderr tail: ${err.takeRight(2000)}")
+    assert(finished, s"speculation probe did not finish within 480 s; stderr tail: ${err.takeRight(2000)}")
     val line = out.linesIterator
       .find(_.startsWith("""{"metric":"speculation_probe""""))
       .getOrElse(fail(s"no probe JSON in stdout.\nstdout: $out\nstderr tail: ${err.takeRight(2000)}"))
@@ -51,10 +51,19 @@ class SpeculationSpec extends AnyFunSuite {
       ("\"" + f + "\":(\\d+)").r.findFirstMatchIn(line).map(_.group(1).toLong)
         .getOrElse(fail(s"field $f missing in $line"))
     assert(num("speculative_attempts") >= 1, s"vacuous probe: $line")
+    // the STREAMING leg must have launched its own duplicate attempt —
+    // a batch-only speculation pass says nothing about the state-store
+    // commit race (r15 verdict item 5)
+    assert(num("stream_speculative_attempts") >= 1, s"vacuous streaming leg: $line")
     assert(line.contains(""""async_match":true"""), line)
     assert(line.contains(""""pair_match":true"""), line)
+    assert(line.contains(""""stream_match":true"""), line)
     // rows sane: the duplicate-attempt commit race must not drop/dup rows
     assert(num("async_rows") === 4000L && num("pair_rows") === 600L, line)
+    // 2000 distinct ids, each duplicated across micro-batches, 2
+    // malformed quarantined: the watermarked dedup must keep exactly one
+    // row per id under both clean and speculated schedules
+    assert(num("stream_rows") === 2000L, line)
     info(line)
   }
 }
