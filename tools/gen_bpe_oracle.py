@@ -36,8 +36,14 @@ def apply_merge(syms, l, r):
 
 def main(sf_dir, num_merges, min_freq):
     con = duckdb.connect()
+    # documents.parquet is a single file in the driver's testdata and a
+    # DIRECTORY of part files in Spark-written replicas (GenAlt/GenScale)
+    import os
+    path = f"{sf_dir}/documents.parquet"
+    if os.path.isdir(path):
+        path = f"{path}/*.parquet"
     texts = [r[0] for r in con.execute(
-        f"SELECT text FROM '{sf_dir}/documents.parquet'").fetchall()]
+        f"SELECT text FROM '{path}'").fetchall()]
     wc = Counter(w for t in texts for w in t.split(" ") if w)
     state = {w: list(w) + [EOW] for w in wc}
     merges = []
