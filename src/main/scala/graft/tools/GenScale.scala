@@ -129,11 +129,20 @@ object GenScale {
     // q_audio_fingerprint at factor 100). A real corpus grown 100x is
     // many files; write max(defaultParallelism, factor) of them so scan
     // parallelism scales WITH the data instead of with its byte size.
+    //
+    // The repartition happens on the SOURCE, before the crossJoin —
+    // repartitioning the replicated OUTPUT shuffles factor x the source
+    // bytes (measured at factor 1000: the 600 M-row lineitem repartition
+    // wrote 45+ GB of shuffle scratch and nearly exhausted the sandbox
+    // disk before it was killed; the source-side form shuffles ~50 MB
+    // and streams each output file straight out of the broadcast join).
+    // Same file count, same rows; only the row-to-file assignment
+    // changes (all copies of a source row share a file instead of
+    // landing hash-randomly), which nothing downstream depends on.
     val outParts = math.max(spark.sparkContext.defaultParallelism, factor)
     for ((t, keys) <- keyDomains if tableFilter.forall(_.contains(t))) {
       val ks = keys.map { case (c, dom) => c -> strides(dom) }
-      replicate(read(t), factor, ks)
-        .repartition(outParts)
+      replicate(read(t).repartition(outParts), factor, ks)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[genscale] $t x$factor -> $dst/$t.parquet ($outParts files)")
     }
