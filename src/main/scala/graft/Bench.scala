@@ -409,6 +409,24 @@ object Bench {
     SparkEntry.queries.filter(kv => keep(kv._1))
       .foreach { case (name, fn) => runOnce(warmDir, name, fn) }
 
+    // GC-debt flush (r15 verdict item 2, mechanism named by
+    // graft.apps.CoCaptureProbe): the warm-up pass leaves the old gen
+    // full of its garbage, and the FIRST timed query pays it off in
+    // repeated full collections — measured at sf30, the first run after
+    // a full-suite warm-up took 157 s with 3,857 s of summed task GC vs
+    // 21 s / 8 s once the heap settled; page cache, spill, and fetch
+    // wait were byte-identical across modes (the r15 "co-capture
+    // adjacency" was exactly this, amplified by the suite's one-run
+    // protocol measuring the alphabetically-first query). Dropping the
+    // warm-up's cached memos and forcing a collection before the timed
+    // loop cut that first run 3.3x in the probe's mitigated mode.
+    def flushHeapDebt(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      System.gc()
+    }
+    flushHeapDebt()
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // Plan-shape telemetry: exchange mentions in the final (post-AQE)
     // executed plan — a lost broadcast or an extra shuffle shows up as a
@@ -462,6 +480,13 @@ object Bench {
       .collect { case ((dir, _), sec) if dir == sfDir => sec }.sum
     val results = SparkEntry.queries.filter(kv => keep(kv._1))
       .toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Scale captures (runs=1) have no min-of-N to absorb a
+      // predecessor's GC debt landing in this query's single
+      // measurement; a forced collection between queries costs ~1 s
+      // against tens-of-seconds queries and bounds the attribution.
+      // At the default runs=3 the min already absorbs it — skip the
+      // pause (157 sub-second queries would pay it for nothing).
+      if (runs == 1) System.gc()
       val s0 = drainedShuffleCount()
       val times = (1 to runs).map { _ =>
         val m0 = memoNow()
