@@ -48,6 +48,10 @@ object CoCaptureProbe {
     val fetchWaitMs = new AtomicLong
     val inputBytes = new AtomicLong
     val shuffleReadBytes = new AtomicLong
+    // Per-stage executor-time census for the profile mode: stageId →
+    // (name, tasks, executorRunMs, gcMs, shuffleReadBytes, inputBytes).
+    val stages = new java.util.concurrent.ConcurrentHashMap[
+      Int, (String, Long, Long, Long, Long, Long)]
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
@@ -57,8 +61,28 @@ object CoCaptureProbe {
         fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
         inputBytes.addAndGet(m.inputMetrics.bytesRead)
         shuffleReadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        stages.merge(t.stageId,
+          ("", 1L, m.executorRunTime, m.jvmGCTime,
+            m.shuffleReadMetrics.totalBytesRead, m.inputMetrics.bytesRead),
+          (a, b) => (a._1, a._2 + b._2, a._3 + b._3, a._4 + b._4,
+            a._5 + b._5, a._6 + b._6))
       }
       ()
+    }
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val info = s.stageInfo
+      stages.computeIfPresent(info.stageId,
+        (_, v) => (info.name.takeWhile(_ != '\n').take(80), v._2, v._3, v._4, v._5, v._6))
+      ()
+    }
+    def stageRows(minRunMs: Long): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      stages.asScala.toSeq.sortBy(-_._2._3)
+        .filter(_._2._3 >= minRunMs)
+        .map { case (id, (nm, tasks, run, gc, sr, in)) =>
+          s"""{"stage":$id,"name":"$nm","tasks":$tasks,"run_ms":$run,""" +
+            s""""gc_ms":$gc,"shuffle_read":$sr,"input_bytes":$in}""" }
     }
     def snapshot(): Map[String, Long] = Map(
       "gc_ms" -> gcMs.get(), "mem_spill" -> memSpill.get(),
@@ -135,13 +159,18 @@ object CoCaptureProbe {
         m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
     }.mkString("[", ",", "]")
 
+    // Stage-time breakdown (the r15 stretch profile ask): stages with
+    // >= 1 s of summed executor time, heaviest first, captured across
+    // all timed runs of this JVM.
+    val stagesJson = listener.stageRows(1000L).mkString("[", ",", "]")
     val json =
       s"""{"metric":"cocapture_probe","mode":"$mode","query":"$qname",""" +
       s""""data":"$data","warm":"$warm","warm_sec":${math.rint(warmSec * 10) / 10},""" +
       s""""cached_rdds_after_warm":$cachedRddsBefore,"storage_used_after_warm":$storageBefore,""" +
       s""""cached_rdds_at_timing":$cachedRdds,"storage_used_at_timing":$storageUsed,""" +
       s""""page_cache_kb_before_timing":$pageCacheBefore,""" +
-      s""""best_sec":${math.rint(best * 100) / 100},"runs":$runsJson}"""
+      s""""best_sec":${math.rint(best * 100) / 100},"runs":$runsJson,""" +
+      s""""stages":$stagesJson}"""
     try spark.stop() catch { case _: Throwable => }
     println(json)
   }
