@@ -421,6 +421,13 @@ object Bench {
     // warm-up's cached memos and forcing a collection before the timed
     // loop cut that first run 3.3x in the probe's mitigated mode.
     def flushHeapDebt(): Unit = {
+      // Evict SparkEntry's memo entries BEFORE unpersisting: the memos
+      // are localCheckpoint'd (no lineage to recompute from), so an
+      // unpersisted frame left in the cache would poison every later
+      // consumer with "Checkpoint block not found" whenever the timed
+      // sfDir coincides with the warm dir (r16 advisory). Evicted memos
+      // rebuild from parquet on next use.
+      SparkEntry.clearMemos(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()

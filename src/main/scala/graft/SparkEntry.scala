@@ -90,6 +90,18 @@ object SparkEntry {
     }
   }
 
+  /** Evict every memoized frame of `session` (all dirs) without touching
+    * the blocks. For callers that unpersist all persistent RDDs wholesale
+    * (Bench.flushHeapDebt): a localCheckpoint'd frame has no lineage to
+    * recompute from, so an unpersisted memo LEFT in the cache poisons
+    * every later consumer with "Checkpoint block not found" whenever the
+    * timed dir coincides with the warm dir (r16 advisory). Evicted
+    * entries are simply rebuilt from the source parquet on next use. */
+  def clearMemos(session: SparkSession): Unit = {
+    val it = memoCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 eq session) it.remove()
+  }
+
   /** The canonical minhash→LSH candidate-pair frame over `documents` —
     * input to edit-distance verify, clustering, keep/drop, and the
     * cross-method agreement. */

@@ -81,7 +81,9 @@ object CoCaptureProbe {
       stages.asScala.toSeq.sortBy(-_._2._3)
         .filter(_._2._3 >= minRunMs)
         .map { case (id, (nm, tasks, run, gc, sr, in)) =>
-          s"""{"stage":$id,"name":"$nm","tasks":$tasks,"run_ms":$run,""" +
+          // Stage names carry arbitrary plan text — escape or the
+          // artifact line stops being JSON (r16 advisory).
+          s"""{"stage":$id,"name":"${graft.core.Json.escape(nm)}","tasks":$tasks,"run_ms":$run,""" +
             s""""gc_ms":$gc,"shuffle_read":$sr,"input_bytes":$in}""" }
     }
     def snapshot(): Map[String, Long] = Map(

@@ -53,7 +53,25 @@ object LongSoakMain {
 
   /** Poll until this run has either drained the backlog (funnel rows_in
     * reaches `expectedRows`) or completed `restartEvery` NEW batches,
-    * then stop it between batches. Returns (batchesThisRun, drained).
+    * then stop it between batches. Returns (batchesThisRun, drained,
+    * stallReason), where a Some stallReason means the phase should be
+    * RETRIED from the checkpoint rather than failed:
+    *
+    *  - the deadline is on PROGRESS, not the whole phase: the clock
+    *    resets whenever the run completes a new batch, so the budget
+    *    scales with the observed trigger lag instead of assuming one.
+    *    The r16 full-`sbt test` flake was exactly a fixed whole-phase
+    *    budget meeting a loaded host — 32 suites contending for the
+    *    same cores stretch a 200 ms trigger to minutes without anything
+    *    being wrong;
+    *  - a run that makes no progress past the budget, or that dies in
+    *    the documented RocksDB stop-vs-maintenance race (a maintenance
+    *    snapshot upload failing on a file the stop deleted; changelog
+    *    checkpointing carries correctness across it), is a STALL: stop
+    *    best-effort and let the caller resume from the checkpoint,
+    *    which reloads the store and unwedges it. Any other query death
+    *    still throws.
+    *
     * Batch counting comes from the listener's per-run batch census
     * (dedup'd by batchId), NOT from sampling `lastProgress`: at a fast
     * trigger, batches completed before the first poll or between polls
@@ -61,29 +79,56 @@ object LongSoakMain {
     * overshooting `restartEvery` and flaking the per-phase >= 1 assert. */
   private def runPhase(q: StreamingQuery, listener: graft.streaming.FunnelListener,
                        queryId: UUID, expectedRows: Long, restartEvery: Long,
-                       phaseTimeoutMs: Long): (Long, Boolean) = {
-    val deadline = System.nanoTime() + phaseTimeoutMs * 1000000L
+                       noProgressTimeoutMs: Long): (Long, Boolean, Option[String]) = {
     def drainedNow(): Boolean =
       listener.totalByBatch(queryId, "ingest_parsed", "rows_in") >= expectedRows
-    var stop = false
-    while (!stop) {
-      if (!q.isActive)
-        throw q.exception
-          .getOrElse(new IllegalStateException("query died without exception"))
-      val batches = listener.batchCount(q.runId)
-      if (drainedNow() || batches >= restartEvery) stop = true
-      else if (System.nanoTime() > deadline)
-        throw new IllegalStateException(
-          s"phase timed out after ${phaseTimeoutMs / 1000}s with $batches batches")
-      else Thread.sleep(500)
+    def snapshotRace(e: Throwable): Boolean = {
+      var t: Throwable = e; var hit = false
+      var hops = 0
+      while (t != null && !hit && hops < 16) {
+        val m = s"${t.getClass.getName}: ${t.getMessage}"
+        hit = m.contains("uploadSnapshot") || m.contains("SnapshotUpload") ||
+          (m.contains("RocksDB") && m.toLowerCase.contains("snapshot"))
+        t = if (t.getCause eq t) null else t.getCause
+        hops += 1
+      }
+      hit
     }
-    q.stop()
-    q.awaitTermination()
-    require(listener.awaitTerminated(q.runId),
-      s"termination event lost for run ${q.runId}")
+    var lastBatches = listener.batchCount(q.runId)
+    var lastProgressNs = System.nanoTime()
+    var stall: Option[String] = None
+    var stop = false
+    while (!stop && stall.isEmpty) {
+      if (!q.isActive) {
+        val e = q.exception
+          .getOrElse(new IllegalStateException("query died without exception"))
+        if (snapshotRace(e))
+          stall = Some(s"query died in the stop-vs-maintenance snapshot race: ${e.getMessage}")
+        else throw e
+      } else {
+        val batches = listener.batchCount(q.runId)
+        if (batches > lastBatches) {
+          lastBatches = batches; lastProgressNs = System.nanoTime()
+        }
+        if (drainedNow() || batches >= restartEvery) stop = true
+        else if (System.nanoTime() - lastProgressNs > noProgressTimeoutMs * 1000000L)
+          stall = Some(s"no new batch for ${noProgressTimeoutMs / 1000}s with $batches batches this run")
+        else Thread.sleep(500)
+      }
+    }
+    // Stop between batches; the stop itself can trip the same snapshot
+    // race (awaitTermination rethrows a failed query's exception) —
+    // best-effort, a failed stop is a stall and the resume recovers.
+    try { q.stop(); q.awaitTermination() }
+    catch { case e: Throwable =>
+      if (stall.isEmpty)
+        stall = Some(s"stop failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    if (!listener.awaitTerminated(q.runId) && stall.isEmpty)
+      stall = Some(s"termination event lost for run ${q.runId}")
     // The final census (post-termination listener flush) decides both —
     // a batch committed during stop() must count.
-    (listener.batchCount(q.runId), drainedNow())
+    (listener.batchCount(q.runId), drainedNow(), stall)
   }
 
   /** The multi-restart drain: run phases of at most `restartEvery`
@@ -98,22 +143,37 @@ object LongSoakMain {
                                       out: String, perTrigger: Int,
                                       triggerMs: Long, restartEvery: Long,
                                       maxPhases: Int, expectedRows: Long,
-                                      listener: graft.streaming.FunnelListener)
+                                      listener: graft.streaming.FunnelListener,
+                                      maxStallRetries: Int = 2)
       : (UUID, Seq[Long]) = {
-    val phaseTimeoutMs = restartEvery * triggerMs * 5 + 300000L
+    // No-progress budget: a generous multiple of ONE trigger plus a
+    // fixed floor — it only has to outlast the worst single trigger
+    // (the clock resets per completed batch), not the whole phase.
+    val noProgressMs = triggerMs * 20 + 120000L
     var queryId: UUID = null
     var drained = false
     val phaseBatches = Seq.newBuilder[Long]
     var phases = 0
+    var stallRetries = 0
     while (!drained && phases < maxPhases) {
       val q = startThrottled(spark, in, out, perTrigger, triggerMs)
       if (queryId == null) queryId = q.id
       require(q.id == queryId, "checkpoint resume changed the query id")
-      val (batches, d) = runPhase(q, listener, queryId, expectedRows,
-        restartEvery, phaseTimeoutMs)
-      phaseBatches += batches
+      val (batches, d, stall) = runPhase(q, listener, queryId, expectedRows,
+        restartEvery, noProgressMs)
+      stall.foreach { why =>
+        stallRetries += 1
+        System.err.println(
+          s"[long-soak] STALL (retry $stallRetries/$maxStallRetries): $why")
+        require(stallRetries <= maxStallRetries,
+          s"phase stalled beyond $maxStallRetries retries: $why")
+      }
+      // Only attempts that delivered work count as phases: a 0-batch
+      // stalled attempt never registers a run in the listener census,
+      // so counting it would break phases == visible-runs and with it
+      // the post-restart tagging invariant (pr.size == phases - 1).
+      if (batches >= 1 || d) { phaseBatches += batches; phases += 1 }
       drained = d
-      phases += 1
     }
     require(drained, s"backlog not drained after $maxPhases phases")
     (queryId, phaseBatches.result())
@@ -278,7 +338,13 @@ object LongSoakMain {
     val prSamples = series.filter(s => postRestart(s._1))
     val (midLag, lateLag) = windowPeak(steadyLags)(_._5)
     val peakLag = steadyLags.map(_._5).foldLeft(-1L)(math.max)
-    val peakLagPr = prSamples.map(_._5).foldLeft(-1L)(math.max)
+    // Same >= 0 validity filter as steadyLags: a -1 sentinel (provider
+    // reported no upload metric that batch) is "no sample", not a lag of
+    // -1 — without the filter the post-restart peak and the steady peak
+    // are computed over inconsistent populations (r16 advisory). prJson
+    // below still emits the raw rows, sentinels included.
+    val peakLagPr =
+      prSamples.filter(_._5 >= 0).map(_._5).foldLeft(-1L)(math.max)
     if (steadyLags.length >= 12 && lateLag > math.max(2 * midLag, 60L))
       stateViolations += s"late-run steady-state snapshot lag $lateLag versions > max(2x mid $midLag, 60) — uploads not keeping up"
     // The artifact itself must also DECAY: each post-restart sample's
@@ -335,6 +401,16 @@ object LongSoakMain {
       else ((cOk.indices by cStep).map(cOk) :+ cOk.last).distinct
     val censusJson = cSampled.map { case (t, s, z, c, a) =>
       s"""[$t,$s,$z,$c,$a]""" }.mkString("[", ",", "]")
+    // Per-store snapshot-upload attribution (r16 verdict item 1b): last
+    // observation per SnapshotLastUploaded instance metric — a single
+    // stuck store (the 10x soak's 362-version lag driver) is now named
+    // in the artifact instead of inferred from the min() series. Value =
+    // [batchId observed, last uploaded version, lag at observation].
+    val partUpJson = listener.snapshotUploadByPartition(queryId).toSeq
+      .sortBy(_._1)
+      .map { case (k, (b, up, lg)) =>
+        s""""${graft.core.Json.escape(k)}":[$b,$up,$lg]""" }
+      .mkString("{", ",", "}")
 
     val ok = failedTwin.isEmpty && sv.isEmpty
     val json =
@@ -353,6 +429,7 @@ object LongSoakMain {
       s""""peak_snapshot_lag_post_restart":$peakLagPr,""" +
       s""""post_restart_batches":${postRestart.size},""" +
       s""""post_restart_samples":$prJson,""" +
+      s""""snapshot_upload_by_partition":$partUpJson,""" +
       s""""state_series_len":$n,"state_series_stride":$step,""" +
       s""""census_samples":${cOk.length},"census_stride":$cStep,""" +
       s""""mid_sst_files":$midSstN,"late_sst_files":$lateSstN,""" +

@@ -57,10 +57,17 @@ object SpeculationProbe {
   /** Sleep on the FIRST attempt of partition 0 only: the speculative
     * duplicate (attemptNumber > 0) runs at full speed and wins the
     * commit race. Object-scoped so the closure serializes clean. */
-  def slowFirstAttempt(): Unit = {
+  def slowFirstAttempt(): Unit = slowFirstAttempt(8000L)
+
+  /** Parameterized form: the STREAMING leg sleeps less (3 s — still 6+×
+    * past the 1.2× multiplier at 100 ms checks) because its sleep runs
+    * once per MICRO-BATCH, and the cumulative inter-batch delay eats
+    * into the dedup watermark horizon that the duplicate rows must stay
+    * inside (r16 advisory on the stream_rows gate's headroom). */
+  def slowFirstAttempt(ms: Long): Unit = {
     val tc = TaskContext.get()
     if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0)
-      Thread.sleep(8000)
+      Thread.sleep(ms)
   }
 
   private def docs(spark: SparkSession, slow: Boolean): DataFrame = {
@@ -137,7 +144,7 @@ object SpeculationProbe {
     val df0 = IngestMain.transform(spark.readStream
       .option("maxFilesPerTrigger", "2").text(inDir))
     val enc = org.apache.spark.sql.Encoders.row(df0.schema)
-    val df = if (slow) df0.mapPartitions { it => slowFirstAttempt(); it }(enc)
+    val df = if (slow) df0.mapPartitions { it => slowFirstAttempt(3000L); it }(enc)
              else df0
     val q = df.writeStream.format("parquet")
       .option("path", s"$out/data")
@@ -156,13 +163,20 @@ object SpeculationProbe {
     * two malformed lines the parse gate must quarantine. Duplicate lines
     * are byte-identical, so WHICH copy wins the state race cannot leak
     * into row content — only into row COUNT, which is exactly what the
-    * clean-vs-speculated hash compares. */
+    * clean-vs-speculated hash compares. Duplicates sit ONE micro-batch
+    * apart (files f and f+2 at 2 files/trigger), not two: with a slow
+    * hook per batch the inter-duplicate wall is one batch's sleep +
+    * scheduling, keeping the gap ~6× inside the 1-minute
+    * dropDuplicatesWithinWatermark horizon even on a loaded host (the
+    * f/f+4 layout left only ~2× headroom — r16 advisory). */
   private def writeStreamBacklog(dir: java.nio.file.Path): Unit = {
     Files.createDirectories(dir)
     for (f <- 0 until 8) {
       val sb = new StringBuilder
       for (i <- 0 until 500) {
-        val id = (f % 4) * 500 + i // files f and f+4 carry the same ids
+        // files f and f+2 carry the same ids: (0,2)->0..499, (1,3)->
+        // 500..999, (4,6)->1000..1499, (5,7)->1500..1999 — 2000 distinct
+        val id = ((f % 2) + (f / 4) * 2) * 500 + i
         sb.append(s"$id\tdoc $id body with enough filler tokens to pass the quality gate ${id % 7} ok\n")
       }
       if (f == 3) sb.append("malformed line no tab\n").append("nan\t\n")

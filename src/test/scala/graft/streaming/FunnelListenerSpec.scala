@@ -91,6 +91,45 @@ class FunnelListenerSpec extends AnyFunSuite {
     assert(l.postRestartBatches(UUID.randomUUID()) === Set.empty[Long])
   }
 
+  test("postRestartBatches identifies the initial run by start order, " +
+    "not min first batch (resume can replay batch 0)") {
+    val l = new FunnelListener
+    val qid = UUID.randomUUID()
+    val run1 = UUID.randomUUID()
+    val run2 = UUID.randomUUID()
+    // initial run: batch 0 only — its commit races stop() and is lost
+    l.record(qid, run1, "ingest", "rows_in", 0L, 10L)
+    // resume REPLAYS batch 0 (crash before the first commit), then 1..2.
+    // Its state sample OVERWROTE the initial run's batch-0 slot, so the
+    // replayed first batch must be tagged post-restart: min-first-batch
+    // identification would see two equal firsts, drop both, and leak
+    // the resume artifact into the steady-state series (r16 advisory).
+    l.record(qid, run2, "ingest", "rows_in", 0L, 10L)
+    l.record(qid, run2, "ingest", "rows_in", 1L, 10L)
+    l.record(qid, run2, "ingest", "rows_in", 2L, 10L)
+    assert(l.postRestartBatches(qid) === Set(0L))
+  }
+
+  test("snapshotUploadByPartition keeps the last observation per metric " +
+    "key and separates queries") {
+    val l = new FunnelListener
+    val qa = UUID.randomUUID()
+    val qb = UUID.randomUUID()
+    // partition_0 keeps up; partition_3 is stuck at version 2 — the
+    // worst-K reporting re-surfaces it every batch and last-wins keeps
+    // the freshest observation, so the stuck store is attributable
+    l.recordPartUpload(qa, "SnapshotLastUploaded.partition_0_default", 5L, 6L)
+    l.recordPartUpload(qa, "SnapshotLastUploaded.partition_3_default", 5L, 2L)
+    l.recordPartUpload(qa, "SnapshotLastUploaded.partition_3_default", 9L, 2L)
+    l.recordPartUpload(qb, "SnapshotLastUploaded.partition_0_default", 1L, 2L)
+    assert(l.snapshotUploadByPartition(qa) === Map(
+      "SnapshotLastUploaded.partition_0_default" -> ((5L, 6L, 0L)),
+      "SnapshotLastUploaded.partition_3_default" -> ((9L, 2L, 8L))))
+    assert(l.snapshotUploadByPartition(qb) === Map(
+      "SnapshotLastUploaded.partition_0_default" -> ((1L, 2L, 0L))))
+    assert(l.snapshotUploadByPartition(UUID.randomUUID()).isEmpty)
+  }
+
   test("batchCount censuses distinct batches per RUN, dedup'd by batchId") {
     val l = new FunnelListener
     val qid = UUID.randomUUID()
