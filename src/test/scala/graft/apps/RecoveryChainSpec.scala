@@ -1,0 +1,54 @@
+package graft.apps
+
+import graft.SparkSuite
+
+/** Spec-scale twin of the recovery-chain probe (r16 verdict item 2):
+  * [[RecoveryChainProbe.runLeg]] with tiny stop targets, asserting the
+  * MECHANISM — suppressing snapshot uploads actually grows the chain a
+  * resume must replay, recovery is measured at every resume, and the
+  * control leg's chain stays short — so the probe's artifact run prices
+  * a real effect. The timing BOUNDS live in the probe main (a loaded
+  * test host can't assert wall-clock ratios reliably). The probe polls
+  * the query's own `lastProgress`, never the shared listener bus: under
+  * full-suite load the bus drops events, which stalled an earlier form
+  * of this spec for its whole budget while the query ran fine. */
+class RecoveryChainSpec extends SparkSuite {
+
+  test("suppressed snapshots grow the replay chain; control does not") {
+    val work = java.nio.file.Files.createTempDirectory("graft-recovery").toString
+    val in = s"$work/in"
+    SoakMain.buildBacklog(spark, "/root/testdata/sf0.01", in,
+      files = 30, dupDocs = 50L)
+    try {
+      RecoveryChainProbe.configure(spark, suppress = true)
+      val (sup, supPhases) = RecoveryChainProbe.runLeg(
+        spark, in, s"$work/sup", targets = Seq(4L, 8L), triggerMs = 100L)
+      RecoveryChainProbe.configure(spark, suppress = false)
+      val (ctl, _) = RecoveryChainProbe.runLeg(
+        spark, in, s"$work/ctl", targets = Seq(4L, 8L),
+        triggerMs = 100L, maxChainAtStop = 5L)
+
+      // one recovery sample per resume (stops at 4, 8, +1 final resume)
+      assert(sup.length === 2, s"suppressed samples: $sup")
+      assert(ctl.length === 2, s"control samples: $ctl")
+      assert(supPhases.forall(_ >= 1L))
+      // recovery walls are real measurements
+      assert((sup ++ ctl).forall(_._2 > 0.0))
+      // suppression grows the chain monotonically (lag ~ batch index);
+      // the deepest suppressed chain must be strictly past the second
+      // stop target, and deeper than anything the control saw
+      val supChains = sup.map(_._1)
+      assert(supChains === supChains.sorted, s"chain not growing: $sup")
+      assert(supChains.last >= 8L, s"deepest suppressed chain: $sup")
+      if (ctl.forall(_._1 >= 0))
+        assert(supChains.last > ctl.map(_._1).max,
+          s"suppression had no effect: sup=$sup ctl=$ctl")
+    } finally {
+      Seq("spark.sql.streaming.stateStore.providerClass",
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "spark.sql.streaming.stateStore.maintenanceInterval",
+        "spark.sql.streaming.stateStore.minDeltasForSnapshot")
+        .foreach(spark.conf.unset)
+    }
+  }
+}

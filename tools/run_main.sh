@@ -34,6 +34,11 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 # ParallelGC: matches build.sbt javaOptions (6-9% faster than G1 on the
 # full suite, measured r13) so sbt-run and script-run captures agree.
-exec java -cp "$CP" $ADD_OPENS -XX:+UseParallelGC \
+# GRAFT_GC_OPTS overrides for collector experiments (e.g.
+# "-XX:+UseG1GC -XX:G1HeapRegionSize=32m") — conflicting GC flags on one
+# command line are a JVM error, so the default must be replaced, not
+# appended to.
+GC_OPTS="${GRAFT_GC_OPTS:--XX:+UseParallelGC}"
+exec java -cp "$CP" $ADD_OPENS $GC_OPTS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"$MEM" "$@"
