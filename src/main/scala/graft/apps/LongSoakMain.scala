@@ -106,6 +106,14 @@ object LongSoakMain {
           stall = Some(s"query died in the stop-vs-maintenance snapshot race: ${e.getMessage}")
         else throw e
       } else {
+        // Reconcile from the query's OWN progress ring before reading
+        // the census: the listener bus is lossy under load (dropped
+        // events read as 0-batch runs and a permanently-undercounted
+        // drain total — the r16/r17 full-suite flakes). recentProgress
+        // holds the run's last 100 batches (> restartEvery by
+        // contract), and ingestProgress is idempotent, so this repairs
+        // any loss at ~100 map puts per poll.
+        q.recentProgress.foreach(listener.ingestProgress)
         val batches = listener.batchCount(q.runId)
         if (batches > lastBatches) {
           lastBatches = batches; lastProgressNs = System.nanoTime()
@@ -126,8 +134,10 @@ object LongSoakMain {
     }
     if (!listener.awaitTerminated(q.runId) && stall.isEmpty)
       stall = Some(s"termination event lost for run ${q.runId}")
-    // The final census (post-termination listener flush) decides both —
-    // a batch committed during stop() must count.
+    // The final census decides both — a batch committed during stop()
+    // must count, and the bus may have dropped anything: reconcile the
+    // whole ring one last time.
+    q.recentProgress.foreach(listener.ingestProgress)
     (listener.batchCount(q.runId), drainedNow(), stall)
   }
 
@@ -146,6 +156,12 @@ object LongSoakMain {
                                       listener: graft.streaming.FunnelListener,
                                       maxStallRetries: Int = 2)
       : (UUID, Seq[Long]) = {
+    // The reconcile path reads query.recentProgress, a ring of
+    // spark.sql.streaming.numRecentProgressUpdates (default 100): a
+    // phase must fit the ring or dropped-bus batches at the phase head
+    // become unrecoverable.
+    require(restartEvery <= 100,
+      s"restartEvery=$restartEvery exceeds the recentProgress ring (100)")
     // No-progress budget: a generous multiple of ONE trigger plus a
     // fixed floor — it only has to outlast the worst single trigger
     // (the clock resets per completed batch), not the whole phase.

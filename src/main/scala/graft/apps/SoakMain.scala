@@ -146,6 +146,9 @@ object SoakMain {
     if (q1.isActive) q1.stop() else drainedInPhase1 = true
     q1.awaitTermination()
     require(listener.awaitTerminated(q1.runId), "phase-1 termination event lost")
+    // Repair any listener-bus drops from the query's own progress ring
+    // (idempotent; covers the last 100 batches — see LongSoakMain).
+    q1.recentProgress.foreach(listener.ingestProgress)
     val phase1Sec = (System.nanoTime() - t1) / 1e9
     // Fail fast on a misconfigured run: if phase 1 already drained the
     // backlog, phase 2 would resume into nothing and the configuration
@@ -159,6 +162,7 @@ object SoakMain {
     val q2 = startIngest(spark, in, out, perTrigger)
     require(q2.awaitTermination(3600 * 1000L), "phase-2 drain exceeded 1 h")
     require(listener.awaitTerminated(q2.runId), "phase-2 termination event lost")
+    q2.recentProgress.foreach(listener.ingestProgress)
     val phase2Sec = (System.nanoTime() - t2) / 1e9
 
     // ---- funnel across BOTH runs, deduplicated by batchId (q1.id ==

@@ -78,10 +78,30 @@ final class FunnelListener extends StreamingQueryListener {
   // store names), not by run length.
   private val partUpload = new ConcurrentHashMap[(UUID, String), (Long, Long, Long)]
 
+  // Re-delivery guard for the per-RUN raw sums in `acc` (addAndGet is
+  // the one non-idempotent accumulator here): a (run, obs, field,
+  // batch) adds exactly once no matter how many times its progress
+  // object is ingested. Replays under a NEW runId still add to that
+  // run's own total — the documented raw-sum semantic total() keeps.
+  private val accSeen =
+    ConcurrentHashMap.newKeySet[(UUID, String, String, Long)]()
+
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
 
-  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-    val p = e.progress
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+    ingestProgress(e.progress)
+
+  /** Idempotent ingestion of one progress object — shared by the
+    * event-bus path and the RECONCILE path. The listener bus is LOSSY
+    * under load (AsyncEventQueue drops events past its capacity), so
+    * phase control additionally feeds `query.recentProgress` — the
+    * query's own ring buffer, synchronous with batch commit — through
+    * here: every accumulator is keyed by batchId with put/last-wins (or
+    * seen-set) semantics, so re-delivery is free and loss is repaired.
+    * (r17: a contended full-suite run starved the bus; three
+    * consecutive soak resumes read as 0-batch runs and drain detection
+    * stuck below the expected total while the query drained fine.) */
+  def ingestProgress(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit = {
     runBatches.add((p.runId, p.batchId))
     recordRunBatch(p.id, p.runId, p.batchId)
     p.observedMetrics.forEach { (obs, row) =>
@@ -148,8 +168,9 @@ final class FunnelListener extends StreamingQueryListener {
                                 field: String, batchId: Long, value: Long): Unit = {
     runBatches.add((runId, batchId))
     recordRunBatch(queryId, runId, batchId)
-    acc.computeIfAbsent((runId, obs, field), _ => new AtomicLong).addAndGet(value)
-    perBatch.put((queryId, obs, field, batchId), value)
+    if (accSeen.add((runId, obs, field, batchId)))
+      acc.computeIfAbsent((runId, obs, field), _ => new AtomicLong).addAndGet(value): Unit
+    perBatch.put((queryId, obs, field, batchId), value): Unit
   }
 
   /** Track the lowest batchId seen for this (query, run) — factored out

@@ -30,6 +30,21 @@ class FunnelListenerSpec extends AnyFunSuite {
     assert(l.totalByBatch(qid, "ingest", "rows_in") === 40L)
   }
 
+  test("re-delivery of the same (run, batch) is idempotent for BOTH sums") {
+    // the reconcile path (LongSoakMain feeding query.recentProgress
+    // back through ingestProgress after bus drops) re-delivers progress
+    // the bus already delivered — neither the per-run raw total nor the
+    // batch-deduplicated total may double-count
+    val l = new FunnelListener
+    val qid = UUID.randomUUID()
+    val run = UUID.randomUUID()
+    l.record(qid, run, "ingest", "rows_in", 0L, 10L)
+    l.record(qid, run, "ingest", "rows_in", 0L, 10L) // bus + reconcile
+    l.record(qid, run, "ingest", "rows_in", 0L, 10L) // reconcile again
+    assert(l.total(run, "ingest", "rows_in") === 10L)
+    assert(l.totalByBatch(qid, "ingest", "rows_in") === 10L)
+  }
+
   test("totalByBatch separates query ids, observations, and fields") {
     val l = new FunnelListener
     val qa = UUID.randomUUID()
