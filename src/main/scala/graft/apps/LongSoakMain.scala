@@ -51,6 +51,31 @@ import graft.sources.Sources
   */
 object LongSoakMain {
 
+  /** The stall-vs-fail classifier for a dead run: walks the cause chain
+    * looking for the documented RocksDB stop-vs-maintenance race (a
+    * maintenance snapshot upload failing on a file the stop deleted;
+    * changelog checkpointing carries correctness across it). TRUE means
+    * the phase should be retried from the checkpoint; any other death
+    * stays a hard failure. The match is on exception TEXT (class name +
+    * message) because Spark raises the race as generic SparkException
+    * chains — message text is not API, so the contract is pinned by
+    * SnapshotRaceSpec's forged chains (r17 verdict item 2): a Spark
+    * upgrade that rewords the message fails that spec, not a 30-minute
+    * soak. The walk is self-cycle-safe (`getCause eq t`) and bounded at
+    * 16 hops, which also terminates longer a→b→a cycles. */
+  private[apps] def snapshotRace(e: Throwable): Boolean = {
+    var t: Throwable = e; var hit = false
+    var hops = 0
+    while (t != null && !hit && hops < 16) {
+      val m = s"${t.getClass.getName}: ${t.getMessage}"
+      hit = m.contains("uploadSnapshot") || m.contains("SnapshotUpload") ||
+        (m.contains("RocksDB") && m.toLowerCase.contains("snapshot"))
+      t = if (t.getCause eq t) null else t.getCause
+      hops += 1
+    }
+    hit
+  }
+
   /** Poll until this run has either drained the backlog (funnel rows_in
     * reaches `expectedRows`) or completed `restartEvery` NEW batches,
     * then stop it between batches. Returns (batchesThisRun, drained,
@@ -77,23 +102,11 @@ object LongSoakMain {
     * trigger, batches completed before the first poll or between polls
     * would be silently missed by the sampling form (the r13 advisory),
     * overshooting `restartEvery` and flaking the per-phase >= 1 assert. */
-  private def runPhase(q: StreamingQuery, listener: graft.streaming.FunnelListener,
+  private[apps] def runPhase(q: StreamingQuery, listener: graft.streaming.FunnelListener,
                        queryId: UUID, expectedRows: Long, restartEvery: Long,
                        noProgressTimeoutMs: Long): (Long, Boolean, Option[String]) = {
     def drainedNow(): Boolean =
       listener.totalByBatch(queryId, "ingest_parsed", "rows_in") >= expectedRows
-    def snapshotRace(e: Throwable): Boolean = {
-      var t: Throwable = e; var hit = false
-      var hops = 0
-      while (t != null && !hit && hops < 16) {
-        val m = s"${t.getClass.getName}: ${t.getMessage}"
-        hit = m.contains("uploadSnapshot") || m.contains("SnapshotUpload") ||
-          (m.contains("RocksDB") && m.toLowerCase.contains("snapshot"))
-        t = if (t.getCause eq t) null else t.getCause
-        hops += 1
-      }
-      hit
-    }
     var lastBatches = listener.batchCount(q.runId)
     var lastProgressNs = System.nanoTime()
     var stall: Option[String] = None
@@ -157,11 +170,15 @@ object LongSoakMain {
                                       maxStallRetries: Int = 2)
       : (UUID, Seq[Long]) = {
     // The reconcile path reads query.recentProgress, a ring of
-    // spark.sql.streaming.numRecentProgressUpdates (default 100): a
-    // phase must fit the ring or dropped-bus batches at the phase head
-    // become unrecoverable.
-    require(restartEvery <= 100,
-      s"restartEvery=$restartEvery exceeds the recentProgress ring (100)")
+    // spark.sql.streaming.numRecentProgressUpdates: a phase must fit the
+    // ring or dropped-bus batches at the phase head become
+    // unrecoverable. The bound is read from the session conf (r17
+    // advisory) — a hardcoded 100 would silently break bus-drop repair
+    // in a session that lowered the ring size.
+    val ring =
+      spark.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100").toInt
+    require(restartEvery <= ring,
+      s"restartEvery=$restartEvery exceeds the recentProgress ring ($ring)")
     // No-progress budget: a generous multiple of ONE trigger plus a
     // fixed floor — it only has to outlast the worst single trigger
     // (the clock resets per completed batch), not the whole phase.
@@ -177,6 +194,13 @@ object LongSoakMain {
       require(q.id == queryId, "checkpoint resume changed the query id")
       val (batches, d, stall) = runPhase(q, listener, queryId, expectedRows,
         restartEvery, noProgressMs)
+      // A delivered batch PROVES any earlier stall recovered, so the
+      // retry cap is per stall STREAK, not per run (r17 advisory: three
+      // transient, individually-recovered races spread across a
+      // multi-hour soak must not abort it). Reset BEFORE counting this
+      // attempt's own stall: progress breaks the streak, a stall in the
+      // same attempt starts a new one.
+      if (batches >= 1) stallRetries = 0
       stall.foreach { why =>
         stallRetries += 1
         System.err.println(
@@ -185,10 +209,13 @@ object LongSoakMain {
           s"phase stalled beyond $maxStallRetries retries: $why")
       }
       // Only attempts that delivered work count as phases: a 0-batch
-      // stalled attempt never registers a run in the listener census,
-      // so counting it would break phases == visible-runs and with it
-      // the post-restart tagging invariant (pr.size == phases - 1).
-      if (batches >= 1 || d) { phaseBatches += batches; phases += 1 }
+      // attempt never registers a run in the listener census, so
+      // counting it would break phases == visible-runs and with it the
+      // post-restart tagging invariant (pr.size == phases - 1). That
+      // includes a 0-batch attempt where drainedNow() flipped true from
+      // a late-arriving bus event of a PREVIOUS run (r17 advisory) —
+      // that is a non-phase terminal state, not a phase.
+      if (batches >= 1) { phaseBatches += batches; phases += 1 }
       drained = d
     }
     require(drained, s"backlog not drained after $maxPhases phases")

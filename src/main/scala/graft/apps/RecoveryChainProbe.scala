@@ -128,6 +128,14 @@ object RecoveryChainProbe {
         while (q.isActive && lagOf(q.lastProgress) > maxChainAtStop &&
                System.nanoTime() < d2) Thread.sleep(100)
       }
+      // A run that DIED mid-phase must fail the leg loudly (r17
+      // advisory): unlike the first-batch wait, the catch-up loops above
+      // exit silently on !q.isActive, and the stop's catch-all would
+      // swallow the failure too — the leg would then record a truncated
+      // phase and a bogus chain sample with no violation anywhere.
+      if (!q.isActive)
+        throw q.exception.getOrElse(new IllegalStateException(
+          s"query died mid-phase (target $target) without exception"))
       val last = q.lastProgress
       chainBefore = lagOf(last)
       try { q.stop(); q.awaitTermination() } catch { case _: Throwable => () }

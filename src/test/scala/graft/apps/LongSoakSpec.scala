@@ -70,6 +70,40 @@ class LongSoakSpec extends SparkSuite {
     }
   }
 
+  test("runPhase classifies a no-progress run as a retryable stall") {
+    // A stream over an EMPTY directory never commits a batch; runPhase's
+    // progress deadline must classify that as a STALL (retry from
+    // checkpoint), not hang or throw — the second of the two stall
+    // paths (r17 verdict item 2; the snapshot-race path is pinned by
+    // SnapshotRaceSpec on forged chains).
+    val work = java.nio.file.Files.createTempDirectory("graft-stall").toString
+    val in = s"$work/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(in))
+    val listener = new graft.streaming.FunnelListener().register(spark)
+    val q = graft.sources.Sources.readTextStreamThrottled(spark, in, 1)
+      .writeStream.format("noop")
+      .option("checkpointLocation", s"$work/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    try {
+      val (batches, drained, stall) = LongSoakMain.runPhase(
+        q, listener, q.id, expectedRows = Long.MaxValue,
+        restartEvery = 5L, noProgressTimeoutMs = 1500L)
+      // Spark commits an initial (empty) batch 0 even over an empty
+      // directory; what matters is that NO FURTHER batch arrives and the
+      // deadline classifies that as a stall.
+      assert(batches <= 1L)
+      assert(!drained)
+      assert(stall.isDefined, "no-progress run must stall, not succeed")
+      assert(stall.get.contains("no new batch"), s"stall reason: $stall")
+      // runPhase stops the query itself (stop between batches)
+      assert(!q.isActive)
+    } finally {
+      try { if (q.isActive) q.stop() } catch { case _: Throwable => () }
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("drainWithRestarts fails loudly when the backlog cannot drain in maxPhases") {
     val work = java.nio.file.Files.createTempDirectory("graft-minisoak2").toString
     val in = s"$work/in"

@@ -41,14 +41,34 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" \
 echo "[alt-gate] 3/4 committed-oracle batch (DuckDB)" | tee -a "$LOG"
 BATCH=$(python3 "$REPO/tools/oracle_batch.py" "$ALT" "$OUT" 300 2>>"$LOG") || true
 echo "$BATCH" >> "$LOG"
-NOT_OK=$(echo "$BATCH" | grep -cE '^(FAIL|ERR|SKIP)' || true)
-BAD_NON_BPE=$(echo "$BATCH" | grep -E '^(FAIL|ERR|SKIP)' | grep -cv 'q_bpe_' || true)
+# SKIPs are load artifacts (per-query oracle budget exceeded / disk
+# guard on a busy host), not fixture-tuning evidence — a loaded host
+# must not flake the gate RED (r17 advisory). Retry skipped non-BPE
+# queries once with a 3x budget; only FAIL/ERR (hash/SQL mismatches)
+# are hard RED.
+SKIPPED=$(echo "$BATCH" | grep '^SKIP' | grep -v 'q_bpe_' \
+  | awk '{print $2}' | tr -d ':' | paste -sd, - || true)
+if [ -n "$SKIPPED" ]; then
+  echo "[alt-gate] WARN: retrying load-skipped queries at 900s budget: $SKIPPED" | tee -a "$LOG"
+  RETRY=$(python3 "$REPO/tools/oracle_batch.py" "$ALT" "$OUT" 900 "$SKIPPED" 2>>"$LOG") || true
+  echo "$RETRY" >> "$LOG"
+  # splice retry verdicts over the originals (BPE skips stay: step 4
+  # regenerates and re-checks those two regardless)
+  BATCH=$( { echo "$BATCH" | grep -v '^SKIP' ; echo "$BATCH" | grep '^SKIP' | grep 'q_bpe_' || true ; echo "$RETRY" ; } )
+fi
+NOT_OK=$(echo "$BATCH" | grep -cE '^(FAIL|ERR)' || true)
+SKIP_LEFT=$(echo "$BATCH" | grep -c '^SKIP' || true)
+BAD_NON_BPE=$(echo "$BATCH" | grep -E '^(FAIL|ERR)' | grep -cv 'q_bpe_' || true)
 OK1=$(echo "$BATCH" | grep -c '^OK' || true)
-echo "[alt-gate] pass 1: $OK1 OK, $NOT_OK not-OK (non-BPE: $BAD_NON_BPE)" | tee -a "$LOG"
+echo "[alt-gate] pass 1: $OK1 OK, $NOT_OK FAIL/ERR (non-BPE: $BAD_NON_BPE), $SKIP_LEFT still-skipped" | tee -a "$LOG"
 if [ "$BAD_NON_BPE" -ne 0 ]; then
-  echo "$BATCH" | grep -E '^(FAIL|ERR|SKIP)' | tee -a "$LOG"
+  echo "$BATCH" | grep -E '^(FAIL|ERR)' | tee -a "$LOG"
   echo "[alt-gate] RED: a non-BPE oracle failed on the alternate corpus" | tee -a "$LOG"
   exit 1
+fi
+if [ "$SKIP_LEFT" -ne 0 ]; then
+  echo "$BATCH" | grep '^SKIP' | tee -a "$LOG"
+  echo "[alt-gate] YELLOW: $SKIP_LEFT queries skipped even at the retry budget — rerun on a quieter host; NOT counted as fixture-tuning evidence" | tee -a "$LOG"
 fi
 
 echo "[alt-gate] 4/4 regenerate the 2 fixture-bound BPE oracles on the alt corpus" | tee -a "$LOG"
@@ -66,4 +86,4 @@ if [ "$BPE_OK" -ne 2 ]; then
 fi
 
 TOTAL=$((OK1 + BPE_OK))
-echo "[alt-gate] GREEN: $TOTAL/$((OK1 + NOT_OK)) oracle queries green on seed=$SEED (log: $LOG)" | tee -a "$LOG"
+echo "[alt-gate] GREEN: $TOTAL/$((OK1 + NOT_OK + SKIP_LEFT)) oracle queries green on seed=$SEED (log: $LOG)" | tee -a "$LOG"
