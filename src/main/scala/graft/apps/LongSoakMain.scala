@@ -454,6 +454,16 @@ object LongSoakMain {
       .map { case (k, (b, up, lg)) =>
         s""""${graft.core.Json.escape(k)}":[$b,$up,$lg]""" }
       .mkString("{", ",", "}")
+    // Max-uploaded twin (r18): the gauge restarts at 0 on every resume,
+    // so a LAST observation of 0 can be the fresh-gauge artifact, not a
+    // starved store (the injection soak proved it against checkpoint
+    // zips on disk). Attribution claims should read the MAX census: a
+    // store is genuinely never-uploaded iff its max is 0 here.
+    val partUpMaxJson = listener.snapshotUploadMaxByPartition(queryId).toSeq
+      .sortBy(_._1)
+      .map { case (k, (b, up, lg)) =>
+        s""""${graft.core.Json.escape(k)}":[$b,$up,$lg]""" }
+      .mkString("{", ",", "}")
 
     val ok = failedTwin.isEmpty && sv.isEmpty
     val json =
@@ -473,6 +483,7 @@ object LongSoakMain {
       s""""post_restart_batches":${postRestart.size},""" +
       s""""post_restart_samples":$prJson,""" +
       s""""snapshot_upload_by_partition":$partUpJson,""" +
+      s""""snapshot_upload_max_by_partition":$partUpMaxJson,""" +
       s""""state_series_len":$n,"state_series_stride":$step,""" +
       s""""census_samples":${cOk.length},"census_stride":$cStep,""" +
       s""""mid_sst_files":$midSstN,"late_sst_files":$lateSstN,""" +

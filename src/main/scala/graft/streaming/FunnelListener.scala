@@ -77,6 +77,15 @@ final class FunnelListener extends StreamingQueryListener {
   // item 1b). Bounded by the number of store instances (partitions ×
   // store names), not by run length.
   private val partUpload = new ConcurrentHashMap[(UUID, String), (Long, Long, Long)]
+  // Highest uploaded version ever observed per instance-metric key —
+  // the restart-robust starvation signal. The SnapshotLastUploaded
+  // gauge starts FRESH on every checkpoint resume, so a last-wins
+  // census sampled in a short post-restart phase reads 0 for EVERY
+  // reported store (r18 injection soak: six "never uploaded" stores
+  // whose checkpoint dirs held ~46 snapshot zips each — the census
+  // artifact, not upload debt). max-wins is immune: a store is
+  // genuinely starved iff its max across the whole run is 0.
+  private val partUploadMax = new ConcurrentHashMap[(UUID, String), (Long, Long, Long)]
 
   // Re-delivery guard for the per-RUN raw sums in `acc` (addAndGet is
   // the one non-idempotent accumulator here): a (run, obs, field,
@@ -148,8 +157,13 @@ final class FunnelListener extends StreamingQueryListener {
     * of the event handler for the same fabrication-impossible reason as
     * [[record]]/[[recordState]]. Last observation per key wins. */
   private[streaming] def recordPartUpload(queryId: UUID, key: String,
-                                          batchId: Long, uploaded: Long): Unit =
+                                          batchId: Long, uploaded: Long): Unit = {
     partUpload.put((queryId, key), (batchId, uploaded, batchId + 1 - uploaded)): Unit
+    // Ties on uploaded prefer the LATER observation, so a never-uploaded
+    // store's max row carries its final (deepest) lag, not its first.
+    partUploadMax.merge((queryId, key), (batchId, uploaded, batchId + 1 - uploaded),
+      (a, b) => if (b._2 > a._2 || (b._2 == a._2 && b._1 > a._1)) b else a): Unit
+  }
 
   /** One batch's summed state-operator footprint — factored out of the
     * event handler for the same reason as [[record]]: replay (last
@@ -216,6 +230,38 @@ final class FunnelListener extends StreamingQueryListener {
   def snapshotUploadByPartition(queryId: UUID): Map[String, (Long, Long, Long)] = {
     val b = Map.newBuilder[String, (Long, Long, Long)]
     partUpload.forEach { (k, v) => if (k._1 == queryId) b += ((k._2, v)) }
+    b.result()
+  }
+
+  /** Highest uploaded version ever observed per instance-metric key of
+    * this query — the restart-robust companion to
+    * [[snapshotUploadByPartition]]: a store with max 0 here never
+    * uploaded during the whole run; a store with 0 in the LAST
+    * observation may just have been sampled in a post-restart phase
+    * before its first upload of that run (fresh-gauge artifact). */
+  def snapshotUploadMaxByPartition(queryId: UUID): Map[String, (Long, Long, Long)] = {
+    val b = Map.newBuilder[String, (Long, Long, Long)]
+    partUploadMax.forEach { (k, v) => if (k._1 == queryId) b += ((k._2, v)) }
+    b.result()
+  }
+
+  /** Every SnapshotLastUploaded observation across ALL query ids this
+    * listener has seen: metricKey → (batchId observed, uploadedVersion,
+    * lagAtObservation). For probes that run sequential queries and
+    * snapshot the census between them (StarvedSoakMain) — key collisions
+    * across queries are last-wins, so snapshot BEFORE the next query
+    * starts. */
+  def allSnapshotUploads: Map[String, (Long, Long, Long)] = {
+    val b = Map.newBuilder[String, (Long, Long, Long)]
+    partUpload.forEach { (k, v) => b += ((k._2, v)) }
+    b.result()
+  }
+
+  /** Max-uploaded twin of [[allSnapshotUploads]] (see
+    * [[snapshotUploadMaxByPartition]] for why max, not last). */
+  def allSnapshotUploadsMax: Map[String, (Long, Long, Long)] = {
+    val b = Map.newBuilder[String, (Long, Long, Long)]
+    partUploadMax.forEach { (k, v) => b += ((k._2, v)) }
     b.result()
   }
 

@@ -145,6 +145,33 @@ class FunnelListenerSpec extends AnyFunSuite {
     assert(l.snapshotUploadByPartition(UUID.randomUUID()).isEmpty)
   }
 
+  test("max census is immune to the post-restart fresh-gauge artifact; " +
+    "last census is not") {
+    val l = new FunnelListener
+    val qid = UUID.randomUUID()
+    val healthy = "SnapshotLastUploaded.partition_7_default"
+    val starved = "SnapshotLastUploaded.partition_3_default"
+    // steady state: partition 7 uploaded version 48 by batch 50
+    l.recordPartUpload(qid, healthy, 50L, 48L)
+    // post-restart phase: the gauge restarts at 0, so BOTH stores are
+    // reported with uploaded 0 at batch 61 (lag 62) — the r18 injection
+    // soak observed exactly this reading as "never uploaded" for stores
+    // holding ~46 snapshot zips on disk
+    l.recordPartUpload(qid, healthy, 61L, 0L)
+    l.recordPartUpload(qid, starved, 61L, 0L)
+    // last-wins carries the artifact...
+    assert(l.snapshotUploadByPartition(qid)(healthy) === ((61L, 0L, 62L)))
+    // ...max-wins does not: the healthy store keeps its real upload,
+    // the genuinely starved store stays at 0
+    assert(l.snapshotUploadMaxByPartition(qid)(healthy) === ((50L, 48L, 3L)))
+    assert(l.snapshotUploadMaxByPartition(qid)(starved) === ((61L, 0L, 62L)))
+    assert(l.allSnapshotUploadsMax(healthy) === ((50L, 48L, 3L)))
+    // uploaded ties keep the LATER observation: a never-uploading
+    // store's max row carries its final (deepest) lag
+    l.recordPartUpload(qid, starved, 80L, 0L)
+    assert(l.snapshotUploadMaxByPartition(qid)(starved) === ((80L, 0L, 81L)))
+  }
+
   test("batchCount censuses distinct batches per RUN, dedup'd by batchId") {
     val l = new FunnelListener
     val qid = UUID.randomUUID()
