@@ -770,6 +770,13 @@ object SparkEntry {
     "q_ivf_probe2" -> ((s, d) =>
       Similarity.ivfTopK(Tables.embeddings(s, d), nQueries = 10, k = 5, nlist = 16,
         nprobe = 2)),
+    // streaming-arrival centroid refresh: epochs assigned against the
+    // index as of their arrival, exact decimal running state as output;
+    // the foreachBatch twin (IncrementalIvfSpec) folds the same epochs
+    // through a live stream and must land on identical state rows
+    "q_ivf_incremental" -> ((s, d) =>
+      Similarity.incrementalCentroidState(Tables.embeddings(s, d),
+        nlist = 16, chunks = 3)),
     // pre-filter composed into IVF: only in-filter vectors are assigned
     // and probed; queries and centroid seeds stay unfiltered
     "q_filtered_ivf" -> ((s, d) =>
@@ -1446,6 +1453,54 @@ object SparkEntry {
 
   /** LSH bucket oracle fragment for vector column `v` (generated SQL):
     * the SAME precomputed sign literals as Similarity.planeSigns. */
+
+  /** Generated oracle for q_ivf_incremental: the chunked arrival fold
+    * unrolled — epoch j is assigned against the centroids refreshed from
+    * the CUMULATIVE quantized state after epoch j-1 (the vec_id<nlist
+    * seeds for j=1); the output is the exact running state
+    * (cid, i, int8-quantized long sum, member count), mirroring
+    * Similarity.incrementalCentroidState's fold step for step. The
+    * quantized-long accumulation is the q_label_centroids pattern — a
+    * decimal formulation diverged in the last bit (Spark casts
+    * double→decimal HALF_UP, DuckDB HALF_EVEN). */
+  private def ivfIncrementalSql(nlist: Int, chunks: Int): String = {
+    val rounds = (1 to chunks).map { j =>
+      val prev = if (j == 1) "c0" else s"c${j - 1}"
+      val gs = (1 to j).map(g => s"SELECT * FROM g$g").mkString(" UNION ALL ")
+      s"""a$j AS (SELECT vec_id, v, cid FROM (
+         |  SELECT ch.vec_id, ch.v, c.cid, row_number() OVER (
+         |    PARTITION BY ch.vec_id ORDER BY ${duckCos("ch.v", "c.cv")} DESC, c.cid) AS rn
+         |  FROM ch CROSS JOIN $prev c WHERE ch.epoch = ${j - 1}) t WHERE rn = 1),
+         |g$j AS (SELECT cid, cast(ip - 1 AS int) AS i,
+         |        cast(sum(cast(CASE WHEN amax > 0
+         |                           THEN round(v[ip] * 127.0 / amax)
+         |                           ELSE 0 END AS bigint)) AS bigint) AS s,
+         |        count(*) AS n
+         |        FROM (SELECT cid, v, list_max(list_transform(v, x -> abs(x))) AS amax
+         |              FROM a$j) qa$j,
+         |             unnest(generate_series(1, len(v))) AS u(ip)
+         |        GROUP BY cid, i),
+         |cum$j AS (SELECT cid, i, cast(sum(s) AS bigint) AS s,
+         |                 cast(sum(n) AS bigint) AS n
+         |          FROM ($gs) gg GROUP BY cid, i),
+         |c$j AS (SELECT cid, list(comp ORDER BY i) AS cv FROM (
+         |  SELECT dom.cid, dom.i, CASE WHEN coalesce(cum$j.n, 0) > 0
+         |         THEN cast(cum$j.s AS double) / cum$j.n ELSE dom.seed END AS comp
+         |  FROM dom LEFT JOIN cum$j USING (cid, i)) t GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+       |           FROM embeddings),
+       |meta AS (SELECT cast(ceil((max(vec_id) + 1) / $chunks.0) AS bigint) AS span FROM e),
+       |ch AS (SELECT vec_id, v, cast(vec_id // span AS int) AS epoch FROM e, meta),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nlist),
+       |dom AS (SELECT cid, cast(ip - 1 AS int) AS i, cv[ip] AS seed
+       |        FROM c0, unnest(generate_series(1, len(cv))) AS u(ip)),
+       |$rounds
+       |SELECT dom.cid, dom.i, cast(coalesce(cum$chunks.s, 0) AS bigint) AS sq,
+       |       cast(coalesce(cum$chunks.n, 0) AS bigint) AS n
+       |FROM dom LEFT JOIN cum$chunks USING (cid, i)""".stripMargin
+  }
+
   private def duckLshBucket(v: String, planes: Int): String = {
     val signs = Similarity.planeSigns(planes)
     (0 until planes).map { i =>
@@ -2943,6 +2998,7 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (
          |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
          |WHERE rn <= 5""".stripMargin,
+    "q_ivf_incremental" -> ivfIncrementalSql(nlist = 16, chunks = 3),
     "q_ivf_probe2" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
          |           FROM embeddings),

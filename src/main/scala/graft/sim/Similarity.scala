@@ -777,4 +777,134 @@ object Similarity {
         cosine(col("q"), col("v")).as("cos_sim"))
     topK(scored, k)
   }
+
+  /** Incremental (streaming-arrival) IVF centroid state: vectors arrive
+    * in ordered epochs, each epoch is assigned to its nearest centroid
+    * AS OF ARRIVAL (the index the stream had at that moment), and the
+    * centroids are refreshed from the cumulative running means before
+    * the next epoch — the online companion to [[trainCentroids]]'s
+    * offline Lloyd rounds, and the centroid-refresh path a streaming
+    * ingest needs (r17 verdict stretch item 8).
+    *
+    * Determinism contract, same as every checked operator: per-epoch
+    * assignment is the shared [[bestCentroid]] total-order arg-max over
+    * a broadcast centroid array (map-side typed loop); per-dimension
+    * accumulation runs over the [[quantizeInt8]] projection in LONG
+    * (exact + associative — the q_label_centroids pattern; a decimal
+    * formulation diverged in the last bit because Spark's double→decimal
+    * cast rounds HALF_UP where DuckDB's rounds HALF_EVEN). The running
+    * state (cumulative per-dimension quantized sum + member count per
+    * centroid) IS the query output, making the whole epoch fold
+    * hash-checkable against an engine replaying the same folds.
+    * Centroid refresh divides the long sum by the count once, on the
+    * driver — the refreshed centroid lives at the int8 scale, which
+    * cosine assignment is invariant to (per-centroid normalization), so
+    * seed-scale and refreshed-scale centroids compare correctly.
+    *
+    * Scale shape: per-epoch work is one distributed map (assignment) +
+    * one partial-aggregated shuffle of nlist×dim longs; driver state is
+    * nlist×dim longs (|qv| ≤ 127, so even 10^12-member centroids stay
+    * far from overflow). Epoch count is a bounded driver loop (arrival
+    * windows), never a loop over data — at 100 TB each epoch is a
+    * normal distributed pass and the index state stays KB-sized. */
+  final class IncrementalIvfState private[sim] (
+      nlist: Int, dim: Int,
+      seeds: Array[(Long, Array[Double])]) {
+    private val sums = Array.fill(nlist, dim)(0L)
+    private val counts = new Array[Long](nlist)
+    private var cents: Array[(Long, Array[Double])] = seeds
+
+    /** Current centroids (refreshed after every [[update]]); a centroid
+      * with no members yet keeps its seed. */
+    def centroids: Array[(Long, Array[Double])] = cents
+
+    /** Fold one arrival epoch into the state: distributed assignment
+      * against the CURRENT centroids, int8-quantized long partial sums
+      * (the exact [[quantizeInt8]] formula), driver merge, centroid
+      * refresh. */
+    def update(epoch: DataFrame): Unit = {
+      val spark = epoch.sparkSession
+      import spark.implicits._
+      val bc = spark.sparkContext.broadcast(cents)
+      val comp = epoch.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .as[(Long, Array[Double])]
+        .map { case (_, vec) => (bestCentroid(bc.value, vec), vec) }
+        .toDF("cid", "v")
+        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+        .select(col("cid"), col("amax"), posexplode(col("v")).as(Seq("i", "x")))
+        .select(col("cid"), col("i").cast("int").as("i"),
+          when(col("amax") > 0, round(col("x") * lit(127.0) / col("amax")))
+            .otherwise(lit(0)).cast("long").as("qv"))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("qv")).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      bc.destroy()
+      comp.foreach { r =>
+        val cid = r.getLong(0).toInt
+        val i = r.getInt(1)
+        sums(cid)(i) += r.getLong(2)
+        if (i == 0) counts(cid) += r.getLong(3)
+      }
+      cents = seeds.map { case (cid, seed) =>
+        val ci = cid.toInt
+        if (counts(ci) > 0)
+          (cid, Array.tabulate(dim)(i => sums(ci)(i).toDouble / counts(ci)))
+        else (cid, seed)
+      }
+    }
+
+    /** The exact running state as rows (cid, i, sq, n) — nlist×dim long
+      * rows, the hash-checkable output. */
+    def stateDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      val rows = for { cid <- 0 until nlist; i <- 0 until dim } yield
+        org.apache.spark.sql.Row(cid.toLong, i, sums(cid)(i), counts(cid))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("i",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("sq",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+  }
+
+  /** Fresh state seeded by the first `nlist` vectors (the same
+    * training-free seeding as [[ivfTopK]] — the seeds are what the
+    * stream has before any refresh). */
+  def incrementalIvfState(embeddings: DataFrame, nlist: Int): IncrementalIvfState = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val seeds = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < nlist)
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    require(seeds.nonEmpty, "no seed vectors (vec_id < nlist)")
+    new IncrementalIvfState(nlist, seeds.head._2.length, seeds)
+  }
+
+  /** Batch replay of the arrival fold for the oracle gate: the corpus
+    * split into `chunks` contiguous vec_id epochs (arrival order = id
+    * order), folded through [[IncrementalIvfState.update]] epoch by
+    * epoch. The streaming twin (IncrementalIvfSpec) drives the SAME
+    * state through foreachBatch micro-batches and must land on the
+    * identical state rows. */
+  def incrementalCentroidState(embeddings: DataFrame, nlist: Int,
+                               chunks: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val n = embeddings.agg(max(col("vec_id"))).as[Long].collect()(0) + 1
+    val span = math.ceil(n.toDouble / chunks).toLong
+    val state = incrementalIvfState(embeddings, nlist)
+    for (c <- 0 until chunks) {
+      val lo = c * span
+      val hi = math.min(n, (c + 1) * span)
+      if (lo < hi)
+        state.update(embeddings.filter(col("vec_id") >= lo && col("vec_id") < hi))
+    }
+    state.stateDf(spark)
+  }
 }

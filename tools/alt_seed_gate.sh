@@ -11,7 +11,7 @@
 #      fixture-bound BPE VALUES oracles must be green unchanged;
 #   4. regenerates exactly those two BPE oracles against the alt corpus
 #      (tools/gen_bpe_oracle.py -> tools/patch_bpe_oracle.py) and
-#      re-checks them -> 157/157 green.
+#      re-checks them -> all queries green.
 #
 # NOTE for round close: if the DRIVER regenerates /root/testdata between
 # rounds, the committed q_bpe_merges/q_bpe_encode VALUES in
