@@ -84,4 +84,24 @@ class SnapshotRaceSpec extends AnyFunSuite {
   test("null message does not throw and does not match") {
     assert(!LongSoakMain.snapshotRace(new RuntimeException(null: String)))
   }
+
+  test("zipCountByPartition counts snapshot zips per numeric partition dir") {
+    val root = java.nio.file.Files.createTempDirectory("graft-zipcount")
+    def touch(parts: String*): Unit = {
+      val p = java.nio.file.Path.of(root.toString, parts: _*)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.writeString(p, "x"): Unit
+    }
+    // p0: two zips (one nested), a changelog, an sst; p3: changelogs only;
+    // a non-numeric dir and a stray file are ignored
+    touch("0", "5.zip"); touch("0", "sub", "9.zip")
+    touch("0", "7.changelog"); touch("0", "001.sst")
+    touch("3", "1.changelog"); touch("3", "2.changelog")
+    touch("_metadata", "x.zip"); touch("stray.zip")
+    assert(StarvedSoakMain.zipCountByPartition(root.toString) ===
+      Map(0 -> 2L, 3 -> 0L))
+    // missing dir → empty, not an error
+    assert(StarvedSoakMain.zipCountByPartition(
+      root.toString + "/does-not-exist").isEmpty)
+  }
 }
