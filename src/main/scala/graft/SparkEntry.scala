@@ -777,6 +777,11 @@ object SparkEntry {
     "q_ivf_incremental" -> ((s, d) =>
       Similarity.incrementalCentroidState(Tables.embeddings(s, d),
         nlist = 16, chunks = 3)),
+    // ...and serving through the refreshed index: the same probe path
+    // as q_ivf_topk over the fold's final centroids
+    "q_ivf_incremental_topk" -> ((s, d) =>
+      Similarity.incrementalIvfTopK(Tables.embeddings(s, d), nQueries = 10,
+        k = 5, nlist = 16, chunks = 3)),
     // pre-filter composed into IVF: only in-filter vectors are assigned
     // and probed; queries and centroid seeds stay unfiltered
     "q_filtered_ivf" -> ((s, d) =>
@@ -1463,7 +1468,7 @@ object SparkEntry {
     * quantized-long accumulation is the q_label_centroids pattern — a
     * decimal formulation diverged in the last bit (Spark casts
     * double→decimal HALF_UP, DuckDB HALF_EVEN). */
-  private def ivfIncrementalSql(nlist: Int, chunks: Int): String = {
+  private def ivfIncrementalCtes(nlist: Int, chunks: Int): String = {
     val rounds = (1 to chunks).map { j =>
       val prev = if (j == 1) "c0" else s"c${j - 1}"
       val gs = (1 to j).map(g => s"SELECT * FROM g$g").mkString(" UNION ALL ")
@@ -1495,11 +1500,31 @@ object SparkEntry {
        |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $nlist),
        |dom AS (SELECT cid, cast(ip - 1 AS int) AS i, cv[ip] AS seed
        |        FROM c0, unnest(generate_series(1, len(cv))) AS u(ip)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def ivfIncrementalSql(nlist: Int, chunks: Int): String =
+    s"""${ivfIncrementalCtes(nlist, chunks)}
        |SELECT dom.cid, dom.i, cast(coalesce(cum$chunks.s, 0) AS bigint) AS sq,
        |       cast(coalesce(cum$chunks.n, 0) AS bigint) AS n
        |FROM dom LEFT JOIN cum$chunks USING (cid, i)""".stripMargin
-  }
+
+  /** Search through the refreshed index: the q_ivf_topk probe pattern
+    * over the fold's final centroids (c<chunks>) instead of the seeds. */
+  private def ivfIncrementalTopKSql(nlist: Int, chunks: Int,
+                                    nQueries: Int, k: Int): String =
+    s"""${ivfIncrementalCtes(nlist, chunks)},
+       |fa AS (SELECT vec_id, v, cid AS list FROM (
+       |  SELECT e.vec_id, e.v, c.cid, row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY ${duckCos("e.v", "c.cv")} DESC, c.cid) AS rn
+       |  FROM e CROSS JOIN c$chunks c) t WHERE rn = 1),
+       |fq AS (SELECT vec_id AS query_id, v AS qv, list FROM fa WHERE vec_id < $nQueries),
+       |fs AS (SELECT query_id, fa.vec_id AS neighbor_id, ${duckCos("qv", "fa.v")} AS cos_sim
+       |       FROM fa JOIN fq USING (list) WHERE fa.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, cos_sim, cast(rn AS int) AS rank
+       |FROM (SELECT *, row_number() OVER (
+       |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM fs) t
+       |WHERE rn <= $k""".stripMargin
 
   private def duckLshBucket(v: String, planes: Int): String = {
     val signs = Similarity.planeSigns(planes)
@@ -2999,6 +3024,8 @@ object SparkEntry {
          |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
          |WHERE rn <= 5""".stripMargin,
     "q_ivf_incremental" -> ivfIncrementalSql(nlist = 16, chunks = 3),
+    "q_ivf_incremental_topk" ->
+      ivfIncrementalTopKSql(nlist = 16, chunks = 3, nQueries = 10, k = 5),
     "q_ivf_probe2" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
          |           FROM embeddings),

@@ -886,14 +886,12 @@ object Similarity {
     new IncrementalIvfState(nlist, seeds.head._2.length, seeds)
   }
 
-  /** Batch replay of the arrival fold for the oracle gate: the corpus
-    * split into `chunks` contiguous vec_id epochs (arrival order = id
-    * order), folded through [[IncrementalIvfState.update]] epoch by
-    * epoch. The streaming twin (IncrementalIvfSpec) drives the SAME
-    * state through foreachBatch micro-batches and must land on the
-    * identical state rows. */
-  def incrementalCentroidState(embeddings: DataFrame, nlist: Int,
-                               chunks: Int): DataFrame = {
+  /** The arrival fold shared by the state query and the search query:
+    * the corpus split into `chunks` contiguous vec_id epochs (arrival
+    * order = id order), folded through [[IncrementalIvfState.update]]
+    * epoch by epoch. */
+  private def foldIncremental(embeddings: DataFrame, nlist: Int,
+                              chunks: Int): IncrementalIvfState = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val n = embeddings.agg(max(col("vec_id"))).as[Long].collect()(0) + 1
@@ -905,6 +903,28 @@ object Similarity {
       if (lo < hi)
         state.update(embeddings.filter(col("vec_id") >= lo && col("vec_id") < hi))
     }
-    state.stateDf(spark)
+    state
+  }
+
+  /** Batch replay of the arrival fold for the oracle gate: the exact
+    * running state after every epoch is folded. The streaming twin
+    * (IncrementalIvfSpec) drives the SAME state through foreachBatch
+    * micro-batches and must land on the identical state rows. */
+  def incrementalCentroidState(embeddings: DataFrame, nlist: Int,
+                               chunks: Int): DataFrame =
+    foldIncremental(embeddings, nlist, chunks).stateDf(embeddings.sparkSession)
+
+  /** Top-k search THROUGH the incrementally refreshed index: the same
+    * probe path as [[ivfTopK]], but over the centroids the arrival fold
+    * landed on — the full online story (refresh while ingesting, then
+    * serve) on one checked path. The refreshed centroids are exact
+    * integer-ratio doubles (quantized long sum / count), so the search
+    * is as hash-deterministic as the seed-centroid variant. */
+  def incrementalIvfTopK(embeddings: DataFrame, nQueries: Int, k: Int,
+                         nlist: Int, chunks: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe must be in [1, $nlist]")
+    val state = foldIncremental(embeddings, nlist, chunks)
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    ivfSearch(v, state.centroids, nQueries, k, nprobe)
   }
 }
