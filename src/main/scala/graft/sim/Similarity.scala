@@ -845,13 +845,71 @@ object Similarity {
         sums(cid)(i) += r.getLong(2)
         if (i == 0) counts(cid) += r.getLong(3)
       }
+      refresh()
+    }
+
+    /** Centroid refresh from the running state: quantized long sum /
+      * count (exact integer-ratio doubles); an empty centroid keeps its
+      * seed. Shared by [[update]] and checkpoint restore so a resumed
+      * state serves the same centroids an uninterrupted fold would. */
+    private def refresh(): Unit =
       cents = seeds.map { case (cid, seed) =>
         val ci = cid.toInt
         if (counts(ci) > 0)
           (cid, Array.tabulate(dim)(i => sums(ci)(i).toDouble / counts(ci)))
         else (cid, seed)
       }
+
+    /** Install a checkpointed running state (r18 verdict item 5: the
+      * fold must survive a driver restart). Overwrites sums/counts and
+      * refreshes the centroids — folding epoch k+1 after a restore is
+      * byte-identical to folding it uninterrupted, because the state IS
+      * (sums, counts, seeds) and assignment reads only the refreshed
+      * centroids. */
+    private[sim] def install(sq: Array[Array[Long]], n: Array[Long]): Unit = {
+      require(sq.length == nlist && n.length == nlist,
+        s"checkpoint shape ${sq.length} != nlist $nlist")
+      for (c <- 0 until nlist) {
+        require(sq(c).length == dim, s"checkpoint dim ${sq(c).length} != $dim")
+        Array.copy(sq(c), 0, sums(c), 0, dim)
+      }
+      Array.copy(n, 0, counts, 0, nlist)
+      refresh()
     }
+
+    /** Self-contained checkpoint rows (cid, i, sq, n, seed): the state
+      * rows plus the per-dimension seed values, so a restore needs the
+      * parquet alone — not a rescan of the corpus for seed vectors
+      * (whose earliest rows may have been compacted away by the time a
+      * stream restarts). nlist×dim rows, KB-sized at any corpus scale:
+      * a trivial parquet round-trip. */
+    def checkpointDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      // iterate the SEEDS (cid-keyed), not 0..nlist: only seeded lists
+      // can ever hold members (assignment arg-maxes over the seeded
+      // centroids), so these rows are the complete state
+      val rows = for { (cid, seed) <- seeds.toSeq; i <- 0 until dim } yield
+        org.apache.spark.sql.Row(
+          cid, i, sums(cid.toInt)(i), counts(cid.toInt), seed(i))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("i",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("sq",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("seed",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    }
+
+    /** Persist the checkpoint to parquet (overwrite: the newest state
+      * supersedes — a resumed fold never merges two checkpoints). */
+    def saveCheckpoint(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Unit =
+      checkpointDf(spark).repartition(1).write.mode("overwrite").parquet(path)
 
     /** The exact running state as rows (cid, i, sq, n) — nlist×dim long
       * rows, the hash-checkable output. */
@@ -926,5 +984,58 @@ object Similarity {
     val state = foldIncremental(embeddings, nlist, chunks)
     val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     ivfSearch(v, state.centroids, nQueries, k, nprobe)
+  }
+
+  /** Centroids after the arrival fold — the online index the quality
+    * curve (IncrementalIvfSpec / ANN_ONLINE_CURVE.json) compares
+    * against [[trainCentroids]]'s offline Lloyd rounds. */
+  def incrementalIvfCentroids(embeddings: DataFrame, nlist: Int,
+                              chunks: Int): Array[(Long, Array[Double])] =
+    foldIncremental(embeddings, nlist, chunks).centroids
+
+  /** Top-k through EXPLICIT centroids — the shared probe path opened
+    * for quality measurement (online-vs-offline recall curve) and for
+    * serving through a restored checkpoint's refreshed centroids
+    * without re-folding. Same assignment/probe/score/top-k as every
+    * other IVF entry point, so recall differences measure the
+    * CENTROIDS, not the search. */
+  def ivfTopKWith(embeddings: DataFrame,
+                  cents: Array[(Long, Array[Double])],
+                  nQueries: Int, k: Int, nprobe: Int = 1): DataFrame = {
+    require(cents.nonEmpty, "need at least one centroid")
+    require(nprobe >= 1 && nprobe <= cents.length,
+      s"nprobe must be in [1, ${cents.length}]")
+    val v = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    ivfSearch(v, cents, nQueries, k, nprobe)
+  }
+
+  /** Restore an [[IncrementalIvfState]] from [[IncrementalIvfState!.checkpointDf]]
+    * rows (typically `spark.read.parquet(checkpointPath)`): seeds, sums
+    * and counts are reconstructed and the centroids refreshed, so
+    * folding epoch k+1 through the restored state is exactly folding it
+    * through the uninterrupted one (spec-pinned). The collect is
+    * nlist×dim rows — the whole index state is KB-sized by design. */
+  def restoreIncrementalIvfState(checkpoint: DataFrame): IncrementalIvfState = {
+    val rows = checkpoint.select(col("cid"), col("i"), col("sq"),
+      col("n"), col("seed")).collect()
+    require(rows.nonEmpty, "empty incremental-IVF checkpoint")
+    val byCid = rows.groupBy(_.getLong(0))
+    val dim = rows.iterator.map(_.getInt(1)).max + 1
+    val cids = byCid.keys.toArray.sorted
+    val nlist = cids.max.toInt + 1
+    val seeds = cids.map { cid =>
+      val seed = new Array[Double](dim)
+      byCid(cid).foreach(r => seed(r.getInt(1)) = r.getDouble(4))
+      (cid, seed)
+    }
+    val sums = Array.fill(nlist, dim)(0L)
+    val counts = new Array[Long](nlist)
+    rows.foreach { r =>
+      sums(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2)
+      if (r.getInt(1) == 0) counts(r.getLong(0).toInt) = r.getLong(3)
+    }
+    val st = new IncrementalIvfState(nlist, dim, seeds)
+    st.install(sums, counts)
+    st
   }
 }

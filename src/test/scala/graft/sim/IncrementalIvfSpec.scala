@@ -1,6 +1,9 @@
 package graft.sim
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{avg, col, max}
 
 import graft.SparkSuite
 import graft.core.Tables
@@ -58,5 +61,104 @@ class IncrementalIvfSpec extends SparkSuite {
     assert(streamed.map(_._4).distinct.sorted.sum > 0)
     val totalMembers = streamed.filter(_._2 == 0).map(_._4).sum
     assert(totalMembers === n)
+  }
+
+  private def stateRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+
+  test("checkpoint persist + restore resumes the fold exactly (r18 item 5)") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val expected = stateRows(
+      Similarity.incrementalCentroidState(emb, nlist = 16, chunks = 3))
+
+    // interrupted fold: 2 of 3 epochs, parquet checkpoint, restore into
+    // a FRESH state object, fold the third epoch there
+    val n = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1
+    val span = math.ceil(n.toDouble / 3).toLong
+    val live = Similarity.incrementalIvfState(emb, nlist = 16)
+    for (c <- 0L until 2L)
+      live.update(emb.filter(col("vec_id") >= c * span &&
+        col("vec_id") < math.min(n, (c + 1) * span)))
+    val ckpt = Files.createTempDirectory("ivf_ckpt").resolve("state").toString
+    live.saveCheckpoint(spark, ckpt)
+    val restored = Similarity.restoreIncrementalIvfState(spark.read.parquet(ckpt))
+
+    // the restored index refreshes to the SAME centroids the live state
+    // serves (exact integer-ratio doubles — bitwise, not approximate)
+    assert(restored.centroids.length === live.centroids.length)
+    restored.centroids.zip(live.centroids).foreach { case ((rc, rv), (lc, lv)) =>
+      assert(rc === lc)
+      assert(java.util.Arrays.equals(rv, lv), s"centroid $rc diverged on restore")
+    }
+
+    restored.update(emb.filter(col("vec_id") >= 2 * span && col("vec_id") < n))
+    assert(stateRows(restored.stateDf(spark)) === expected,
+      "resumed 3-epoch state != uninterrupted 3-epoch state")
+
+    // and SERVING through the resumed index equals serving through the
+    // uninterrupted fold's index
+    val servedResumed = Similarity
+      .ivfTopKWith(emb, restored.centroids, nQueries = 5, k = 5, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3))
+    val servedFresh = Similarity
+      .incrementalIvfTopK(emb, nQueries = 5, k = 5, nlist = 16, chunks = 3,
+        nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+      .sortBy(t => (t._1, t._3))
+    assert(servedResumed === servedFresh)
+  }
+
+  /** Online-vs-offline index QUALITY (r18 verdict item 4):
+    * q_ivf_incremental proves the fold is exact arithmetic; this
+    * measures whether the incrementally-refreshed centroids SEARCH as
+    * well as trainCentroids' offline Lloyd rounds. Same clustered
+    * synthetic regime as IvfCurveSpec (noise 0.9: true neighbors leak
+    * across list boundaries, so centroid quality actually moves
+    * recall); recall is against brute-force ground truth via the one
+    * shared annRecall definition. Curve ships as
+    * ANN_ONLINE_CURVE.json. */
+  test("incremental centroids search within a band of offline Lloyd (curve recorded)") {
+    val nlist = 64
+    val nQ = 20
+    val k = 10
+    val emb = Similarity.syntheticEmbeddings(spark, 20000L, 32,
+      nClusters = 64, seed = 20260812L, noise = 0.9).cache()
+    val truth = Similarity.bruteForceTopK(emb, nQ, k).cache()
+    def recallOf(cents: Array[(Long, Array[Double])], nprobe: Int): Double =
+      Similarity.annRecall(truth,
+          Similarity.ivfTopKWith(emb, cents, nQ, k, nprobe))
+        .agg(avg(col("recall"))).collect()(0).getDouble(0)
+
+    val trained = Similarity.trainCentroids(emb, nlist, iters = 3)
+    val probes = Seq(1, 4)
+    val chunkCounts = Seq(2, 4, 8)
+    val trainedRec = probes.map(np => np -> recallOf(trained, np)).toMap
+    val online = for {
+      chunks <- chunkCounts
+      cents = Similarity.incrementalIvfCentroids(emb, nlist, chunks)
+      np <- probes
+    } yield (chunks, np, recallOf(cents, np))
+
+    val pts = probes.map(np =>
+      f"""{"variant":"offline_lloyd3","nprobe":$np,"mean_recall":${trainedRec(np)}%.4f}""") ++
+      online.map { case (c, np, r) =>
+        f"""{"variant":"online_fold","chunks":$c,"nprobe":$np,"mean_recall":$r%.4f}""" }
+    Files.writeString(Paths.get("ANN_ONLINE_CURVE.json"),
+      s"""{"corpus_n":20000,"dim":32,"n_queries":$nQ,"k":$k,"nlist":$nlist,""" +
+        s""""points":${pts.mkString("[\n  ", ",\n  ", "\n]")}}""" + "\n")
+
+    // Band: at equal nlist/nprobe the one-pass online fold gives up at
+    // most 5 recall points against 3 offline Lloyd rounds, at every
+    // measured chunk count. (Measured headroom is recorded in the
+    // committed curve; the assert is the contract.)
+    online.foreach { case (chunks, np, r) =>
+      assert(r >= trainedRec(np) - 0.05,
+        s"online fold (chunks=$chunks, nprobe=$np) recall $r fell more " +
+          s"than 0.05 below offline ${trainedRec(np)}")
+    }
+    emb.unpersist(); truth.unpersist()
   }
 }
