@@ -21,8 +21,18 @@ the early rounds, so the decision stats use the stable window (the
 rounds since the operator surface froze, --stable-from, default r10)
 and the full history is reported alongside for context.
 
+r19 (judge item 1): wrapper tails truncate alphabetically-early
+queries, so tail-only mining left 90/159 queries below n=5. The quiet
+baselines are all in git — every BENCH_LOCAL.json revision since ~r6
+carries the FULL queries map — so the census now also mines
+`git log -- BENCH_LOCAL.json` blobs. Runs are deduplicated by their
+total_trailer fingerprint (a driver refresh copies its BENCH_rN capture
+into BENCH_LOCAL, and the worktree file equals the HEAD blob): when a
+history blob and a wrapper tail carry the same trailer, the blob wins
+(full map beats truncated tail).
+
 Usage: tools/spread_census.py [--repo /root/repo] [--stable-from 10]
-       [--out SPREAD_CENSUS_R18.json]
+       [--out SPREAD_CENSUS_R19.json]
 Prints a human summary; writes one JSON artifact.
 """
 import argparse
@@ -31,62 +41,138 @@ import json
 import os
 import re
 import statistics
+import subprocess
 import sys
 
-PAIR = re.compile(r'"(q_[a-z0-9_]+)":([0-9]+\.[0-9]+)')
+# r18 advisory: Scala serializes sub-1e-3 doubles in scientific
+# notation (1.0E-4) — the pair regex must accept an exponent or those
+# keys silently vanish from tail-recovered slices.
+PAIR = re.compile(r'"(q_[a-z0-9_]+)":([0-9]+(?:\.[0-9]+)?(?:[Ee][+-]?[0-9]+)?)')
+ANYKEY = re.compile(r'"(q_[a-z0-9_]+)":')
 
 
 def queries_from_total_line(obj):
     if obj.get("metric") == "total" and isinstance(obj.get("queries"), dict):
-        return {k: float(v) for k, v in obj["queries"].items()}
+        # Bench serializes a query that ERRORED as -1.0; that is a
+        # status sentinel, not a timing (the r9-round blob carries
+        # several) — a census sample must be a positive duration.
+        return {k: float(v) for k, v in obj["queries"].items()
+                if float(v) > 0}
     return None
+
+
+def parse_bench_lines(text):
+    """Full Bench line format: one JSON object per line. Returns
+    (queries_map_or_None, trailer_fingerprint_or_None)."""
+    queries, trailer = None, None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            obj = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        q = queries_from_total_line(obj)
+        if q and queries is None:
+            queries = q
+        if obj.get("metric") == "total_trailer":
+            trailer = json.dumps(obj, sort_keys=True)
+    return queries, trailer
 
 
 def from_line_format(path):
-    """Full Bench line format: one JSON object per line."""
     with open(path) as f:
-        for line in f:
-            line = line.strip()
-            if not line:
-                continue
-            try:
-                q = queries_from_total_line(json.loads(line))
-                if q:
-                    return q
-            except json.JSONDecodeError:
-                continue
-    return None
+        return parse_bench_lines(f.read())[0]
+
+
+def git(args, repo):
+    return subprocess.run(["git"] + args, cwd=repo, capture_output=True,
+                          text=True, check=True).stdout
+
+
+def history_runs(repo, stable_marker_subject):
+    """Every distinct BENCH_LOCAL.json revision in git history:
+    [(tag, queries, trailer, in_stable)], oldest first. Distinct =
+    unique blob SHA (a round that recommits the same capture is one
+    run). in_stable = the commit is a descendant of the last round
+    BEFORE the stable window (subject-matched), so history samples
+    honor --stable-from exactly like the wrapper rounds do."""
+    commits = git(["rev-list", "--reverse", "HEAD", "--",
+                   "BENCH_LOCAL.json"], repo).split()
+    stable_set = None
+    matches = [l.split(" ", 1)[0]
+               for l in git(["log", "--format=%H %s"], repo).splitlines()
+               if re.match(stable_marker_subject, l.split(" ", 1)[1])]
+    if matches:
+        # git log is newest-first; the last match is the oldest round-
+        # boundary commit with this subject — everything after it is
+        # the stable window.
+        stable_set = set(git(["rev-list", f"{matches[-1]}..HEAD"],
+                             repo).split())
+    runs, seen_blobs = [], set()
+    for i, c in enumerate(commits):
+        try:
+            blob = git(["rev-parse", f"{c}:BENCH_LOCAL.json"],
+                       repo).strip()
+        except subprocess.CalledProcessError:
+            continue
+        if blob in seen_blobs:
+            continue
+        seen_blobs.add(blob)
+        text = git(["cat-file", "blob", blob], repo)
+        queries, trailer = parse_bench_lines(text)
+        if not queries:
+            continue
+        in_stable = stable_set is None or c in stable_set
+        runs.append((f"h{i:03d}:{c[:7]}", queries, trailer, in_stable))
+    return runs
 
 
 def from_wrapper(path):
     """Driver capture wrapper {"n":N,"rc":0,"tail":"..."}: recover the
-    tail-visible slice of the queries map. The queries map is the LAST
-    q_-keyed map on the total line, immediately before "value": — walk
-    back from the final "value": to the preceding '}' and harvest
-    well-formed "q_x":float pairs (a head-truncated first pair is
-    dropped by the regex)."""
+    tail-visible slice of the queries map plus any total_trailer
+    fingerprints in the tail (for run-dedupe against BENCH_LOCAL.json
+    history blobs). The queries map is the LAST q_-keyed map on the
+    total line, immediately before "value": — walk back from the final
+    "value": to the preceding '}' and harvest well-formed "q_x":float
+    pairs (a head-truncated first pair is dropped by the regex).
+    Returns (queries_or_None, [trailer_fingerprint, ...])."""
     with open(path) as f:
         w = json.load(f)
     if not isinstance(w, dict) or "tail" not in w:
-        return None
+        return None, []
     tail = w["tail"]
+    trailers = []
+    for m in re.findall(r'\{"metric":"total_trailer".*?\}', tail):
+        try:
+            trailers.append(json.dumps(json.loads(m), sort_keys=True))
+        except json.JSONDecodeError:
+            pass
     # Prefer a complete embedded total line when the tail holds one.
     for m in re.finditer(r'\{"metric":"total",.*', tail):
         frag = m.group(0).split("\n", 1)[0]
         try:
             q = queries_from_total_line(json.loads(frag))
             if q:
-                return q
+                return q, trailers
         except json.JSONDecodeError:
             pass
     anchor = tail.rfind('},"value":')
     if anchor < 0:
-        return None
+        return None, trailers
     # The queries map opens at the last '"queries":{' if visible, else
     # at the tail head (truncated mid-map).
     start = tail.rfind('"queries":{', 0, anchor)
     start = start + len('"queries":{') if start >= 0 else 0
-    return {k: float(v) for k, v in PAIR.findall(tail[start:anchor])}
+    frag = tail[start:anchor]
+    q = {k: float(v) for k, v in PAIR.findall(frag)}
+    dropped = [k for k in ANYKEY.findall(frag) if k not in q]
+    if dropped:
+        print(f"[census] WARN {path}: {len(dropped)} tail keys with "
+              f"unparseable values dropped: {sorted(dropped)[:5]}...",
+              file=sys.stderr)
+    return q, trailers
 
 
 def round_scales(samples):
@@ -153,23 +239,56 @@ def main():
 
     full, stable = {}, {}
     rounds_used, rounds_stable = [], []
+
+    def add(tag, q, in_stable):
+        for k, v in q.items():
+            full.setdefault(k, []).append((tag, v))
+        if in_stable:
+            for k, v in q.items():
+                stable.setdefault(k, []).append((tag, v))
+
+    # 1. Full-map history: every distinct committed BENCH_LOCAL.json
+    # revision (r19 item 1 — covers the queries the wrapper tails
+    # truncate away).
+    marker = rf"^round {a.stable_from - 1}: verdict"
+    hist = history_runs(a.repo, marker)
+    hist_trailers = {t for _, _, t, _ in hist if t}
+    for tag, q, _t, in_stable in hist:
+        add(tag, q, in_stable)
+
+    # 2. Wrapper tails (BENCH_rN driver captures): skipped when the
+    # same run already arrived as a history blob — the driver's
+    # quieter-or-faster refresh copies its capture into BENCH_LOCAL, so
+    # trailer fingerprints collide exactly then (full map beats
+    # truncated tail). Trailer-less early rounds dedupe by exact value
+    # equality on the overlap.
+    deduped_wrappers = []
+    hist_maps = [q for _, q, _t, _s in hist]
     for path in sorted(glob.glob("BENCH_r[0-9]*.json")):
         rn = int(re.search(r"BENCH_r(\d+)\.json", path).group(1))
-        q = from_wrapper(path) or from_line_format(path)
+        q, trailers = from_wrapper(path)
+        if not q:
+            q = from_line_format(path)
         if not q:
             continue
         rounds_used.append(rn)
-        for k, v in q.items():
-            full.setdefault(k, []).append((f"r{rn}", v))
+        if any(t in hist_trailers for t in trailers) or (
+                not trailers and any(
+                    q and all(h.get(k) == v for k, v in q.items())
+                    for h in hist_maps)):
+            deduped_wrappers.append(f"r{rn}")
+            continue
+        add(f"r{rn}", q, rn >= a.stable_from)
         if rn >= a.stable_from:
             rounds_stable.append(rn)
-            for k, v in q.items():
-                stable.setdefault(k, []).append((f"r{rn}", v))
-    lq = from_line_format("BENCH_LOCAL.json")
+
+    # 3. The worktree baseline — only when it isn't the HEAD blob (an
+    # uncommitted driver refresh).
+    lq, ltrailer = parse_bench_lines(open("BENCH_LOCAL.json").read())
+    if lq and ltrailer is not None and ltrailer in hist_trailers:
+        lq = None  # worktree == HEAD blob; already counted
     if lq:
-        for k, v in lq.items():
-            full.setdefault(k, []).append(("local", v))
-            stable.setdefault(k, []).append(("local", v))
+        add("local", lq, True)
 
     big = {}
     for tier, paths in (("sf30", ["BENCH_SF30_SUITE.json"]),
@@ -204,9 +323,13 @@ def main():
             and 1.3 < s["spread_trimmed"] <= 1.5
             and s["abs_delta_trimmed"] > 0.3}
 
+    n_hist_stable = sum(1 for _, _, _t, s in hist if s)
     artifact = {
         "metric": "spread_census",
         "rounds": rounds_used,
+        "history_runs": [tag for tag, _, _t, _s in hist],
+        "history_runs_stable": n_hist_stable,
+        "wrappers_deduped_into_history": deduped_wrappers,
         "stable_window": rounds_stable + (["local"] if lq else []),
         "gate": {"ratio": 1.5, "abs_floor_sec": 0.3},
         "round_drift_scales": {t: round(s, 4) for t, s in scales.items()},
@@ -221,11 +344,21 @@ def main():
         json.dump(artifact, f, indent=1, sort_keys=True)
 
     n_st = len(st)
-    print(f"[census] rounds parsed: {rounds_used} "
-          f"(stable window: r{a.stable_from}+ -> {len(rounds_stable)} rounds"
-          f"{' + local' if lq else ''})")
-    print("[census] per-round drift scales: "
-          + " ".join(f"{t}={s:.2f}" for t, s in sorted(scales.items())))
+    print(f"[census] history blobs: {len(hist)} ({n_hist_stable} in "
+          f"stable window); wrapper rounds parsed: {rounds_used} "
+          f"({len(deduped_wrappers)} deduped into history: "
+          f"{deduped_wrappers})")
+    print(f"[census] stable window: r{a.stable_from}+ -> "
+          f"{len(rounds_stable)} wrapper rounds + {n_hist_stable} blobs"
+          f"{' + local' if lq else ''}")
+    hsc = sorted(s for t, s in scales.items() if t.startswith("h"))
+    print("[census] drift scales (wrappers/local): "
+          + " ".join(f"{t}={s:.2f}" for t, s in sorted(scales.items())
+                     if not t.startswith("h")))
+    if hsc:
+        print(f"[census] drift scales (history blobs): n={len(hsc)} "
+              f"min={hsc[0]:.2f} median={statistics.median(hsc):.2f} "
+              f"max={hsc[-1]:.2f}")
     print(f"[census] stable-window queries with >=3 samples: "
           f"{sum(1 for s in st.values() if s['n'] >= 3)}/{n_st}")
     print(f"[census] gate breachers (trimmed spread>1.5x AND trimmed "
