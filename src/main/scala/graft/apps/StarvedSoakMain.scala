@@ -138,7 +138,13 @@ object StarvedSoakMain {
     val otherZips = zipCounts.filter(_._1 != starved).values.toSeq.sorted
     val otherZipMedian =
       if (otherZips.isEmpty) -1L else otherZips(otherZips.length / 2)
-    if (starvedZips > 2L)
+    // r18 advisory: an ABSENT starved-partition directory must be its
+    // own violation — getOrElse(-1) is not > 2, so a wrong checkpoint
+    // path or operator-id layout would otherwise silently degrade this
+    // assertion to vacuously-true.
+    if (starvedZips < 0L)
+      violations += s"starved partition $starved directory missing from checkpoint state layout — zip ground truth could not be read"
+    else if (starvedZips > 2L)
       violations += s"starved partition $starved has $starvedZips snapshot zips on disk — maintenance not suppressed"
     if (otherZipMedian < 3L)
       violations += s"median non-starved zip count $otherZipMedian < 3 — uploads not happening elsewhere (ground truth)"

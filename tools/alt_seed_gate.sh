@@ -86,4 +86,12 @@ if [ "$BPE_OK" -ne 2 ]; then
 fi
 
 TOTAL=$((OK1 + BPE_OK))
+# r18 advisory: an incompletely-run gate (queries still skipped after
+# the retry) must be distinguishable by both the verdict line and the
+# exit code — automation keying on "GREEN"/exit 0 would otherwise treat
+# a load-truncated run as fully green.
+if [ "$SKIP_LEFT" -ne 0 ]; then
+  echo "[alt-gate] YELLOW: $TOTAL/$((OK1 + NOT_OK + SKIP_LEFT)) green but $SKIP_LEFT queries never ran even at the retry budget on seed=$SEED — rerun on a quieter host (log: $LOG)" | tee -a "$LOG"
+  exit 2
+fi
 echo "[alt-gate] GREEN: $TOTAL/$((OK1 + NOT_OK + SKIP_LEFT)) oracle queries green on seed=$SEED (log: $LOG)" | tee -a "$LOG"

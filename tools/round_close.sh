@@ -63,7 +63,28 @@ try:
     trailers = [json.loads(m)
                 for m in re.findall(r'\{"metric":"total_trailer".*?\}', tail)]
     mine = [l for l in local if l.get("metric") == "total_trailer"]
-    sys.exit(0 if mine and trailers and mine[-1] == trailers[-1] else 1)
+    if not (mine and trailers and mine[-1] == trailers[-1]):
+        sys.exit(1)
+    # r18 advisory: the trailer alone leaves the per-query total line
+    # (what the spread census and regression lint consume) unverified —
+    # an edited queries map with an intact trailer would pass. Harvest
+    # the tail-visible slice of the wrapper's queries map and demand it
+    # agrees with BENCH_LOCAL's total line on every recoverable pair.
+    totals = [l for l in local if l.get("metric") == "total"
+              and isinstance(l.get("queries"), dict)]
+    if not totals:
+        sys.exit(1)
+    lq = {k: float(v) for k, v in totals[-1]["queries"].items()}
+    anchor = tail.rfind('},"value":')
+    start = tail.rfind('"queries":{', 0, anchor)
+    frag = tail[(start + len('"queries":{')) if start >= 0 else 0:anchor] \
+        if anchor >= 0 else ""
+    pairs = re.findall(
+        r'"(q_[a-z0-9_]+)":(-?[0-9]+(?:\.[0-9]+)?(?:[Ee][+-]?[0-9]+)?)', frag)
+    if not pairs:
+        sys.exit(1)  # trailer matched but no queries map recoverable
+    sys.exit(0 if all(k in lq and lq[k] == float(v) for k, v in pairs)
+             else 1)
 except Exception:
     sys.exit(1)
 EOF
@@ -90,6 +111,39 @@ if [ "$dirty" -eq 0 ]; then
   echo "ROUND-CLOSE CLEAN: worktree clean modulo driver files"
 else
   echo "ROUND-CLOSE DIRTY: commit or discard the violations above"
+fi
+
+# Informational (r18 verdict stretch item 7): current baseline vs the
+# spread census — a drifting query surfaces at close time instead of
+# waiting for a judge. Never changes CLEAN/DIRTY.
+CENSUS=$(ls SPREAD_CENSUS_R*.json 2>/dev/null | sort -V | tail -1)
+if [ -n "$CENSUS" ] && [ -f BENCH_LOCAL.json ]; then
+  python3 - "$CENSUS" <<'EOF' || true
+import json, sys
+try:
+    census = json.load(open(sys.argv[1])).get("stable", {})
+    cur = None
+    with open("BENCH_LOCAL.json") as f:
+        for line in f:
+            try:
+                o = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if o.get("metric") == "total" and isinstance(o.get("queries"), dict):
+                cur = {k: float(v) for k, v in o["queries"].items()}
+    if not cur:
+        raise SystemExit(0)
+    devs = sorted(
+        ((sec / census[q]["median"], q, sec, census[q]["median"])
+         for q, sec in cur.items()
+         if q in census and census[q].get("median", 0) > 0 and sec > 0),
+        reverse=True)[:3]
+    line = "  ".join(f"{q} {sec:.2f}s={r:.2f}x med {med:.2f}s"
+                     for r, q, sec, med in devs)
+    print(f"census check ({sys.argv[1]}): top deviations vs stable median: {line}")
+except Exception as e:
+    print(f"census check skipped: {e}")
+EOF
 fi
 
 # Standing reminder (r16 verdict item 5): if the driver REGENERATED
