@@ -167,7 +167,8 @@ object LongSoakMain {
                                       triggerMs: Long, restartEvery: Long,
                                       maxPhases: Int, expectedRows: Long,
                                       listener: graft.streaming.FunnelListener,
-                                      maxStallRetries: Int = 2)
+                                      maxStallRetries: Int = 2,
+                                      noProgressFloorMs: Long = 120000L)
       : (UUID, Seq[Long]) = {
     // The reconcile path reads query.recentProgress, a ring of
     // spark.sql.streaming.numRecentProgressUpdates: a phase must fit the
@@ -181,41 +182,58 @@ object LongSoakMain {
       s"restartEvery=$restartEvery exceeds the recentProgress ring ($ring)")
     // No-progress budget: a generous multiple of ONE trigger plus a
     // fixed floor — it only has to outlast the worst single trigger
-    // (the clock resets per completed batch), not the whole phase.
-    val noProgressMs = triggerMs * 20 + 120000L
+    // (the clock resets per completed batch), not the whole phase. The
+    // floor is a parameter (default 2 min) so the stall/abort dynamics
+    // are spec-testable in seconds (r19 wedge probe).
+    val noProgressMs = triggerMs * 20 + noProgressFloorMs
     var queryId: UUID = null
     var drained = false
     val phaseBatches = Seq.newBuilder[Long]
     var phases = 0
     var stallRetries = 0
     while (!drained && phases < maxPhases) {
+      val before =
+        if (queryId == null) 0L else listener.distinctBatches(queryId)
       val q = startThrottled(spark, in, out, perTrigger, triggerMs)
       if (queryId == null) queryId = q.id
       require(q.id == queryId, "checkpoint resume changed the query id")
       val (batches, d, stall) = runPhase(q, listener, queryId, expectedRows,
         restartEvery, noProgressMs)
-      // A delivered batch PROVES any earlier stall recovered, so the
-      // retry cap is per stall STREAK, not per run (r17 advisory: three
+      // NEW work = a batchId the query never reported before this
+      // attempt. Per-run batchCount cannot distinguish progress from a
+      // re-report: a restart posts the last committed batch's progress
+      // under the new runId, so `batches >= 1` held on every attempt of
+      // the r19 wedge (census unreachable, nothing executing) and the
+      // stall streak never accumulated — the drain burned maxPhases at
+      // a full no-progress window each instead of aborting on the third
+      // dead attempt. Genuine replays of an UNCOMMITTED batch still
+      // count as work: their progress event was never delivered.
+      val newWork = listener.distinctBatches(queryId) > before
+      // NEW work PROVES any earlier stall recovered, so the retry cap
+      // is per stall STREAK, not per run (r17 advisory: three
       // transient, individually-recovered races spread across a
       // multi-hour soak must not abort it). Reset BEFORE counting this
       // attempt's own stall: progress breaks the streak, a stall in the
       // same attempt starts a new one.
-      if (batches >= 1) stallRetries = 0
+      if (newWork) stallRetries = 0
       stall.foreach { why =>
         stallRetries += 1
         System.err.println(
           s"[long-soak] STALL (retry $stallRetries/$maxStallRetries): $why")
         require(stallRetries <= maxStallRetries,
-          s"phase stalled beyond $maxStallRetries retries: $why")
+          s"phase stalled beyond $maxStallRetries retries: $why " +
+            s"(census rows_in=${listener.totalByBatch(queryId, "ingest_parsed", "rows_in")} " +
+            s"of expected=$expectedRows — a shortfall that no attempt " +
+            s"narrows is a lost-census wedge, not a slow drain)")
       }
-      // Only attempts that delivered work count as phases: a 0-batch
-      // attempt never registers a run in the listener census, so
-      // counting it would break phases == visible-runs and with it the
-      // post-restart tagging invariant (pr.size == phases - 1). That
-      // includes a 0-batch attempt where drainedNow() flipped true from
-      // a late-arriving bus event of a PREVIOUS run (r17 advisory) —
-      // that is a non-phase terminal state, not a phase.
-      if (batches >= 1) { phaseBatches += batches; phases += 1 }
+      // Only attempts that delivered NEW work count as phases: a
+      // work-less attempt never registers new batches in the listener
+      // census, so counting it would break phases == visible-runs and
+      // with it the post-restart tagging invariant (pr.size ==
+      // phases - 1). That includes an attempt where drainedNow()
+      // flipped true from a late-arriving bus event of a PREVIOUS run
+      // (r17 advisory) — a non-phase terminal state, not a phase.
+      if (newWork) { phaseBatches += batches; phases += 1 }
       drained = d
     }
     require(drained, s"backlog not drained after $maxPhases phases")

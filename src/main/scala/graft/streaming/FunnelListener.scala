@@ -42,6 +42,17 @@ final class FunnelListener extends StreamingQueryListener {
   // set dedups by batchId and is complete once the termination event
   // lands. Bounded by drain length.
   private val runBatches = ConcurrentHashMap.newKeySet[(UUID, Long)]()
+  // Distinct batchIds ever reported for a QUERY, across every run. A
+  // restarted run that only RE-REPORTS an already-delivered batch (the
+  // no-data progress event carries the last committed batchId under the
+  // new runId) adds nothing here, while a genuine replay of an
+  // UNCOMMITTED batch does (its progress event was never delivered) —
+  // the "did this attempt do new work" signal drain control needs (r19
+  // wedge: per-run batchCount reads the re-report as 1 delivered batch,
+  // so a drain whose census could never complete kept resetting its
+  // stall streak and burned maxPhases at a full no-progress window
+  // each). Bounded by drain length.
+  private val queryBatches = ConcurrentHashMap.newKeySet[(UUID, Long)]()
   // Per-batch state-store footprint keyed by query id (restart-stable),
   // summed over the batch's state operators:
   // (rows, memBytes, sstBytes, snapshotLagVersions).
@@ -192,6 +203,7 @@ final class FunnelListener extends StreamingQueryListener {
     * [[record]]/[[recordState]]. */
   private[streaming] def recordRunBatch(queryId: UUID, runId: UUID,
                                         batchId: Long): Unit = {
+    queryBatches.add((queryId, batchId))
     runOrder.computeIfAbsent((queryId, runId), _ => runSeq.getAndIncrement()): Unit
     runFirstBatch.merge((queryId, runId), batchId,
       (a, b) => math.min(a, b)): Unit
@@ -314,6 +326,16 @@ final class FunnelListener extends StreamingQueryListener {
   def batchCount(runId: UUID): Long = {
     var n = 0L
     runBatches.forEach { k => if (k._1 == runId) n += 1 }
+    n
+  }
+
+  /** Distinct batchIds ever reported for a QUERY across all its runs —
+    * grows only when an attempt reports a batch the query never
+    * reported before. The drain's new-work test: a restart that merely
+    * re-reports the last committed batch leaves this unchanged. */
+  def distinctBatches(queryId: UUID): Long = {
+    var n = 0L
+    queryBatches.forEach { k => if (k._1 == queryId) n += 1 }
     n
   }
 

@@ -109,6 +109,49 @@ class LongSoakSpec extends SparkSuite {
     }
   }
 
+  /** The r19 full-suite wedge, reproduced at spec scale: a drain whose
+    * census can never reach its target (here: a fresh listener over an
+    * already-fully-committed checkpoint — the same observable state as
+    * a census whose events were all lost to bus drops) must abort
+    * within the STALL budget (attempts that deliver nothing are a
+    * streak), not burn maxPhases at a full no-progress window each. */
+  test("r19 wedge probe: attempts against a fully-committed checkpoint abort via the stall budget") {
+    val work = java.nio.file.Files.createTempDirectory("graft-minisoak3").toString
+    val in = s"$work/in"
+    java.nio.file.Files.createDirectories(java.nio.file.Path.of(in))
+    (0 until 4).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Path.of(in, s"f$i.txt"),
+        s"$i\tdoc number $i with some filler text\n")
+    }
+    val l1 = new graft.streaming.FunnelListener().register(spark)
+    try {
+      LongSoakMain.drainWithRestarts(spark, in, s"$work/out",
+        perTrigger = 1, triggerMs = 100L, restartEvery = 2L,
+        maxPhases = 8, expectedRows = 4L, listener = l1)
+    } finally spark.streams.removeListener(l1)
+    // Checkpoint now fully committed. A FRESH listener simulates the
+    // wedge's census (all prior progress lost): no attempt can reach
+    // the target and no attempt delivers a new batch.
+    val l2 = new graft.streaming.FunnelListener().register(spark)
+    val t0 = System.nanoTime()
+    try {
+      val e = intercept[IllegalArgumentException] {
+        LongSoakMain.drainWithRestarts(spark, in, s"$work/out",
+          perTrigger = 1, triggerMs = 100L, restartEvery = 2L,
+          maxPhases = 20, expectedRows = Long.MaxValue, listener = l2,
+          noProgressFloorMs = 1500L)
+      }
+      val secs = (System.nanoTime() - t0) / 1e9
+      info(f"aborted in $secs%.1f s: ${e.getMessage}")
+      assert(e.getMessage.contains("stalled beyond"), e.getMessage)
+      // 3 stall attempts x (~3.5 s budget + restart overhead) — far
+      // below 20 phases x full budget; 60 s is the generous ceiling
+      assert(secs < 60.0,
+        f"abort took $secs%.1f s — phase-burn, not a stall-streak abort")
+    } finally spark.streams.removeListener(l2)
+  }
+
   test("drainWithRestarts fails loudly when the backlog cannot drain in maxPhases") {
     val work = java.nio.file.Files.createTempDirectory("graft-minisoak2").toString
     val in = s"$work/in"
