@@ -163,6 +163,28 @@ class BenchLintSpec extends AnyFunSuite {
     assert(h3.isEmpty && a3.map(_._1) === Seq("q_async_identity"))
   }
 
+  test("jitterBand: the r19 census breachers route their MEASURED worst " +
+    "cross-capture ratios to advisory; a real complexity slip stays hard") {
+    // priors = the census stable-window minima, `now` = the trimmed
+    // maxima (SPREAD_CENSUS_R19.json) — the exact worst case the
+    // full-history census measured for each query across 27 captures
+    val prior = Map("q_rolling_active" -> 0.4818,
+      "q_weighted_interval" -> 0.832, "q_novelty" -> 0.6314)
+    val worst = Seq("q_rolling_active" -> 1.0089,   // 2.09x trimmed
+      "q_weighted_interval" -> 1.3287,              // 1.60x
+      "q_novelty" -> 0.9704)                        // 1.54x
+    val (hard, adv) = Bench.regressionsSplit(prior, worst)
+    assert(hard.isEmpty, s"measured noise flagged hard: $hard")
+    assert(adv.map(_._1).toSet ===
+      Set("q_rolling_active", "q_weighted_interval", "q_novelty"))
+    // a genuine slip (>= band x 1.5 of prior) still alarms on each
+    val slip = Seq("q_rolling_active" -> 1.2, "q_weighted_interval" -> 1.5,
+      "q_novelty" -> 1.1)
+    val (h2, a2) = Bench.regressionsSplit(prior, slip)
+    assert(h2.map(_._1).toSet ===
+      Set("q_rolling_active", "q_weighted_interval", "q_novelty"), a2)
+  }
+
   test("regressions: fires only past BOTH the 1.5x ratio and 0.3 s absolute gates") {
     val prior = Map("fast" -> 0.1, "slow" -> 1.0, "mid" -> 0.5, "err" -> 2.0)
     val now = Seq(
