@@ -1014,7 +1014,15 @@ object Similarity {
     * and counts are reconstructed and the centroids refreshed, so
     * folding epoch k+1 through the restored state is exactly folding it
     * through the uninterrupted one (spec-pinned). The collect is
-    * nlist×dim rows — the whole index state is KB-sized by design. */
+    * nlist×dim rows — the whole index state is KB-sized by design.
+    *
+    * Shape-validated (r19 advisory 1): a truncated or partially-written
+    * checkpoint would otherwise restore SILENTLY with zero sums at the
+    * missing (cid, i) slots — state corruption the bitwise resume spec
+    * cannot catch, because it always round-trips a complete file. The
+    * writer emits exactly dim rows per seeded cid with i covering
+    * 0..dim-1 ([[IncrementalIvfState!.checkpointDf]]), so anything else
+    * here is a damaged file, not a legal state. */
   def restoreIncrementalIvfState(checkpoint: DataFrame): IncrementalIvfState = {
     val rows = checkpoint.select(col("cid"), col("i"), col("sq"),
       col("n"), col("seed")).collect()
@@ -1023,6 +1031,19 @@ object Similarity {
     val dim = rows.iterator.map(_.getInt(1)).max + 1
     val cids = byCid.keys.toArray.sorted
     val nlist = cids.max.toInt + 1
+    require(cids.head == 0L && cids.last == cids.length - 1L,
+      s"damaged incremental-IVF checkpoint: cids not contiguous from 0 " +
+        s"(${cids.length} cids, max ${cids.last} — seeds are vec_id < nlist)")
+    require(rows.length == cids.length * dim,
+      s"damaged incremental-IVF checkpoint: ${rows.length} rows for " +
+        s"${cids.length} cids x $dim dims (expected ${cids.length * dim})")
+    byCid.foreach { case (cid, rs) =>
+      val is = rs.map(_.getInt(1)).sorted
+      require(is.length == dim && is.head == 0 && is.last == dim - 1 &&
+          is.distinct.length == dim,
+        s"damaged incremental-IVF checkpoint: cid $cid covers " +
+          s"${is.distinct.length}/$dim dims")
+    }
     val seeds = cids.map { cid =>
       val seed = new Array[Double](dim)
       byCid(cid).foreach(r => seed(r.getInt(1)) = r.getDouble(4))

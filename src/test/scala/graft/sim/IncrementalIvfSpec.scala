@@ -2,6 +2,8 @@ package graft.sim
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.{avg, col, max}
 
@@ -109,6 +111,114 @@ class IncrementalIvfSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
       .sortBy(t => (t._1, t._3))
     assert(servedResumed === servedFresh)
+  }
+
+  test("restore rejects a truncated or cid-dropped checkpoint (r19 advisory 1)") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val live = Similarity.incrementalIvfState(emb, nlist = 16)
+    live.update(emb.filter(col("vec_id") < 400))
+    val full = live.checkpointDf(spark).cache()
+
+    // a single dropped (cid, i) row — the silent-zero-sums corruption —
+    // must fail loudly, not restore
+    val oneRowShort = full.filter(!(col("cid") === 3L && col("i") === 7))
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.restoreIncrementalIvfState(oneRowShort)
+    }
+    assert(e1.getMessage.contains("damaged"), e1.getMessage)
+
+    // an entire missing cid (partially-written multi-part file) too
+    val cidShort = full.filter(col("cid") =!= 5L)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.restoreIncrementalIvfState(cidShort)
+    }
+    assert(e2.getMessage.contains("damaged"), e2.getMessage)
+
+    // and the untouched checkpoint still restores bitwise
+    val ok = Similarity.restoreIncrementalIvfState(full)
+    ok.centroids.zip(live.centroids).foreach { case ((rc, rv), (lc, lv)) =>
+      assert(rc === lc && java.util.Arrays.equals(rv, lv))
+    }
+    full.unpersist()
+  }
+
+  /** The r19 verdict item 2: the resume spec above drives
+    * persist/restore manually; this one kills the ACTUAL streaming
+    * query mid-fold and resumes BOTH checkpoints together — Spark's
+    * source/commit checkpoint (checkpointLocation) and the IVF state
+    * parquet — then asserts the final state equals the uninterrupted
+    * fold. The foreachBatch is the idempotent-resume pattern a real
+    * deployment needs: the IVF checkpoint is written to a
+    * batchId-tagged directory AFTER the fold, the restart restores
+    * from the highest tag and skips any batch Spark replays at or
+    * below it (a crash between fold and commit replays that batch). */
+  test("streaming restart resumes source checkpoint + IVF state together (r19 item 2)") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val expected = stateRows(
+      Similarity.incrementalCentroidState(emb, nlist = 16, chunks = 3))
+
+    val data = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val n = data.map(_._1).max + 1
+    val span = math.ceil(n.toDouble / 3).toLong
+    def epoch(c: Long) =
+      data.filter { case (id, _) => id >= c * span && id < (c + 1) * span }
+
+    val work = Files.createTempDirectory("ivf_restart")
+    val ckptLoc = work.resolve("spark_ckpt").toString
+    val ivfDir = work.resolve("ivf")
+    Files.createDirectories(ivfDir)
+    def savedBatches: Seq[Long] = {
+      val s = Files.list(ivfDir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("b")).map(_.drop(1).toLong).toSeq
+      finally s.close()
+    }
+
+    val stream = MemoryStream[(Long, Array[Float])](spark)
+    def startFolding(state: Similarity.IncrementalIvfState,
+                     foldedThrough: Long) = {
+      var last = foldedThrough
+      stream.toDS().toDF("vec_id", "embedding")
+        .writeStream
+        .option("checkpointLocation", ckptLoc)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, bid: Long) =>
+          if (bid > last && !df.isEmpty) {
+            state.update(df)
+            state.saveCheckpoint(spark, ivfDir.resolve(s"b$bid").toString)
+            last = bid
+          }
+        }
+        .start()
+    }
+
+    // phase 1: fold epochs 0 and 1, then KILL the query
+    val s1 = Similarity.incrementalIvfState(emb, nlist = 16)
+    val q1 = startFolding(s1, -1L)
+    try {
+      for (c <- 0L until 2L) { stream.addData(epoch(c).toSeq); q1.processAllAvailable() }
+    } finally q1.stop()
+
+    // phase 2: restore the IVF state from the highest committed tag,
+    // restart the SAME source checkpoint, feed the final epoch
+    val maxBid = savedBatches.max
+    val restored = Similarity.restoreIncrementalIvfState(
+      spark.read.parquet(ivfDir.resolve(s"b$maxBid").toString))
+    val q2 = startFolding(restored, maxBid)
+    try {
+      stream.addData(epoch(2L).toSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // a NEW batch id was assigned after restart (the source checkpoint
+    // resumed rather than replaying from scratch), and the resumed
+    // state equals the uninterrupted 3-epoch fold
+    assert(savedBatches.max > maxBid,
+      s"no new batch after restart (saved: $savedBatches)")
+    assert(stateRows(restored.stateDf(spark)) === expected,
+      "restarted stream + restored IVF checkpoint != uninterrupted fold")
   }
 
   /** Online-vs-offline index QUALITY (r18 verdict item 4):
