@@ -782,6 +782,13 @@ object SparkEntry {
     "q_ivf_incremental_topk" -> ((s, d) =>
       Similarity.incrementalIvfTopK(Tables.embeddings(s, d), nQueries = 10,
         k = 5, nlist = 16, chunks = 3)),
+    // the drift mitigation (ANN_DRIFT_CURVE.json): same arrival fold
+    // with the running state HALVED between epochs — exact integer
+    // truncation toward zero, so the recency-weighted state is as
+    // hash-checkable as the cumulative one
+    "q_ivf_decay" -> ((s, d) =>
+      Similarity.decayedCentroidState(Tables.embeddings(s, d),
+        nlist = 16, chunks = 3)),
     // pre-filter composed into IVF: only in-filter vectors are assigned
     // and probed; queries and centroid seeds stay unfiltered
     "q_filtered_ivf" -> ((s, d) =>
@@ -1468,10 +1475,44 @@ object SparkEntry {
     * quantized-long accumulation is the q_label_centroids pattern — a
     * decimal formulation diverged in the last bit (Spark casts
     * double→decimal HALF_UP, DuckDB HALF_EVEN). */
-  private def ivfIncrementalCtes(nlist: Int, chunks: Int): String = {
+  private def ivfIncrementalCtes(nlist: Int, chunks: Int,
+                                 decayed: Boolean = false): String = {
     val rounds = (1 to chunks).map { j =>
       val prev = if (j == 1) "c0" else s"c${j - 1}"
-      val gs = (1 to j).map(g => s"SELECT * FROM g$g").mkString(" UNION ALL ")
+      // Running state after epoch j: cumulative (sum over g1..gj), or
+      // DECAYED (q_ivf_decay) — the previous HALVED state h(j-1) plus
+      // epoch j. The halving is integer division TRUNCATING TOWARD
+      // ZERO on both engines: Scala Long `/ 2` truncates, DuckDB `//`
+      // floors, so negative sums route through -((-s) // 2). The
+      // refresh feeding epoch j+1's assignment reads the DECAYED state
+      // h$j (exactly when the engine decays: between epochs, before the
+      // next fold) — building it from cum$j diverges in the last
+      // truncated bit of the mean and flips near-tie assignments.
+      val state =
+        if (!decayed) {
+          val gs = (1 to j).map(g => s"SELECT * FROM g$g").mkString(" UNION ALL ")
+          s"""cum$j AS (SELECT cid, i, cast(sum(s) AS bigint) AS s,
+             |                 cast(sum(n) AS bigint) AS n
+             |          FROM ($gs) gg GROUP BY cid, i)""".stripMargin
+        } else {
+          val base =
+            if (j == 1)
+              s"""cum1 AS (SELECT dom.cid, dom.i,
+                 |                cast(coalesce(g.s, 0) AS bigint) AS s,
+                 |                cast(coalesce(g.n, 0) AS bigint) AS n
+                 |         FROM dom LEFT JOIN g1 g USING (cid, i))""".stripMargin
+            else
+              s"""cum$j AS (SELECT p.cid, p.i,
+                 |                 cast(p.s + coalesce(g.s, 0) AS bigint) AS s,
+                 |                 cast(p.n + coalesce(g.n, 0) AS bigint) AS n
+                 |          FROM h${j - 1} p LEFT JOIN g$j g USING (cid, i))""".stripMargin
+          s"""$base,
+             |h$j AS (SELECT cid, i,
+             |        cast(CASE WHEN s >= 0 THEN s // 2
+             |                  ELSE -((-s) // 2) END AS bigint) AS s,
+             |        cast(n // 2 AS bigint) AS n FROM cum$j)""".stripMargin
+        }
+      val refreshFrom = if (decayed) s"h$j" else s"cum$j"
       s"""a$j AS (SELECT vec_id, v, cid FROM (
          |  SELECT ch.vec_id, ch.v, c.cid, row_number() OVER (
          |    PARTITION BY ch.vec_id ORDER BY ${duckCos("ch.v", "c.cv")} DESC, c.cid) AS rn
@@ -1485,13 +1526,11 @@ object SparkEntry {
          |              FROM a$j) qa$j,
          |             unnest(generate_series(1, len(v))) AS u(ip)
          |        GROUP BY cid, i),
-         |cum$j AS (SELECT cid, i, cast(sum(s) AS bigint) AS s,
-         |                 cast(sum(n) AS bigint) AS n
-         |          FROM ($gs) gg GROUP BY cid, i),
+         |$state,
          |c$j AS (SELECT cid, list(comp ORDER BY i) AS cv FROM (
-         |  SELECT dom.cid, dom.i, CASE WHEN coalesce(cum$j.n, 0) > 0
-         |         THEN cast(cum$j.s AS double) / cum$j.n ELSE dom.seed END AS comp
-         |  FROM dom LEFT JOIN cum$j USING (cid, i)) t GROUP BY cid)""".stripMargin
+         |  SELECT dom.cid, dom.i, CASE WHEN coalesce(rf.n, 0) > 0
+         |         THEN cast(rf.s AS double) / rf.n ELSE dom.seed END AS comp
+         |  FROM dom LEFT JOIN $refreshFrom rf USING (cid, i)) t GROUP BY cid)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
        |           FROM embeddings),
@@ -1503,8 +1542,9 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  private def ivfIncrementalSql(nlist: Int, chunks: Int): String =
-    s"""${ivfIncrementalCtes(nlist, chunks)}
+  private def ivfIncrementalSql(nlist: Int, chunks: Int,
+                                decayed: Boolean = false): String =
+    s"""${ivfIncrementalCtes(nlist, chunks, decayed)}
        |SELECT dom.cid, dom.i, cast(coalesce(cum$chunks.s, 0) AS bigint) AS sq,
        |       cast(coalesce(cum$chunks.n, 0) AS bigint) AS n
        |FROM dom LEFT JOIN cum$chunks USING (cid, i)""".stripMargin
@@ -3024,6 +3064,7 @@ object SparkEntry {
          |        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rn FROM s) t
          |WHERE rn <= 5""".stripMargin,
     "q_ivf_incremental" -> ivfIncrementalSql(nlist = 16, chunks = 3),
+    "q_ivf_decay" -> ivfIncrementalSql(nlist = 16, chunks = 3, decayed = true),
     "q_ivf_incremental_topk" ->
       ivfIncrementalTopKSql(nlist = 16, chunks = 3, nQueries = 10, k = 5),
     "q_ivf_probe2" ->

@@ -603,6 +603,46 @@ object Similarity {
           lit(noise) * u(concat_ws("_", lit("v"), col("vec_id"), j))).cast("float")))
   }
 
+  /** [[syntheticEmbeddings]] with inter-epoch distribution DRIFT — the
+    * regime where a one-pass arrival fold can genuinely lose to offline
+    * re-training (r19 verdict item 1; the stationary corpus saturates
+    * recall and measures a 0.00 delta everywhere). Vectors arrive in
+    * `epochs` contiguous vec_id blocks; each cluster's center moves
+    * linearly along a fixed per-(cluster, dim) random direction, from
+    * its base position at epoch 0 to base + `drift`·direction at the
+    * final epoch. Same pure-Catalyst xxhash64 construction as the
+    * stationary generator: distributed, seed-stable, no driver data.
+    *
+    * `finalEpochQueries` > 0 places that many leading vec_ids (the
+    * query set every search entry point uses: vec_id < nQueries) at the
+    * FINAL epoch's distribution — the serve-time shape, where queries
+    * are drawn from the newest data while the index was folded over the
+    * whole drifting history. Their fold epoch stays block 0 (they are
+    * 20 of 20 000 corpus rows — negligible to the state), but their
+    * true neighbors are final-epoch vectors, so recall measures how
+    * well each index covers where the distribution ENDED. */
+  def syntheticDriftEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                               n: Long, dim: Int, nClusters: Int, seed: Long,
+                               noise: Double, epochs: Int, drift: Double,
+                               finalEpochQueries: Int = 0): DataFrame = {
+    require(epochs >= 2, "drift needs at least two epochs")
+    def u(salt: Column): Column =
+      (xxhash64(lit(seed), salt) % 1000003L).cast("double") / 1000003.0
+    val span = math.ceil(n.toDouble / epochs).toLong
+    spark.range(n).select(col("id").as("vec_id"))
+      .withColumn("ep",
+        when(col("vec_id") < finalEpochQueries, lit(epochs - 1))
+          .otherwise(floor(col("vec_id") / span)).cast("double"))
+      .withColumn("frac", col("ep") / lit((epochs - 1).toDouble))
+      .withColumn("embedding", transform(sequence(lit(0), lit(dim - 1)), j =>
+        (u(concat_ws("_", lit("c"), col("vec_id") % nClusters, j)) +
+          col("frac") * lit(drift) *
+            u(concat_ws("_", lit("d"), col("vec_id") % nClusters, j)) +
+          lit(noise) * u(concat_ws("_", lit("v"), col("vec_id"), j)))
+          .cast("float")))
+      .drop("ep", "frac")
+  }
+
   /** The measured recall/cost CURVE over the (nlist, nprobe) grid — the
     * two knobs an IVF deployment is actually tuned on. One brute-force
     * ground truth is shared by every grid point; per nlist, ONE corpus
@@ -848,6 +888,20 @@ object Similarity {
       refresh()
     }
 
+    /** Exponential recency weighting in EXACT integer space — the
+      * drift mitigation (r20, measured in ANN_DRIFT_CURVE.json): halve
+      * every running sum and member count (integer division, truncation
+      * toward zero — deterministic, associative-safe, engine-exact like
+      * the fold itself) and refresh. Applied between epochs this turns
+      * the cumulative mean into a half-life-of-one-epoch weighted mean:
+      * the centroids track where the drifting distribution IS instead
+      * of its all-history average, at zero extra distributed work. */
+    def decay(): Unit = {
+      for (c <- 0 until nlist; i <- 0 until dim) sums(c)(i) /= 2
+      for (c <- 0 until nlist) counts(c) /= 2
+      refresh()
+    }
+
     /** Centroid refresh from the running state: quantized long sum /
       * count (exact integer-ratio doubles); an empty centroid keeps its
       * seed. Shared by [[update]] and checkpoint restore so a resumed
@@ -949,7 +1003,8 @@ object Similarity {
     * order = id order), folded through [[IncrementalIvfState.update]]
     * epoch by epoch. */
   private def foldIncremental(embeddings: DataFrame, nlist: Int,
-                              chunks: Int): IncrementalIvfState = {
+                              chunks: Int,
+                              decayed: Boolean = false): IncrementalIvfState = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val n = embeddings.agg(max(col("vec_id"))).as[Long].collect()(0) + 1
@@ -958,8 +1013,12 @@ object Similarity {
     for (c <- 0 until chunks) {
       val lo = c * span
       val hi = math.min(n, (c + 1) * span)
-      if (lo < hi)
+      if (lo < hi) {
+        // decay BETWEEN epochs (never before the first): each epoch is
+        // folded at full weight, prior history at half per epoch of age
+        if (decayed && c > 0) state.decay()
         state.update(embeddings.filter(col("vec_id") >= lo && col("vec_id") < hi))
+      }
     }
     state
   }
@@ -992,6 +1051,23 @@ object Similarity {
   def incrementalIvfCentroids(embeddings: DataFrame, nlist: Int,
                               chunks: Int): Array[(Long, Array[Double])] =
     foldIncremental(embeddings, nlist, chunks).centroids
+
+  /** Centroids after the DECAYED arrival fold ([[IncrementalIvfState!.decay]]
+    * between epochs) — the drift-regime mitigation measured in
+    * ANN_DRIFT_CURVE.json: on a drifting corpus the recency-weighted
+    * centroids follow the distribution; on a stationary one they serve
+    * within the same band as the plain fold. */
+  def incrementalIvfCentroidsDecayed(embeddings: DataFrame, nlist: Int,
+                                     chunks: Int): Array[(Long, Array[Double])] =
+    foldIncremental(embeddings, nlist, chunks, decayed = true).centroids
+
+  /** Batch replay of the decayed fold's exact running state — the
+    * oracle-checkable output of the mitigation, mirroring
+    * [[incrementalCentroidState]] (q_ivf_decay). */
+  def decayedCentroidState(embeddings: DataFrame, nlist: Int,
+                           chunks: Int): DataFrame =
+    foldIncremental(embeddings, nlist, chunks, decayed = true)
+      .stateDf(embeddings.sparkSession)
 
   /** Top-k through EXPLICIT centroids — the shared probe path opened
     * for quality measurement (online-vs-offline recall curve) and for

@@ -113,6 +113,35 @@ class IncrementalIvfSpec extends SparkSuite {
     assert(servedResumed === servedFresh)
   }
 
+  test("decay halves the running state exactly (truncation toward zero) and " +
+    "the decayed fold is recency-weighted, not cumulative") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val live = Similarity.incrementalIvfState(emb, nlist = 16)
+    live.update(emb.filter(col("vec_id") < 400))
+    val before = stateRows(live.stateDf(spark))
+    live.decay()
+    val after = stateRows(live.stateDf(spark))
+    before.zip(after).foreach { case ((c1, i1, s1, n1), (c2, i2, s2, n2)) =>
+      assert(c1 === c2 && i1 === i2)
+      assert(s2 === s1 / 2, s"sum at ($c1,$i1): $s1 -> $s2") // Long / truncates
+      assert(n2 === n1 / 2)
+    }
+
+    val cum = stateRows(
+      Similarity.incrementalCentroidState(emb, nlist = 16, chunks = 3))
+    val dec = stateRows(
+      Similarity.decayedCentroidState(emb, nlist = 16, chunks = 3))
+    assert(dec !== cum, "decayed fold collapsed to the cumulative fold")
+    // the decayed state weighs old epochs at half per epoch of age, so
+    // its total member count is strictly below the cumulative fold's
+    // (which counts every vector once) but still positive
+    val totalCum = cum.filter(_._2 == 0).map(_._4).sum
+    val totalDec = dec.filter(_._2 == 0).map(_._4).sum
+    assert(totalDec > 0 && totalDec < totalCum,
+      s"decayed members $totalDec vs cumulative $totalCum")
+  }
+
   test("restore rejects a truncated or cid-dropped checkpoint (r19 advisory 1)") {
     val dir = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, dir)
