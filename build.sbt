@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Runner provenance for bench captures (r19 item 4): sf0.1 totals
+// measure ~10% apart between `sbt runMain` and tools/run_main.sh (a
+// launcher/heap effect, not drift) — both launchers stamp themselves so
+// Bench can record which one produced a capture.
+run / envVars += ("SPARK_GRAFT_RUNNER" -> "sbt")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -157,8 +157,10 @@ object LongSoakMain {
   /** The multi-restart drain: run phases of at most `restartEvery`
     * batches, stopping the query BETWEEN batches and resuming from the
     * same checkpoint, until the funnel shows the whole backlog consumed.
-    * Returns (queryId, per-phase batch counts); phase count - 1 is the
-    * number of checkpoint restarts exercised. Factored out of main so
+    * Returns (queryId, per-phase batch counts, attempts); phase
+    * count - 1 is the number of NEW-WORK checkpoint restarts exercised
+    * and attempts - 1 the number of all stop/start cycles. Factored
+    * out of main so
     * the restart/drain-detection logic is integration-testable at spec
     * scale (seconds) — the 30-min soak is the same code at a longer
     * trigger. */
@@ -169,7 +171,7 @@ object LongSoakMain {
                                       listener: graft.streaming.FunnelListener,
                                       maxStallRetries: Int = 2,
                                       noProgressFloorMs: Long = 120000L)
-      : (UUID, Seq[Long]) = {
+      : (UUID, Seq[Long], Int) = {
     // The reconcile path reads query.recentProgress, a ring of
     // spark.sql.streaming.numRecentProgressUpdates: a phase must fit the
     // ring or dropped-bus batches at the phase head become
@@ -190,8 +192,10 @@ object LongSoakMain {
     var drained = false
     val phaseBatches = Seq.newBuilder[Long]
     var phases = 0
+    var attempts = 0
     var stallRetries = 0
     while (!drained && phases < maxPhases) {
+      attempts += 1
       val before =
         if (queryId == null) 0L else listener.distinctBatches(queryId)
       val q = startThrottled(spark, in, out, perTrigger, triggerMs)
@@ -221,23 +225,29 @@ object LongSoakMain {
         System.err.println(
           s"[long-soak] STALL (retry $stallRetries/$maxStallRetries): $why")
         require(stallRetries <= maxStallRetries,
-          s"phase stalled beyond $maxStallRetries retries: $why " +
+          s"phase stalled beyond $maxStallRetries retries " +
+            s"(after $attempts attempts, $phases new-work phases): $why " +
             s"(census rows_in=${listener.totalByBatch(queryId, "ingest_parsed", "rows_in")} " +
             s"of expected=$expectedRows — a shortfall that no attempt " +
             s"narrows is a lost-census wedge, not a slow drain)")
       }
-      // Only attempts that delivered NEW work count as phases: a
-      // work-less attempt never registers new batches in the listener
-      // census, so counting it would break phases == visible-runs and
-      // with it the post-restart tagging invariant (pr.size ==
-      // phases - 1). That includes an attempt where drainedNow()
-      // flipped true from a late-arriving bus event of a PREVIOUS run
-      // (r17 advisory) — a non-phase terminal state, not a phase.
+      // Only attempts that delivered NEW work count as phases — an
+      // attempt where drainedNow() flipped true from a late-arriving
+      // bus event of a PREVIOUS run (r17 advisory) is a non-phase
+      // terminal state, not a phase. NOTE the run-accounting invariant
+      // is ONE-SIDED (r19 ADVICE): a work-less attempt still registers
+      // a visible run (its re-reported committed batch lands in
+      // runOrder/runFirstBatch), so postRestartBatches().size >=
+      // phases - 1, never exactly equal — the extra exclusions are
+      // conservative (they only ever REMOVE samples from the
+      // steady-state boundedness asserts, never admit a tainted one),
+      // and `attempts` (returned, and emitted as "attempts" in the
+      // soak JSON) counts the true stop/start cycles.
       if (newWork) { phaseBatches += batches; phases += 1 }
       drained = d
     }
     require(drained, s"backlog not drained after $maxPhases phases")
-    (queryId, phaseBatches.result())
+    (queryId, phaseBatches.result(), attempts)
   }
 
   /** One checkpoint-state file census: recursive walk of the
@@ -338,11 +348,15 @@ object LongSoakMain {
     // Census cadence = the maintenance interval, so sample count ≈
     // maintenance cycles observed.
     val poller = new CensusPoller(java.nio.file.Path.of(out, "checkpoint"), 30000L)
-    val (queryId, batchesPerPhase) = drainWithRestarts(spark, in, out,
+    val (queryId, batchesPerPhase, attempts) = drainWithRestarts(spark, in, out,
       perTrigger, triggerMs, restartEvery, maxPhases, expectedRows, listener)
     val census = poller.stop()
     val drainSec = (System.nanoTime() - t1) / 1e9
     val phases = batchesPerPhase.length
+    // restarts = resume cycles that went on to deliver NEW work (the
+    // proven endurance axis the minRestarts gate keys on); attempts - 1
+    // counts ALL stop/start cycles including work-less ones (r19
+    // ADVICE: phases - 1 alone undercounts real cycles).
     val restarts = phases - 1
     require(restarts >= minRestarts,
       s"only $restarts restarts — raise --files / --restart-every so the " +
@@ -488,7 +502,7 @@ object LongSoakMain {
       s"""{"metric":"soak_long","data":"$data","docs":$nDocs,""" +
       s""""dup_lines":$nDupes,"files":$files,"files_per_trigger":$perTrigger,""" +
       s""""trigger_ms":$triggerMs,"restart_every":$restartEvery,""" +
-      s""""phases":$phases,"restarts":$restarts,""" +
+      s""""phases":$phases,"restarts":$restarts,"attempts":$attempts,""" +
       s""""phase_batches":${batchesPerPhase.mkString("[", ",", "]")},""" +
       s""""state_store":"rocksdb-changelog","maintenance_interval_s":30,""" +
       s""""rows_in":${funnel("rows_in")},"rows_malformed":${funnel("rows_malformed")},""" +

@@ -57,10 +57,16 @@ if [ -n "$SKIPPED" ]; then
   BATCH=$( { echo "$BATCH" | grep -v '^SKIP' ; echo "$BATCH" | grep '^SKIP' | grep 'q_bpe_' || true ; echo "$RETRY" ; } )
 fi
 NOT_OK=$(echo "$BATCH" | grep -cE '^(FAIL|ERR)' || true)
-SKIP_LEFT=$(echo "$BATCH" | grep -c '^SKIP' || true)
+# BPE SKIP rows are deliberately kept in BATCH (step 4 regenerates and
+# re-verifies both BPE oracles regardless), so they must NOT count as
+# "never ran" — with them in SKIP_LEFT, a fully-verified run still
+# reported YELLOW/exit-2 (r19 ADVICE). They stay in the denominator via
+# BPE_SKIP: step 4's re-check covers them.
+SKIP_LEFT=$(echo "$BATCH" | grep '^SKIP' | grep -cv 'q_bpe_' || true)
+BPE_SKIP=$(echo "$BATCH" | grep '^SKIP' | grep -c 'q_bpe_' || true)
 BAD_NON_BPE=$(echo "$BATCH" | grep -E '^(FAIL|ERR)' | grep -cv 'q_bpe_' || true)
 OK1=$(echo "$BATCH" | grep -c '^OK' || true)
-echo "[alt-gate] pass 1: $OK1 OK, $NOT_OK FAIL/ERR (non-BPE: $BAD_NON_BPE), $SKIP_LEFT still-skipped" | tee -a "$LOG"
+echo "[alt-gate] pass 1: $OK1 OK, $NOT_OK FAIL/ERR (non-BPE: $BAD_NON_BPE), $SKIP_LEFT non-BPE still-skipped" | tee -a "$LOG"
 if [ "$BAD_NON_BPE" -ne 0 ]; then
   echo "$BATCH" | grep -E '^(FAIL|ERR)' | tee -a "$LOG"
   echo "[alt-gate] RED: a non-BPE oracle failed on the alternate corpus" | tee -a "$LOG"
@@ -91,7 +97,7 @@ TOTAL=$((OK1 + BPE_OK))
 # exit code — automation keying on "GREEN"/exit 0 would otherwise treat
 # a load-truncated run as fully green.
 if [ "$SKIP_LEFT" -ne 0 ]; then
-  echo "[alt-gate] YELLOW: $TOTAL/$((OK1 + NOT_OK + SKIP_LEFT)) green but $SKIP_LEFT queries never ran even at the retry budget on seed=$SEED — rerun on a quieter host (log: $LOG)" | tee -a "$LOG"
+  echo "[alt-gate] YELLOW: $TOTAL/$((OK1 + NOT_OK + SKIP_LEFT + BPE_SKIP)) green but $SKIP_LEFT non-BPE queries never ran even at the retry budget on seed=$SEED — rerun on a quieter host (log: $LOG)" | tee -a "$LOG"
   exit 2
 fi
-echo "[alt-gate] GREEN: $TOTAL/$((OK1 + NOT_OK + SKIP_LEFT)) oracle queries green on seed=$SEED (log: $LOG)" | tee -a "$LOG"
+echo "[alt-gate] GREEN: $TOTAL/$((OK1 + NOT_OK + SKIP_LEFT + BPE_SKIP)) oracle queries green on seed=$SEED (log: $LOG)" | tee -a "$LOG"

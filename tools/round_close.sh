@@ -138,9 +138,19 @@ try:
          for q, sec in cur.items()
          if q in census and census[q].get("median", 0) > 0 and sec > 0),
         reverse=True)[:3]
-    line = "  ".join(f"{q} {sec:.2f}s={r:.2f}x med {med:.2f}s"
+    # n<5 medians come from too few stable captures to trim spikes —
+    # annotate them so a deviation against one isn't read as stable
+    # drift (r19 verdict stretch item 7)
+    def tag(q):
+        n = census[q].get("n", 0)
+        return f" [n={n}<5: median not stable]" if n < 5 else ""
+    line = "  ".join(f"{q} {sec:.2f}s={r:.2f}x med {med:.2f}s{tag(q)}"
                      for r, q, sec, med in devs)
     print(f"census check ({sys.argv[1]}): top deviations vs stable median: {line}")
+    low_n = sorted(q for q in census if census[q].get("n", 0) < 5)
+    if low_n:
+        print(f"census check: {len(low_n)} queries below n=5 stable "
+              f"samples (medians advisory only): {', '.join(low_n)}")
 except Exception as e:
     print(f"census check skipped: {e}")
 EOF

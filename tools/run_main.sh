@@ -18,6 +18,10 @@ fi
 # is 4, which silently produced 4-thread "regressions" in CPU-dense
 # kernels the first time this script forgot to set it.
 export SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}"
+# Runner provenance (r19 item 4): Bench stamps this into its capture
+# JSON — sbt-run and script-run sf0.1 totals measure ~10% apart, and the
+# census must attribute that to the launcher, not to code drift.
+export SPARK_GRAFT_RUNNER="${SPARK_GRAFT_RUNNER:-run_main}"
 SCALA_LIB=$(find /root/.cache/coursier -name "scala-library-2.13.17.jar" | head -1)
 # GRAFT_CLASSES: point long background runs at a snapshot copy of the
 # classes dir so a concurrent `sbt compile` can't swap class files under

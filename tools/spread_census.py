@@ -63,8 +63,13 @@ def queries_from_total_line(obj):
 
 def parse_bench_lines(text):
     """Full Bench line format: one JSON object per line. Returns
-    (queries_map_or_None, trailer_fingerprint_or_None)."""
-    queries, trailer = None, None
+    (queries_map_or_None, trailer_fingerprint_or_None,
+    runner_or_None). `runner` is the launcher provenance Bench stamps
+    since r20 (sbt / run_main) — sbt-run and script-run sf0.1 totals
+    measure ~10% apart, so the census reports the mix instead of
+    reading the launcher effect as drift; pre-r20 captures predate the
+    field and report as unknown."""
+    queries, trailer, runner = None, None, None
     for line in text.splitlines():
         line = line.strip()
         if not line:
@@ -76,9 +81,11 @@ def parse_bench_lines(text):
         q = queries_from_total_line(obj)
         if q and queries is None:
             queries = q
+            runner = obj.get("runner", runner)
         if obj.get("metric") == "total_trailer":
             trailer = json.dumps(obj, sort_keys=True)
-    return queries, trailer
+            runner = obj.get("runner", runner)
+    return queries, trailer, runner
 
 
 def from_line_format(path):
@@ -93,14 +100,16 @@ def git(args, repo):
 
 def history_runs(repo, stable_marker_subject):
     """Every distinct BENCH_LOCAL.json revision in git history:
-    [(tag, queries, trailer, in_stable)], oldest first. Distinct =
-    unique blob SHA (a round that recommits the same capture is one
-    run). in_stable = the commit is a descendant of the last round
-    BEFORE the stable window (subject-matched), so history samples
-    honor --stable-from exactly like the wrapper rounds do."""
+    [(tag, queries, trailer, in_stable, runner)], oldest first.
+    Distinct = unique blob SHA (a round that recommits the same capture
+    is one run). in_stable = the commit is a descendant of the last
+    round BEFORE the stable window (subject-matched), so history
+    samples honor --stable-from exactly like the wrapper rounds do.
+    A marker that matches NO commit excludes every history blob from
+    the stable window (with a WARN) instead of silently treating noisy
+    pre-stable rounds as stable (r19 ADVICE)."""
     commits = git(["rev-list", "--reverse", "HEAD", "--",
                    "BENCH_LOCAL.json"], repo).split()
-    stable_set = None
     matches = [l.split(" ", 1)[0]
                for l in git(["log", "--format=%H %s"], repo).splitlines()
                if re.match(stable_marker_subject, l.split(" ", 1)[1])]
@@ -110,6 +119,12 @@ def history_runs(repo, stable_marker_subject):
         # the stable window.
         stable_set = set(git(["rev-list", f"{matches[-1]}..HEAD"],
                              repo).split())
+    else:
+        print(f"[census] WARN: stable-marker subject "
+              f"{stable_marker_subject!r} matched no commit — EXCLUDING "
+              f"all history blobs from the stable window (they cannot "
+              f"be dated against the surface freeze)", file=sys.stderr)
+        stable_set = frozenset()
     runs, seen_blobs = [], set()
     for i, c in enumerate(commits):
         try:
@@ -121,11 +136,11 @@ def history_runs(repo, stable_marker_subject):
             continue
         seen_blobs.add(blob)
         text = git(["cat-file", "blob", blob], repo)
-        queries, trailer = parse_bench_lines(text)
+        queries, trailer, runner = parse_bench_lines(text)
         if not queries:
             continue
-        in_stable = stable_set is None or c in stable_set
-        runs.append((f"h{i:03d}:{c[:7]}", queries, trailer, in_stable))
+        runs.append((f"h{i:03d}:{c[:7]}", queries, trailer,
+                     c in stable_set, runner))
     return runs
 
 
@@ -137,30 +152,34 @@ def from_wrapper(path):
     total line, immediately before "value": — walk back from the final
     "value": to the preceding '}' and harvest well-formed "q_x":float
     pairs (a head-truncated first pair is dropped by the regex).
-    Returns (queries_or_None, [trailer_fingerprint, ...])."""
+    Returns (queries_or_None, [trailer_fingerprint, ...],
+    runner_or_None)."""
     with open(path) as f:
         w = json.load(f)
     if not isinstance(w, dict) or "tail" not in w:
-        return None, []
+        return None, [], None
     tail = w["tail"]
-    trailers = []
+    trailers, runner = [], None
     for m in re.findall(r'\{"metric":"total_trailer".*?\}', tail):
         try:
-            trailers.append(json.dumps(json.loads(m), sort_keys=True))
+            obj = json.loads(m)
+            trailers.append(json.dumps(obj, sort_keys=True))
+            runner = obj.get("runner", runner)
         except json.JSONDecodeError:
             pass
     # Prefer a complete embedded total line when the tail holds one.
     for m in re.finditer(r'\{"metric":"total",.*', tail):
         frag = m.group(0).split("\n", 1)[0]
         try:
-            q = queries_from_total_line(json.loads(frag))
+            obj = json.loads(frag)
+            q = queries_from_total_line(obj)
             if q:
-                return q, trailers
+                return q, trailers, obj.get("runner", runner)
         except json.JSONDecodeError:
             pass
     anchor = tail.rfind('},"value":')
     if anchor < 0:
-        return None, trailers
+        return None, trailers, runner
     # The queries map opens at the last '"queries":{' if visible, else
     # at the tail head (truncated mid-map).
     start = tail.rfind('"queries":{', 0, anchor)
@@ -172,7 +191,7 @@ def from_wrapper(path):
         print(f"[census] WARN {path}: {len(dropped)} tail keys with "
               f"unparseable values dropped: {sorted(dropped)[:5]}...",
               file=sys.stderr)
-    return q, trailers
+    return q, trailers, runner
 
 
 def round_scales(samples):
@@ -239,8 +258,10 @@ def main():
 
     full, stable = {}, {}
     rounds_used, rounds_stable = [], []
+    tag_runner = {}
 
-    def add(tag, q, in_stable):
+    def add(tag, q, in_stable, runner=None):
+        tag_runner[tag] = runner or "unknown"
         for k, v in q.items():
             full.setdefault(k, []).append((tag, v))
         if in_stable:
@@ -252,9 +273,9 @@ def main():
     # truncate away).
     marker = rf"^round {a.stable_from - 1}: verdict"
     hist = history_runs(a.repo, marker)
-    hist_trailers = {t for _, _, t, _ in hist if t}
-    for tag, q, _t, in_stable in hist:
-        add(tag, q, in_stable)
+    hist_trailers = {t for _, _, t, _, _r in hist if t}
+    for tag, q, _t, in_stable, runner in hist:
+        add(tag, q, in_stable, runner)
 
     # 2. Wrapper tails (BENCH_rN driver captures): skipped when the
     # same run already arrived as a history blob — the driver's
@@ -263,10 +284,10 @@ def main():
     # truncated tail). Trailer-less early rounds dedupe by exact value
     # equality on the overlap.
     deduped_wrappers = []
-    hist_maps = [q for _, q, _t, _s in hist]
+    hist_maps = [q for _, q, _t, _s, _r in hist]
     for path in sorted(glob.glob("BENCH_r[0-9]*.json")):
         rn = int(re.search(r"BENCH_r(\d+)\.json", path).group(1))
-        q, trailers = from_wrapper(path)
+        q, trailers, wrunner = from_wrapper(path)
         if not q:
             q = from_line_format(path)
         if not q:
@@ -278,17 +299,23 @@ def main():
                     for h in hist_maps)):
             deduped_wrappers.append(f"r{rn}")
             continue
-        add(f"r{rn}", q, rn >= a.stable_from)
+        add(f"r{rn}", q, rn >= a.stable_from, wrunner)
         if rn >= a.stable_from:
             rounds_stable.append(rn)
 
     # 3. The worktree baseline — only when it isn't the HEAD blob (an
-    # uncommitted driver refresh).
-    lq, ltrailer = parse_bench_lines(open("BENCH_LOCAL.json").read())
+    # uncommitted driver refresh). A trailer-less worktree file gets
+    # the same value-equality fallback the trailer-less wrappers do
+    # (r19 ADVICE: without it, a byte-identical file double-counts as
+    # both a history sample and 'local' in the stable window).
+    lq, ltrailer, lrunner = parse_bench_lines(open("BENCH_LOCAL.json").read())
     if lq and ltrailer is not None and ltrailer in hist_trailers:
         lq = None  # worktree == HEAD blob; already counted
+    elif lq and ltrailer is None and any(
+            all(h.get(k) == v for k, v in lq.items()) for h in hist_maps):
+        lq = None  # trailer-less worktree file equals a history blob
     if lq:
-        add("local", lq, True)
+        add("local", lq, True, lrunner)
 
     big = {}
     for tier, paths in (("sf30", ["BENCH_SF30_SUITE.json"]),
@@ -298,7 +325,7 @@ def main():
         for p in paths:
             if not os.path.exists(p):
                 continue
-            q = from_line_format(p) or from_wrapper(p)
+            q = from_line_format(p) or from_wrapper(p)[0]
             if q:
                 for k, v in q.items():
                     acc.setdefault(k, []).append((p, v))
@@ -323,12 +350,30 @@ def main():
             and 1.3 < s["spread_trimmed"] <= 1.5
             and s["abs_delta_trimmed"] > 0.3}
 
-    n_hist_stable = sum(1 for _, _, _t, s in hist if s)
+    # Runner provenance (r19 verdict item 4): per-query mix of the
+    # launchers behind the stable-window samples. Bench stamps the
+    # field since r20; older captures report as unknown. Once >= 2
+    # stamped runners accumulate samples, a wide spread whose samples
+    # split across runners is a launcher effect (measured ~10% on the
+    # sf0.1 total between sbt runMain and tools/run_main.sh), not code
+    # drift — the mix makes that adjudicable per query.
+    runner_mix = {}
+    for q_name, xs in stable.items():
+        mix = {}
+        for t, _s in xs:
+            r = tag_runner.get(t, "unknown")
+            mix[r] = mix.get(r, 0) + 1
+        runner_mix[q_name] = mix
+
+    n_hist_stable = sum(1 for _, _, _t, s, _r in hist if s)
     artifact = {
         "metric": "spread_census",
         "rounds": rounds_used,
-        "history_runs": [tag for tag, _, _t, _s in hist],
+        "history_runs": [tag for tag, _, _t, _s, _r in hist],
         "history_runs_stable": n_hist_stable,
+        "capture_runners": {t: r for t, r in sorted(tag_runner.items())
+                            if r != "unknown"},
+        "runner_mix_stable": runner_mix,
         "wrappers_deduped_into_history": deduped_wrappers,
         "stable_window": rounds_stable + (["local"] if lq else []),
         "gate": {"ratio": 1.5, "abs_floor_sec": 0.3},
