@@ -142,6 +142,44 @@ class IncrementalIvfSpec extends SparkSuite {
       s"decayed members $totalDec vs cumulative $totalCum")
   }
 
+  test("decayed fold streaming twin lands on the batch decayed state") {
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    val expected = stateRows(
+      Similarity.decayedCentroidState(emb, nlist = 16, chunks = 3))
+
+    val data = emb.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val n = data.map(_._1).max + 1
+    val span = math.ceil(n.toDouble / 3).toLong
+
+    val state = Similarity.incrementalIvfState(emb, nlist = 16)
+    var folded = 0
+    val stream = MemoryStream[(Long, Array[Float])](spark)
+    val q = stream.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) {
+          // decay BETWEEN epochs, exactly like the batch fold: every
+          // epoch after the first halves the prior state first
+          if (folded > 0) state.decay()
+          state.update(df)
+          folded += 1
+        }
+      }
+      .start()
+    try {
+      for (c <- 0L until 3L) {
+        stream.addData(data.filter { case (id, _) =>
+          id >= c * span && id < (c + 1) * span }.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    assert(stateRows(state.stateDf(spark)) === expected,
+      "streamed decayed fold != batch decayed fold")
+  }
+
   test("restore rejects a truncated or cid-dropped checkpoint (r19 advisory 1)") {
     val dir = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, dir)
