@@ -39,7 +39,9 @@ import org.apache.spark.storage.StorageLevel
 object Dedup {
 
   private def toks(text: Column): Column =
-    filter(split(text, " "), t => length(t) > 0)
+    // one-pass native kernel == filter(split(text, " "), t => length(t) > 0)
+    // (r20: the filter HOF ran interpreted per token — see TextKernels)
+    graft.functions.GraftFunctions.spaceTokens(text)
 
   /** Materialize (doc_id, tk: array<string>) — the single tokenization
     * pass everything downstream indexes into. */
@@ -56,10 +58,12 @@ object Dedup {
   def shinglesOf(tk: Column, n: Int, distinct: Boolean = true): Column = {
     def dedup(c: Column) = if (distinct) array_distinct(c) else c
     if (n == 1) dedup(tk)
+    // n >= 2: the native WordShingles kernel (TextKernels.scala) replaces
+    // the interpreted transform/element_at/concat_ws HOF chain — m−n+1
+    // lambda frames per doc became one codegen'd scalar call (r20). The
+    // when/otherwise guard keeps null/short-input semantics identical.
     else when(size(tk) >= n,
-      dedup(transform(
-        sequence(lit(1), size(tk) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(tk, i + j)): _*))))
+      graft.functions.GraftFunctions.wordShingles(tk, n, distinct))
       .otherwise(array().cast("array<string>"))
   }
 

@@ -286,6 +286,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSim(args.head, args(1))))
     ext.injectFunction((
+      new FunctionIdentifier("space_tokens"),
+      new ExpressionInfo(classOf[SpaceTokens].getName, "space_tokens"),
+      (args: Seq[Expression]) => SpaceTokens(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args.head,
+        intLit(args(1), "word_shingles n"),
+        args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Boolean, _) => v
+          case other => throw new IllegalArgumentException(
+            s"word_shingles distinct must be a boolean literal, got $other")
+        })))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (args: Seq[Expression]) =>
@@ -308,4 +322,16 @@ object GraftFunctions {
 
   /** Cosine similarity of two array<double> columns (codegen'd scalar). */
   def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  /** Whitespace tokens of a text column (codegen'd one-pass scalar —
+    * exactly `filter(split(text, " "), t => length(t) > 0)`). */
+  def spaceTokens(text: Column): Column = call_function("space_tokens", text)
+
+  /** Word n-gram shingles of a token array (codegen'd scalar — exactly
+    * the transform/element_at/concat_ws HOF chain, `distinct` =
+    * array_distinct's first-occurrence order). Callers guard n > size. */
+  def wordShingles(tk: Column, n: Int, distinct: Boolean): Column =
+    call_function("word_shingles", tk,
+      org.apache.spark.sql.functions.lit(n),
+      org.apache.spark.sql.functions.lit(distinct))
 }

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native kernel for whitespace tokenization: maximal runs of non-space
+  * bytes, in order — exactly `filter(split(text, " "), t => length(t) > 0)`
+  * (split on every single space, drop the empty strings that consecutive
+  * / leading / trailing separators produce), but in ONE pass over the
+  * UTF-8 bytes instead of a regex split plus an INTERPRETED filter HOF
+  * (higher-order lambdas cost ~1 µs per element — the measured trap
+  * documented on Dedup/Similarity). Byte-level scanning is exact: 0x20
+  * never occurs inside a multi-byte UTF-8 sequence. */
+object SpaceTokensImpl {
+  def compute(text: UTF8String): ArrayData = {
+    val b = text.getBytes
+    val len = b.length
+    val out = new java.util.ArrayList[AnyRef](8)
+    var i = 0
+    while (i < len) {
+      while (i < len && b(i) == ' ') i += 1
+      val start = i
+      while (i < len && b(i) != ' ') i += 1
+      if (i > start) out.add(UTF8String.fromBytes(b, start, i - start))
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** Custom Catalyst expression: whitespace tokens of a string column as a
+  * single codegen'd scalar call. Tokenization is the first step of the
+  * whole text/dedup family (shingles, MinHash, tf-idf, heavy hitters…),
+  * so the per-element interpreted-HOF cost of the `filter(split(...))`
+  * formulation was paid by every one of them. */
+case class SpaceTokens(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"space_tokens requires string input, got ${other.simpleString(10)}")
+  }
+
+  // containsNull = false: the kernel never emits a null element (the HOF
+  // formulation couldn't either — split emits strings, filter keeps a
+  // subset).
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "space_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SpaceTokensImpl.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SpaceTokensImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpaceTokens =
+    copy(child = newChild)
+}
+
+/** Native kernel for word n-gram shingles over a token array: shingle i =
+  * tokens[i..i+n-1] joined by one space; `distinct` keeps the FIRST
+  * occurrence of each value (array_distinct order). Exactly equal to the
+  * HOF formulation `transform(sequence(1, m-n+1), i => concat_ws(" ",
+  * element_at(tk, i)..element_at(tk, i+n-1)))`:
+  *  - UTF8String.concatWs skips null inputs, like concat_ws;
+  *  - UTF8String equality is binary, like array_distinct's;
+  *  - fewer than n tokens → empty array (callers guard null input).
+  * One scalar call per row replaces m-n+1 interpreted lambda frames with
+  * n element_at walks each. */
+object WordShinglesImpl {
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(tk: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+    val m = tk.numElements()
+    val cnt = m - n + 1
+    if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+    val parts = new Array[UTF8String](n)
+    if (!distinct) {
+      val out = new Array[Any](cnt)
+      var i = 0
+      while (i < cnt) {
+        var j = 0
+        while (j < n) { parts(j) = tk.getUTF8String(i + j); j += 1 }
+        out(i) = UTF8String.concatWs(Sep, parts: _*)
+        i += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      val seen = new java.util.LinkedHashSet[UTF8String](cnt * 2)
+      var i = 0
+      while (i < cnt) {
+        var j = 0
+        while (j < n) { parts(j) = tk.getUTF8String(i + j); j += 1 }
+        seen.add(UTF8String.concatWs(Sep, parts: _*))
+        i += 1
+      }
+      new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size)))
+    }
+  }
+}
+
+/** Custom Catalyst expression: word n-gram shingles of a token array as
+  * one codegen'd scalar call — the inner loop of Dedup.shinglesOf (the
+  * feed of MinHash banding, n-gram Jaccard, novelty, dup-span,
+  * source-overlap…). The surrounding `when(size(tk) >= n, …)` guard in
+  * shinglesOf is kept in Column space so null/short-input semantics stay
+  * byte-identical to the HOF formulation it replaces. */
+case class WordShingles(child: Expression, n: Int, distinct: Boolean)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires array<string> input, got ${other.simpleString(10)}")
+  }
+
+  // concat_ws never returns null, so elements are non-null — matching
+  // transform(...)'s ArrayType(StringType, function.nullable = false).
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordShinglesImpl.compute(input.asInstanceOf[ArrayData], n, distinct)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.WordShinglesImpl.compute($c, $n, $distinct)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}

@@ -644,23 +644,36 @@ object Analytics {
         lit(0).as("is_point"))
     val pointRows = points.select(col(pointCol).as("day"),
       lit(0L).cast(wType).as("delta"), lit(1).as("is_point"))
+    // The day-level delta frame is consumed TWICE (the running window
+    // and the year-totals offset branch). Left as a plain shared
+    // DataFrame, the two consumers' column pruning diverges (the totals
+    // branch drops is_point), the exchanges stop being byte-identical,
+    // ReuseExchange never fires, and the WHOLE input pipeline — both
+    // scans, the delta explode, both aggregate exchanges — executed
+    // twice (measured r20: the post-AQE plan carried two full copies).
+    // The frame is calendar-bounded (one row per distinct day — tens of
+    // K rows at ANY corpus scale), so materialize it once: every later
+    // stage is day-level work over the checkpoint.
     val deltas = deltaRows.unionByName(pointRows)
       .groupBy(col("day"))
       .agg(sum(col("delta")).as("delta"), max(col("is_point")).as("is_point"))
       .withColumn("yr", year(col("day")))
+      .localCheckpoint()
     val wRun = Window.partitionBy("yr").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wYear = Window.partitionBy("yr")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val run = deltas
       .withColumn("run", sum(col("delta")).over(wRun))
-      .withColumn("ytot", sum(col("delta")).over(wYear))
-    val ytot = run.select(col("yr"), col("ytot")).distinct()
+    // Per-year totals by plain aggregation over the checkpointed days —
+    // identical to the old full-year-frame window + distinct (exact
+    // decimal/integer sums are order-independent), without re-sorting
+    // the day frame a second time.
+    val ytot = deltas.groupBy(col("yr"))
+      .agg(sum(col("delta")).as("ytot"))
     val yoff = ytot.as("a")
       .join(ytot.as("b"), col("b.yr") < col("a.yr"), "left_outer")
       .groupBy(col("a.yr").as("yr"))
       .agg(coalesce(sum(col("b.ytot")),
-        lit(0L).cast(run.schema("ytot").dataType)).as("off"))
+        lit(0L).cast(ytot.schema("ytot").dataType)).as("off"))
     run.filter(col("is_point") === 1)
       .join(broadcast(yoff), "yr")
       .select(col("day"), (col("off") + col("run")).as("w_active"))

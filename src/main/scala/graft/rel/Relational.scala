@@ -153,20 +153,24 @@ object Relational {
     * l_orderkey; its survivors are a small frame AQE broadcasts at low SF
     * and shuffle-joins at scale. */
   def q18(spark: SparkSession, dir: String): DataFrame = {
+    // One lineitem pass (r20): the HAVING subquery's per-order sum IS the
+    // outer sum — o_orderkey is the order PK, so the old second lineitem
+    // scan + join + re-aggregation recomputed sq for exactly the selected
+    // orders. Reusing it is decimal-exact-identical (same rows, same
+    // sum(dec(l_quantity)) in both formulations) and drops a full
+    // lineitem scan and a lineitem-sized join from the plan.
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_quantity")
     val big = li.groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_quantity"))).as("sq"))
       .filter(col("sq") > 250)
-      .select(col("l_orderkey").as("big_orderkey"))
     val ord = Tables.orders(spark, dir)
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
-    li.join(big, col("l_orderkey") === col("big_orderkey"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-        col("o_orderdate"), col("o_totalprice"))
-      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        col("sq").cast("double").as("sum_qty"))
   }
 
   /** TPC-H Q4-shaped order-priority check — the EXISTS / left-semi
@@ -463,11 +467,18 @@ object Relational {
     * the division: q < 0.2·(sumq/cnt) ⟺ q·5·cnt < sumq, all in
     * decimal×integer space, so no engine's rounding can flip a row. */
   def q17(spark: SparkSession, dir: String): DataFrame = {
-    val pa = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity")
-      .groupBy(col("l_partkey").as("pa_partkey"))
-      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sumq"))
     val brand = Tables.part(spark, dir)
       .filter(col("p_brand") === "Brand#23").select("p_partkey")
+    // The per-part average is only ever consumed for the brand's parts
+    // (inner join below), so the aggregate is pre-filtered to them with
+    // the same broadcast (r20, guide §3.2): the agg shuffle carries one
+    // brand's lineitems instead of every part's, and the map-side filter
+    // is a broadcast-hash probe at scan speed. Identical output — rows
+    // for other parts never reached the join.
+    val pa = Tables.lineitem(spark, dir).select("l_partkey", "l_quantity")
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("pa_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(dec(col("l_quantity"))).as("sumq"))
     Tables.lineitem(spark, dir)
       .select("l_partkey", "l_quantity", "l_extendedprice")
       .join(broadcast(brand), col("l_partkey") === col("p_partkey"))

@@ -42,7 +42,9 @@ object Bpe {
   case class Merge(rank: Int, left: String, right: String, pair_freq: Long)
 
   private def tokens(df: DataFrame) =
-    df.select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("word"))
+    // native one-pass tokenizer == filter(split(text, " "), length > 0)
+    df.select(explode(
+      graft.functions.GraftFunctions.spaceTokens(col("text"))).as("word"))
 
   /** Merge every non-overlapping left-to-right occurrence of (l, r). */
   private[text] def applyMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
@@ -112,7 +114,7 @@ object Bpe {
     val ordered = merges.sortBy(_.rank).map(m => (m.left, m.right))
     val bc = spark.sparkContext.broadcast(ordered)
     df.select(col("doc_id"),
-      filter(split(col("text"), " "), t => length(t) > 0).as("tk"))
+      graft.functions.GraftFunctions.spaceTokens(col("text")).as("tk"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val ms = bc.value

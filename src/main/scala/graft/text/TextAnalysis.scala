@@ -15,7 +15,9 @@ object TextAnalysis {
   /** Whitespace tokens of a text column (documents are pre-normalized
     * lowercase `[a-z ]` — see FIXTURES.md §B). */
   private def toks(text: Column): Column =
-    filter(split(text, " "), t => length(t) > 0)
+    // one-pass native kernel == filter(split(text, " "), t => length(t) > 0)
+    // (r20: the filter HOF ran interpreted per token — see TextKernels)
+    graft.functions.GraftFunctions.spaceTokens(text)
 
   /** Stopword list for the n-gram/stopword language heuristic. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -191,12 +193,11 @@ object TextAnalysis {
     // into a computed array re-evaluates the whole filter(split(...)) per
     // lambda element (HOFs run interpreted, no CSE).
     val tk = col("tk")
-    // Guarded like Dedup.shinglesOf: Spark sequence(1,0) is descending,
-    // and element_at(tk, 0) throws under ANSI — 1-token docs get null.
+    // Guarded like Dedup.shinglesOf (short docs → empty array); the
+    // bigram construction is the shared native WordShingles kernel (r20)
+    // instead of the interpreted transform/element_at chain.
     val bigrams = when(size(tk) >= 2,
-      transform(
-        sequence(lit(1), size(tk) - 1),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      graft.functions.GraftFunctions.wordShingles(tk, 2, distinct = false))
       .otherwise(array().cast("array<string>"))
     df.select(col("doc_id"), toks(col("text")).as("tk"))
       .select(
@@ -359,13 +360,14 @@ object TextAnalysis {
     * with < 2 tokens have no shingles and drop out (same on both sides). */
   def noveltyScore(df: DataFrame): DataFrame = {
     val tk = col("tk")
+    // DISTINCT bigrams straight from the native kernel (r20): identical
+    // to array_distinct(transform(...)) — first-occurrence order — at
+    // one codegen'd call per row instead of interpreted lambda frames.
     val bigrams = when(size(tk) >= 2,
-      transform(
-        sequence(lit(1), size(tk) - 1),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1))))
+      graft.functions.GraftFunctions.wordShingles(tk, 2, distinct = true))
       .otherwise(array().cast("array<string>"))
     val sh = df.select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), explode(array_distinct(bigrams)).as("shingle"))
+      .select(col("doc_id"), explode(bigrams).as("shingle"))
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
     sh.join(dfreq, "shingle")
       .groupBy("doc_id")

@@ -41,12 +41,12 @@ class SpeculationSpec extends AnyFunSuite {
     }
     val err = try new String(java.nio.file.Files.readAllBytes(errFile), "UTF-8")
               finally java.nio.file.Files.deleteIfExists(errFile)
-    assert(finished, s"speculation probe did not finish within 480 s; stderr tail: ${err.takeRight(2000)}")
+    assert(finished, s"speculation probe did not finish within 480 s; stderr tail: ${err.takeRight(12000)}")
     val line = out.linesIterator
       .find(_.startsWith("""{"metric":"speculation_probe""""))
-      .getOrElse(fail(s"no probe JSON in stdout.\nstdout: $out\nstderr tail: ${err.takeRight(2000)}"))
+      .getOrElse(fail(s"no probe JSON in stdout.\nstdout: $out\nstderr tail: ${err.takeRight(12000)}"))
     assert(proc.exitValue() === 0,
-      s"probe exited ${proc.exitValue()}: $line\nstderr tail: ${err.takeRight(2000)}")
+      s"probe exited ${proc.exitValue()}: $line\nstderr tail: ${err.takeRight(12000)}")
     def num(f: String): Long =
       ("\"" + f + "\":(\\d+)").r.findFirstMatchIn(line).map(_.group(1).toLong)
         .getOrElse(fail(s"field $f missing in $line"))
