@@ -814,16 +814,20 @@ object Dedup {
                          n: Int = 2, k: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     val bands = bandFrame(newDocs, n, k, rowsPerBand)
       .select(col("doc_id"), concat_ws("#", col("band"), col("band_key")).as("bkey"))
+    // ONE pass over the band frame (r20, same fix as
+    // ImageDedup.incrementalBandGate): the old two-branch shape ran the
+    // whole signature pipeline twice — within-batch drop and store drop
+    // now evaluate on a single pass, the store join riding the window's
+    // bkey partitioning; OR-null keeps semi-join miss semantics.
     val w = Window.partitionBy(col("bkey"))
-    val batchDropped = bands
+    val seen = seenBands.select(col("bkey")).distinct()
+      .withColumn("in_store", lit(true))
+    val dropped = bands
       .withColumn("first_id", min(col("doc_id")).over(w))
-      .filter(col("doc_id") > col("first_id"))
-      .select("doc_id")
-    val storeDropped = bands
-      .join(seenBands.select("bkey"), Seq("bkey"), "left_semi")
-      .select("doc_id")
-    newDocs.join(batchDropped.union(storeDropped).distinct(),
-      Seq("doc_id"), "left_anti")
+      .join(seen, Seq("bkey"), "left")
+      .filter(col("doc_id") > col("first_id") || col("in_store"))
+      .select("doc_id").distinct()
+    newDocs.join(dropped, Seq("doc_id"), "left_anti")
   }
 
   /** The (doc_id, bkey) frame [[incrementalNearDup]] gates on — exposed

@@ -300,6 +300,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_shingles distinct must be a boolean literal, got $other")
         })))
     ext.injectFunction((
+      new FunctionIdentifier("abs_max"),
+      new ExpressionInfo(classOf[AbsMax].getName, "abs_max"),
+      (args: Seq[Expression]) => AbsMax(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("centroid_argmax"),
+      new ExpressionInfo(classOf[CentroidArgmax].getName, "centroid_argmax"),
+      (args: Seq[Expression]) => CentroidArgmax(args.head, args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContain].getName, "bloom_might_contain"),
       (args: Seq[Expression]) =>
@@ -334,4 +342,14 @@ object GraftFunctions {
     call_function("word_shingles", tk,
       org.apache.spark.sql.functions.lit(n),
       org.apache.spark.sql.functions.lit(distinct))
+
+  /** Nearest-centroid label of a raw embedding against a broadcast
+    * centroid matrix (codegen'd scalar — exactly the explode/join/
+    * rational-argmax pipeline, see CentroidKernels). */
+  def centroidArgmax(embedding: Column, cents: Column): Column =
+    call_function("centroid_argmax", embedding, cents)
+
+  /** max(abs(x)) of a float/double array widened to double (codegen'd
+    * scalar == array_max(transform(v, abs)) over the cast array). */
+  def absMax(v: Column): Column = call_function("abs_max", v)
 }

@@ -116,13 +116,17 @@ object VideoDedup {
     require(minSharedNum >= 1 && minSharedDen >= minSharedNum)
     val fh = videoFrameHashes(spark, newVideos)
       .select(col("doc_id"), col("dhash")).distinct()
-    val firstDoc = fh.groupBy(col("dhash"))
-      .agg(min(col("doc_id")).as("first_doc"))
+    // first_doc as a window over the SAME dhash partitioning instead of
+    // a separate aggregate + rejoin (r20): the old shape consumed `fh`
+    // twice, so the whole container-decode + per-frame dHash pipeline
+    // executed twice per gate; now one pass, and the store join rides
+    // the window's exchange.
     val store = seenFrameHashes.select(col("fhash").as("dhash")).distinct()
       .withColumn("__instore", lit(1))
     val marked = fh
+      .withColumn("first_doc", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))))
       .join(store, Seq("dhash"), "left")
-      .join(firstDoc, Seq("dhash"))
       .withColumn("hit",
         when(col("__instore").isNotNull ||
           col("first_doc") < col("doc_id"), 1L).otherwise(0L))

@@ -32,24 +32,34 @@ object Analytics {
     * grand total), disambiguated by `grouping_id` — decimal-exact sums so
     * partial-aggregation order can never perturb the hash. */
   def rollupPricing(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        grouping_id().cast("bigint").as("gid"),
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        count(lit(1)).as("n_rows"))
+    rollup(Tables.lineitem(spark, dir))(_.rollup(col("l_returnflag"), col("l_linestatus")))
+
+  /** Shared two-level grouping-sets shape for [[rollupPricing]] /
+    * [[cubePricing]] (r20): rollup/cube over the RAW table EXPANDS every
+    * scanned row once per grouping set (3×/4×) before the partial
+    * aggregate — at 100 TB that triples/quadruples the map-side agg
+    * input for margins that are pure sums of the detail groups. Level 1
+    * aggregates to the (returnflag, linestatus) detail (six rows);
+    * level 2 runs the SAME rollup/cube over that — the expand now
+    * multiplies six rows, and every margin is the sum of exact decimal
+    * detail sums, so output (values, gid, schema) is identical to the
+    * one-level form. */
+  private def rollup(li: DataFrame)(
+      sets: DataFrame => org.apache.spark.sql.RelationalGroupedDataset): DataFrame = {
+    val detail = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("n"))
+    sets(detail).agg(
+      grouping_id().cast("bigint").as("gid"),
+      sum(col("sq")).cast("double").as("sum_qty"),
+      sum(col("n")).as("n_rows"))
+  }
 
   /** CUBE over (returnflag, linestatus): all four grouping sets (detail,
     * each single-axis margin, grand total) from ONE scan and one shuffle
     * — the expand happens before the exchange with map-side partial
     * aggregation, same as [[rollupPricing]] but with the second margin. */
   def cubePricing(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .cube(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        grouping_id().cast("bigint").as("gid"),
-        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-        count(lit(1)).as("n_rows"))
+    rollup(Tables.lineitem(spark, dir))(_.cube(col("l_returnflag"), col("l_linestatus")))
 
   /** Order counts pivoted by status — explicit pivot values keep this a
     * single-pass conditional aggregation (no value-discovery job) and make
@@ -538,8 +548,15 @@ object Analytics {
     val split = ev.agg(
       expr("(min(ts_us) + max(ts_us)) div 2").as("split_us"))
     val withSplit = ev.crossJoin(broadcast(split))
+    // Materialize the base state once (r20): scd2Merge reads it twice
+    // (untouched anti-join + reopened semi-join) with diverging column
+    // pruning, so the whole base SCD2 window pipeline executed twice.
+    // In production the base IS a stored table (the same stance as
+    // rollingMergeQuery's baseIv); the checkpoint models that and
+    // bounds the work at one build.
     val base = scd2Core(withSplit.filter(col("ts_us") < col("split_us"))
       .drop("split_us"))
+      .localCheckpoint()
     val delta = withSplit.filter(col("ts_us") >= col("split_us"))
       .drop("split_us")
     scd2Merge(base, delta)

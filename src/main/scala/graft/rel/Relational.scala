@@ -527,10 +527,23 @@ object Relational {
       .join(ordF, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val per = lo.groupBy(col("o_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
-        min(when(col("late"), col("l_suppkey"))).as("late_supp"))
+    // Two-level aggregation instead of two countDistincts (r20): the
+    // distinct-agg rewrite EXPANDS every joined row 3× (one copy per
+    // distinct expression + gid) and shuffles the tripled stream on a
+    // 4-part key (measured: the Expand + both exchanges in the before
+    // plan). Level 1 collapses to one row per (order, supplier) —
+    // map-side combined, 1× the rows, 2-column key; level 2 reads the
+    // three answers off it: distinct suppliers = group count, distinct
+    // late suppliers = groups with any late row, min late supplier =
+    // min over those groups. Exactly countDistinct semantics (suppkey
+    // is non-null; when() yields NULL for never-late groups and
+    // count/min skip NULLs).
+    val perSupp = lo.groupBy(col("o_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("supp_late"))
+    val per = perSupp.groupBy(col("o_orderkey"))
+      .agg(count(col("l_suppkey")).as("n_supp"),
+        count(when(col("supp_late"), col("l_suppkey"))).as("n_late"),
+        min(when(col("supp_late"), col("l_suppkey"))).as("late_supp"))
     per.filter(col("n_supp") >= 2 && col("n_late") === 1)
       .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
         col("late_supp") === col("s_suppkey"))

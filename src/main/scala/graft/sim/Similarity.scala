@@ -702,13 +702,19 @@ object Similarity {
     * the quantizer cannot fork. */
   private def explodedInt8(embeddings: DataFrame,
                            carryCols: Seq[String]): DataFrame =
+    // r20: the scale factor comes from the native AbsMax kernel
+    // (== array_max(transform(v, abs)) over the cast array) and the
+    // float→double widening moves AFTER the posexplode as a scalar
+    // codegen cast — the two interpreted per-element HOF passes this
+    // projection ran per vector are gone; x and qv are value-identical
+    // (exact widening, same round(x·127/amax) expression).
     embeddings
-      .select(carryCols.map(col) :+ asDouble(col("embedding")).as("v"): _*)
-      .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
-      .select(carryCols.map(col) ++
-        Seq(col("amax"), posexplode(col("v")).as(Seq("i", "x"))): _*)
+      .select(carryCols.map(col) ++ Seq(
+        graft.functions.GraftFunctions.absMax(col("embedding")).as("amax"),
+        posexplode(col("embedding")).as(Seq("i", "xr"))): _*)
       .select(carryCols.map(col) ++ Seq(col("i").cast("int").as("i"),
-        when(col("amax") > 0, round(col("x") * lit(127.0) / col("amax")))
+        when(col("amax") > 0,
+          round(col("xr").cast("double") * lit(127.0) / col("amax")))
           .otherwise(lit(0)).cast("int").as("qv")): _*)
 
   /** One (candidate, score-numerator, score-denominator) row for
@@ -781,21 +787,31 @@ object Similarity {
     * aggregation still combines map-side). The final crosstab is
     * label-domain-sized. */
   def centroidConfusion(embeddings: DataFrame): DataFrame = {
+    // r20 restructure (guide §8: decide with small rows): the old shape
+    // exploded every vector to dims scalar rows, joined the centroid
+    // table per DIMENSION (fan-out |labels| → vecs·dims·labels rows),
+    // shuffled that to per-(vec, label) scores, and argmaxed with a
+    // typed aggregator — the pre-crosstab shuffle carried dims·labels×
+    // the corpus row count. The centroid matrix is |labels|·dims longs
+    // (KB at any scale), so the whole decision runs inside the scan:
+    // fold the matrix to ONE row (label-ascending, sums dim-ordered),
+    // broadcast it, and classify each vector with the native
+    // CentroidArgmax kernel — quantization, integer dot products, and
+    // the BigInt rational argmax bit-identical to the expression
+    // pipeline (CentroidKernelSpec pins kernel == old formulation on
+    // the gate corpus). Remaining shuffle: the |labels|² crosstab.
     val centroids = labelCentroidsQ(embeddings)
-    val cents = centroids
-      .select(col("label").as("c_label"), col("i"), col("sum_q"))
-    // per-label vector count: n_vecs is constant across a label's dims
-    val nTab = centroids.groupBy(col("label").as("c_label"))
-      .agg(max(col("n_vecs")).as("n_c"))
-    val argmax = udaf(RationalArgmax)
-    explodedInt8(embeddings, Seq("vec_id", "label"))
-      .join(broadcast(cents), "i")
-      .groupBy(col("vec_id"), col("label"), col("c_label"))
-      .agg(sum(col("qv") * col("sum_q")).as("score"))
-      .join(broadcast(nTab), "c_label")
-      .groupBy(col("vec_id"), col("label"))
-      .agg(argmax(col("c_label").cast("int"), col("score"), col("n_c"))
-        .as("pred_label"))
+    val mat = centroids.groupBy(col("label").as("c_label"))
+      .agg(max(col("n_vecs")).as("n_c"),
+        transform(sort_array(collect_list(struct(col("i"), col("sum_q")))),
+          s => s("sum_q")).as("sums"))
+      .select(struct(col("c_label"), col("n_c"), col("sums")).as("c"))
+      .agg(sort_array(collect_list(col("c"))).as("cents"))
+    embeddings
+      .crossJoin(broadcast(mat))
+      .select(col("label"),
+        graft.functions.GraftFunctions
+          .centroidArgmax(col("embedding"), col("cents")).as("pred_label"))
       .groupBy(col("label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }

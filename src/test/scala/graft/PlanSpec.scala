@@ -285,26 +285,35 @@ class PlanSpec extends SparkSuite {
       s"label filter not pushed to the scan:\n$pushed")
   }
 
-  test("centroidConfusion: centroids broadcast; mean-argmax is one aggregate, no join") {
+  test("centroidConfusion: decision runs in the scan; only the crosstab shuffles") {
+    // r20 shape: the centroid matrix folds to ONE broadcast row and the
+    // native centroid_argmax kernel classifies each vector inside the
+    // scan projection — the per-dimension join, the vecs·dims·labels
+    // score shuffle, and the typed argmax aggregate must never come
+    // back. (CentroidKernelSpec pins the kernel's VALUES to the old
+    // expression pipeline; this pins the plan SHAPE.)
     val df = graft.sim.Similarity.centroidConfusion(
       Tables.embeddings(spark, sf))
     df.collect()
     val s = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(s.contains("BroadcastHashJoin"),
-      s"centroid table not broadcast:\n$s")
-    // the true-mean argmax (RationalArgmax: exact cross-multiplied
-    // compare IS a total order) must plan as a single streaming
-    // aggregate — the |labels|²-comparison dominance self-join this op
-    // originally shipped with must never come back
-    assert(!s.contains("LeftAnti") && !s.contains("CartesianProduct") &&
-      !s.contains("BroadcastNestedLoopJoin"),
-      s"mean-argmax regressed to a join:\n$s")
-    assert(s.contains("rationalargmax"),
-      s"argmax aggregate missing from the plan:\n$s")
-    assert(s.contains("partial_rationalargmax"),
-      "argmax lost map-side partial aggregation")
-    assert(s.contains("partial_sum"), "score partials lost map-side combine")
+    assert(s.contains("centroid_argmax"),
+      s"native argmax kernel missing from the plan:\n$s")
+    // the matrix side is a single-row broadcast (nested-loop cross of a
+    // 1-row build side — not a per-dimension hash join fan-out)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"centroid matrix not broadcast:\n$s")
+    // exactly THREE exchanges: the |labels|·dims centroid aggregate and
+    // the |labels| matrix fold (both label-domain-sized, under the
+    // broadcast) plus the |labels|² crosstab. The old shape's
+    // per-(vec, label) score shuffle — corpus-sized — would be a 4th,
+    // and its typed argmax aggregate must never come back.
+    val exchanges = s.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 3,
+      s"expected matrix + crosstab exchanges only, found $exchanges:\n$s")
+    assert(!s.contains("rationalargmax"),
+      s"typed argmax aggregate came back:\n$s")
+    assert(s.contains("partial_count"), "crosstab lost map-side combine")
   }
 
   test("postings: per-token cap is a map-side WindowGroupLimit; df agg is partial") {
