@@ -100,6 +100,33 @@ object SparkEntry {
   def clearMemos(session: SparkSession): Unit = {
     val it = memoCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1 eq session) it.remove()
+    val it2 = ivfFoldCache.keySet.iterator()
+    while (it2.hasNext) if (it2.next()._1 eq session) it2.remove()
+  }
+
+  /** The shared incremental-IVF arrival fold (r20): q_ivf_incremental
+    * reads its state rows and q_ivf_incremental_topk serves through its
+    * centroids — one fold per (session, dir), the online-index
+    * architecture (maintain once, serve from it). Not a DataFrame, so
+    * it gets its own tiny cache; build seconds land in memoSeconds as
+    * "ivf_fold" with the same exclusive-time accounting (a fold never
+    * nests another memo build — the nested tracking still wraps it for
+    * uniformity). The state is nlist×dim longs — KB-sized. */
+  private val ivfFoldCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      graft.sim.Similarity.IncrementalIvfState]
+  private def ivfFoldMemo(s: SparkSession, d: String): graft.sim.Similarity.IncrementalIvfState = {
+    val k = (s, d)
+    val existing = ivfFoldCache.get(k)
+    if (existing != null) existing
+    else {
+      val t0 = System.nanoTime()
+      val st = graft.sim.Similarity.incrementalIvfFold(
+        Tables.embeddings(s, d), nlist = 16, chunks = 3)
+      memoSeconds.put((d, "ivf_fold"), (System.nanoTime() - t0) / 1e9)
+      val prev = ivfFoldCache.putIfAbsent(k, st)
+      if (prev != null) prev else st
+    }
   }
 
   /** The canonical minhash→LSH candidate-pair frame over `documents` —
@@ -774,14 +801,14 @@ object SparkEntry {
     // index as of their arrival, exact decimal running state as output;
     // the foreachBatch twin (IncrementalIvfSpec) folds the same epochs
     // through a live stream and must land on identical state rows
-    "q_ivf_incremental" -> ((s, d) =>
-      Similarity.incrementalCentroidState(Tables.embeddings(s, d),
-        nlist = 16, chunks = 3)),
+    "q_ivf_incremental" -> ((s, d) => ivfFoldMemo(s, d).stateDf(s)),
     // ...and serving through the refreshed index: the same probe path
-    // as q_ivf_topk over the fold's final centroids
+    // as q_ivf_topk over the fold's final centroids — the SAME fold the
+    // state query reads (ivfFoldMemo), maintained once per (session,
+    // dir) like every shared frame
     "q_ivf_incremental_topk" -> ((s, d) =>
-      Similarity.incrementalIvfTopK(Tables.embeddings(s, d), nQueries = 10,
-        k = 5, nlist = 16, chunks = 3)),
+      Similarity.ivfTopKWith(Tables.embeddings(s, d),
+        ivfFoldMemo(s, d).centroids, nQueries = 10, k = 5)),
     // the drift mitigation (ANN_DRIFT_CURVE.json): same arrival fold
     // with the running state HALVED between epochs — exact integer
     // truncation toward zero, so the recency-weighted state is as

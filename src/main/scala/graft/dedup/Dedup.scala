@@ -73,11 +73,11 @@ object Dedup {
       explode(shinglesOf(col("tk"), n)).as("shingle"))
 
   /** All ordered pairs (a < b) from a SORTED id array, built in the
-    * reducer: element i pairs with every later element. */
+    * reducer: element i pairs with every later element. Native kernel
+    * (r20) == the nested transform/slice HOF chain, which interpreted
+    * one lambda frame per PAIR — see TextKernels.SortedPairs. */
   private def sortedPairs(ids: Column): Column =
-    flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + 2, size(ids)),
-        b => struct(a.as("doc_a"), b.as("doc_b")))))
+    graft.functions.GraftFunctions.sortedPairs(ids)
 
   /** Exact dedup: group by content hash, keep the smallest doc_id as the
     * canonical representative (deterministic, unlike dropDuplicates). */
@@ -225,10 +225,9 @@ object Dedup {
     // pairs with itself (slice is 1-based, so element i sits at i+1),
     // carrying the intra-class C(m,2) member pairs.
     val ids = col("ids")
-    val reprPairs = flatten(transform(ids, (a, i) =>
-      transform(slice(ids, i + 1, size(ids) - i),
-        b => struct(a("doc_id").as("repr_a"), b("doc_id").as("repr_b"),
-          a("m").as("n_a"), b("m").as("n_b")))))
+    // native kernel (r20) == the nested transform/slice HOF chain,
+    // which interpreted one lambda frame per pair — TextKernels.ReprPairs
+    val reprPairs = graft.functions.GraftFunctions.reprPairs(ids)
     bands.groupBy("band", "band_key")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("m")))).as("ids"),
         sum(col("m")).as("members"))

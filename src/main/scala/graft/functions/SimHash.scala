@@ -300,6 +300,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_shingles distinct must be a boolean literal, got $other")
         })))
     ext.injectFunction((
+      new FunctionIdentifier("repr_pairs"),
+      new ExpressionInfo(classOf[ReprPairs].getName, "repr_pairs"),
+      (args: Seq[Expression]) => ReprPairs(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_pairs"),
+      new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
+      (args: Seq[Expression]) => SortedPairs(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("abs_max"),
       new ExpressionInfo(classOf[AbsMax].getName, "abs_max"),
       (args: Seq[Expression]) => AbsMax(args.head)))
@@ -352,4 +360,12 @@ object GraftFunctions {
   /** max(abs(x)) of a float/double array widened to double (codegen'd
     * scalar == array_max(transform(v, abs)) over the cast array). */
   def absMax(v: Column): Column = call_function("abs_max", v)
+
+  /** Ordered pairs (a < b) of a sorted id array (codegen'd scalar ==
+    * the nested transform/slice HOF chain — see TextKernels). */
+  def sortedPairs(ids: Column): Column = call_function("sorted_pairs", ids)
+
+  /** Self-inclusive ordered pairs of a sorted (doc_id, m) struct array
+    * (codegen'd scalar == the lshReprPairs HOF chain — see TextKernels). */
+  def reprPairs(ids: Column): Column = call_function("repr_pairs", ids)
 }

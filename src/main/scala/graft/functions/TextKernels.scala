@@ -104,6 +104,131 @@ object WordShinglesImpl {
   }
 }
 
+/** Native kernel for ordered-pair expansion of a SORTED id array:
+  * element i pairs with every later element, in (i asc, j asc) order —
+  * exactly `flatten(transform(ids, (a, i) => transform(slice(ids, i+2,
+  * size(ids)), b => struct(a AS doc_a, b AS doc_b))))`, the reducer-side
+  * pair generation of the LSH bucket and n-gram index paths, without
+  * the nested interpreted lambda frames (one per pair). */
+object SortedPairsImpl {
+  def compute(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    // n is capped by the callers' bucket guards (maxBucket/maxDf ≤ 10³);
+    // past 65536 the pair count would overflow the array index.
+    require(n <= 65536, s"sorted_pairs bucket too large: $n")
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getLong(i)
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, ids.getLong(j)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Custom Catalyst expression for [[SortedPairsImpl]]. */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"sorted_pairs requires array<bigint> input, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("doc_b",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "sorted_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SortedPairsImpl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.SortedPairsImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortedPairs =
+    copy(child = newChild)
+}
+
+/** Native kernel for the class-representative pair expansion
+  * ([[graft.dedup.Dedup.lshReprPairs]]): element i of the sorted
+  * (doc_id, m) struct array pairs with itself and every later element —
+  * exactly `flatten(transform(ids, (a, i) => transform(slice(ids, i+1,
+  * size(ids)-i), b => struct(a.doc_id, b.doc_id, a.m, b.m))))` without
+  * one interpreted lambda frame per pair. */
+object ReprPairsImpl {
+  def compute(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    require(n <= 65536, s"repr_pairs bucket too large: $n")
+    val da = new Array[Long](n)
+    val ms = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = ids.getStruct(i, 2)
+      da(i) = row.getLong(0); ms(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new Array[Any](n * (n + 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](da(i), da(j), ms(i), ms(j)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Custom Catalyst expression for [[ReprPairsImpl]]. */
+case class ReprPairs(child: Expression) extends UnaryExpression {
+  private val L = org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: org.apache.spark.sql.types.StructType, _)
+        if s.length == 2 && s(0).dataType == L && s(1).dataType == L =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repr_pairs requires array<struct<bigint, bigint>> input, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("repr_a", L, nullable = false),
+      org.apache.spark.sql.types.StructField("repr_b", L, nullable = false),
+      org.apache.spark.sql.types.StructField("n_a", L, nullable = false),
+      org.apache.spark.sql.types.StructField("n_b", L, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "repr_pairs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ReprPairsImpl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ReprPairsImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ReprPairs =
+    copy(child = newChild)
+}
+
 /** Custom Catalyst expression: word n-gram shingles of a token array as
   * one codegen'd scalar call — the inner loop of Dedup.shinglesOf (the
   * feed of MinHash banding, n-gram Jaccard, novelty, dup-span,

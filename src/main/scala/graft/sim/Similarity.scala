@@ -882,11 +882,34 @@ object Similarity {
       val spark = epoch.sparkSession
       import spark.implicits._
       val bc = spark.sparkContext.broadcast(cents)
-      val comp = epoch.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .as[(Long, Array[Double])]
-        .map { case (_, vec) => (bestCentroid(bc.value, vec), vec) }
+      // r20: float→double widening in the typed map (exact, same as the
+      // old asDouble transform) and the scale factor from the native
+      // AbsMax kernel — the two interpreted per-element HOF passes the
+      // epoch projection ran are gone; qv is value-identical. The typed
+      // extraction dispatches on the embedding's element type (the gate
+      // corpus is float; synthetic spec frames may carry double).
+      val isFloat = epoch.schema("embedding").dataType match {
+        case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
+      }
+      val assigned =
+        if (isFloat)
+          epoch.select(col("vec_id"), col("embedding"))
+            .as[(Long, Array[Float])]
+            .map { case (_, vf) =>
+              val vec = new Array[Double](vf.length)
+              var i = 0
+              while (i < vf.length) { vec(i) = vf(i).toDouble; i += 1 }
+              (bestCentroid(bc.value, vec), vec)
+            }
+        else
+          epoch.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+            .as[(Long, Array[Double])]
+            .map { case (_, vec) => (bestCentroid(bc.value, vec), vec) }
+      val comp = assigned
         .toDF("cid", "v")
-        .withColumn("amax", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("amax", graft.functions.GraftFunctions.absMax(col("v")))
         .select(col("cid"), col("amax"), posexplode(col("v")).as(Seq("i", "x")))
         .select(col("cid"), col("i").cast("int").as("i"),
           when(col("amax") > 0, round(col("x") * lit(127.0) / col("amax")))
@@ -1038,6 +1061,16 @@ object Similarity {
     }
     state
   }
+
+  /** The arrival fold as a shareable state (r20): q_ivf_incremental
+    * (state rows) and q_ivf_incremental_topk (search through the folded
+    * index) consume the SAME fold — an online index is maintained once
+    * and served from, so the engine folds once per (session, dir) and
+    * SparkEntry memoizes this handle with the build seconds reported in
+    * memo_sec like every shared frame. */
+  def incrementalIvfFold(embeddings: DataFrame, nlist: Int, chunks: Int,
+                         decayed: Boolean = false): IncrementalIvfState =
+    foldIncremental(embeddings, nlist, chunks, decayed)
 
   /** Batch replay of the arrival fold for the oracle gate: the exact
     * running state after every epoch is folded. The streaming twin
