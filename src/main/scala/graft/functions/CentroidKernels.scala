@@ -101,6 +101,57 @@ object CentroidArgmaxImpl {
   }
 }
 
+/** Native kernel: float→double widening of an array — exactly
+  * `transform(v, x => cast(x as double))` (exact widening, null
+  * elements preserved) without one interpreted lambda frame per
+  * element. Double input passes through unchanged. */
+object ToDoubleArrayImpl {
+  def compute(vec: ArrayData, floatInput: Boolean): ArrayData = {
+    if (!floatInput) return vec
+    val n = vec.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!vec.isNullAt(i)) out(i) = java.lang.Double.valueOf(vec.getFloat(i).toDouble)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Custom Catalyst expression for [[ToDoubleArrayImpl]] — the embedding
+  * widening projection at the base of every ANN query. */
+case class ToDoubleArray(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private def isFloatArray: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"to_double_array requires array<float|double> input, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, containsNull) => ArrayType(DoubleType, containsNull)
+    case other => other
+  }
+  override def prettyName: String = "to_double_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ToDoubleArrayImpl.compute(input.asInstanceOf[ArrayData], isFloatArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ToDoubleArrayImpl.compute($c, $isFloatArray)")
+
+  override protected def withNewChildInternal(newChild: Expression): ToDoubleArray =
+    copy(child = newChild)
+}
+
 /** Native kernel: max(abs(x)) over a float/double array, widened to
   * double — exactly `array_max(transform(v, x => abs(cast(x as
   * double))))` (index-order max is order-independent; abs after the

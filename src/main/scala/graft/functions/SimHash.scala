@@ -300,6 +300,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_shingles distinct must be a boolean literal, got $other")
         })))
     ext.injectFunction((
+      new FunctionIdentifier("token_len_sum"),
+      new ExpressionInfo(classOf[TokenLenSum].getName, "token_len_sum"),
+      (args: Seq[Expression]) => TokenLenSum(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_hits"),
+      new ExpressionInfo(classOf[WordHits].getName, "word_hits"),
+      (args: Seq[Expression]) => WordHits(args.head, args(1))))
+    ext.injectFunction((
       new FunctionIdentifier("repr_pairs"),
       new ExpressionInfo(classOf[ReprPairs].getName, "repr_pairs"),
       (args: Seq[Expression]) => ReprPairs(args.head)))
@@ -307,6 +315,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_pairs"),
       new ExpressionInfo(classOf[SortedPairs].getName, "sorted_pairs"),
       (args: Seq[Expression]) => SortedPairs(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("to_double_array"),
+      new ExpressionInfo(classOf[ToDoubleArray].getName, "to_double_array"),
+      (args: Seq[Expression]) => ToDoubleArray(args.head)))
     ext.injectFunction((
       new FunctionIdentifier("abs_max"),
       new ExpressionInfo(classOf[AbsMax].getName, "abs_max"),
@@ -361,6 +373,10 @@ object GraftFunctions {
     * scalar == array_max(transform(v, abs)) over the cast array). */
   def absMax(v: Column): Column = call_function("abs_max", v)
 
+  /** float→double array widening (codegen'd scalar == transform(v,
+    * cast) — see CentroidKernels.ToDoubleArray). */
+  def toDoubleArray(v: Column): Column = call_function("to_double_array", v)
+
   /** Ordered pairs (a < b) of a sorted id array (codegen'd scalar ==
     * the nested transform/slice HOF chain — see TextKernels). */
   def sortedPairs(ids: Column): Column = call_function("sorted_pairs", ids)
@@ -368,4 +384,13 @@ object GraftFunctions {
   /** Self-inclusive ordered pairs of a sorted (doc_id, m) struct array
     * (codegen'd scalar == the lshReprPairs HOF chain — see TextKernels). */
   def reprPairs(ids: Column): Column = call_function("repr_pairs", ids)
+
+  /** Σ length(token) (codegen'd scalar == aggregate(tk, 0L, acc +
+    * length(w)) — see TextKernels). */
+  def tokenLenSum(tk: Column): Column = call_function("token_len_sum", tk)
+
+  /** Count of tokens in a small constant word set (codegen'd scalar ==
+    * size(filter(tk, w => array_contains(words, w)))). */
+  def wordHits(tk: Column, words: Column): Column =
+    call_function("word_hits", tk, words)
 }

@@ -104,6 +104,115 @@ object WordShinglesImpl {
   }
 }
 
+/** Native kernel: Σ length(token) over a token array (character count,
+  * like `length()`) — exactly `aggregate(tk, 0L, (acc, w) => acc +
+  * length(w))`: a null element nulls the whole fold (length(null) is
+  * null and + propagates), matching the HOF. */
+object TokenLenSumImpl {
+  def compute(tk: ArrayData): java.lang.Long = {
+    val n = tk.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val t = tk.getUTF8String(i)
+      if (t == null) return null
+      acc += t.numChars()
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+}
+
+/** Custom Catalyst expression for [[TokenLenSumImpl]] — the
+  * mean-token-length quality signal without one interpreted lambda
+  * frame per token. */
+case class TokenLenSum(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_len_sum requires array<string> input, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_len_sum"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenLenSumImpl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |java.lang.Long ${ev.value}Tmp = graft.functions.TokenLenSumImpl.compute($c);
+      |if (${ev.value}Tmp == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}Tmp.longValue();
+      |}
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): TokenLenSum =
+    copy(child = newChild)
+}
+
+/** Native kernel: count of tokens contained in a (small, constant) word
+  * set — exactly `size(filter(tk, w => array_contains(words, w)))`:
+  * null tokens drop out (array_contains(words, null) is null, filter
+  * keeps only true), equality is binary. Linear scan per token — the
+  * word list is a handful of stopwords. */
+object WordHitsImpl {
+  def compute(tk: ArrayData, words: ArrayData): Int = {
+    val n = tk.numElements()
+    val m = words.numElements()
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      val t = tk.getUTF8String(i)
+      if (t != null) {
+        var j = 0
+        var found = false
+        while (j < m && !found) {
+          val w = words.getUTF8String(j)
+          found = w != null && w.equals(t)
+          j += 1
+        }
+        if (found) hits += 1
+      }
+      i += 1
+    }
+    hits
+  }
+}
+
+/** Custom Catalyst expression for [[WordHitsImpl]] — the stopword-ratio
+  * language-ID signal without one interpreted lambda frame per token. */
+case class WordHits(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"word_hits requires two array<string> inputs, got " +
+          s"${l.simpleString(10)} / ${r.simpleString(10)}")
+    }
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "word_hits"
+
+  override protected def nullSafeEval(tk: Any, words: Any): Any =
+    WordHitsImpl.compute(tk.asInstanceOf[ArrayData], words.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, w) =>
+      s"graft.functions.WordHitsImpl.compute($t, $w)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordHits =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native kernel for ordered-pair expansion of a SORTED id array:
   * element i pairs with every later element, in (i asc, j asc) order —
   * exactly `flatten(transform(ids, (a, i) => transform(slice(ids, i+2,

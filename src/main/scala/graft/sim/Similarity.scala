@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Array[Float] → Array[Double], element-wise, before any arithmetic. */
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  // r20: native widening kernel == transform(v, x => x.cast("double"))
+  // (the transform ran one interpreted lambda per element at the base of
+  // every ANN query's embedding projection — see ToDoubleArray)
+  private def asDouble(v: Column): Column =
+    graft.functions.GraftFunctions.toDoubleArray(v)
 
   /** Sequential left-to-right dot product of two double arrays. */
   def dot(a: Column, b: Column): Column =

@@ -31,7 +31,8 @@ object TextAnalysis {
     // references them 4x, and HOFs run interpreted (see Dedup notes)
     val tk = col("tk")
     val sw = array(EnStopwords.map(lit): _*)
-    val hits = size(filter(tk, w => array_contains(sw, w)))
+    // native kernel (r20) == size(filter(tk, w => array_contains(sw, w)))
+    val hits = graft.functions.GraftFunctions.wordHits(tk, sw)
     val total = size(tk)
     // Empty-doc guard: 0 tokens → ratio 0.0 / 'und', never NaN.
     val ratio = when(total > 0, hits.cast("double") / total).otherwise(lit(0.0))
@@ -52,8 +53,9 @@ object TextAnalysis {
     val nd = size(array_distinct(tk))
     // Empty-doc guards: 0 tokens → 0.0 ratios and keep=false, never NaN.
     val dRatio = when(n > 0, nd.cast("double") / n).otherwise(lit(0.0))
+    // native kernel (r20) == aggregate(tk, 0L, (acc, w) => acc + length(w))
     val meanLen = when(n > 0,
-      aggregate(tk, lit(0L), (acc, w) => acc + length(w)).cast("double") / n)
+      graft.functions.GraftFunctions.tokenLenSum(tk).cast("double") / n)
       .otherwise(lit(0.0))
     df.select(col("doc_id"), toks(col("text")).as("tk"))
       .select(
