@@ -300,6 +300,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"word_shingles distinct must be a boolean literal, got $other")
         })))
     ext.injectFunction((
+      new FunctionIdentifier("bigram_rep_stats"),
+      new ExpressionInfo(classOf[BigramRepStats].getName, "bigram_rep_stats"),
+      (args: Seq[Expression]) => BigramRepStats(args.head)))
+    ext.injectFunction((
       new FunctionIdentifier("token_len_sum"),
       new ExpressionInfo(classOf[TokenLenSum].getName, "token_len_sum"),
       (args: Seq[Expression]) => TokenLenSum(args.head)))
@@ -388,6 +392,10 @@ object GraftFunctions {
   /** Σ length(token) (codegen'd scalar == aggregate(tk, 0L, acc +
     * length(w)) — see TextKernels). */
   def tokenLenSum(tk: Column): Column = call_function("token_len_sum", tk)
+
+  /** Per-doc (bigram occurrences, max bigram multiplicity) in one scan
+    * pass (== the explode/count/sum-max pipeline — see TextKernels). */
+  def bigramRepStats(tk: Column): Column = call_function("bigram_rep_stats", tk)
 
   /** Count of tokens in a small constant word set (codegen'd scalar ==
     * size(filter(tk, w => array_contains(words, w)))). */

@@ -104,6 +104,65 @@ object WordShinglesImpl {
   }
 }
 
+/** Native kernel: per-document bigram repetition statistics —
+  * (total bigram occurrences, max multiplicity of any one bigram) in
+  * ONE pass over the token array. Exactly the explode → count per
+  * (doc, bigram) → per-doc sum/max pipeline it replaces: occurrences =
+  * m−1 for m ≥ 2 tokens (0 otherwise), bigram identity = the two
+  * tokens joined by one space (binary equality, concat_ws null-skip),
+  * integer counts. The pipeline form shuffled every bigram OCCURRENCE
+  * — corpus×(tokens−1) rows — twice; this computes the same two
+  * integers inside the scan. */
+object BigramRepImpl {
+  private val Sep = UTF8String.fromString(" ")
+
+  def compute(tk: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val m = tk.numElements()
+    if (m < 2)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0L, 0L))
+    val counts = new java.util.HashMap[UTF8String, Int](m * 2)
+    var maxRep = 0
+    var i = 0
+    while (i < m - 1) {
+      val bg = UTF8String.concatWs(Sep, tk.getUTF8String(i), tk.getUTF8String(i + 1))
+      val c = counts.merge(bg, 1, (a, b) => a + b)
+      if (c > maxRep) maxRep = c
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any]((m - 1).toLong, maxRep.toLong))
+  }
+}
+
+/** Custom Catalyst expression for [[BigramRepImpl]] — the repetition
+  * quality signal at scan speed, no bigram-occurrence shuffle. */
+case class BigramRepStats(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_rep_stats requires array<string> input, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("n_bigrams",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("max_rep",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+  override def prettyName: String = "bigram_rep_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    BigramRepImpl.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BigramRepImpl.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramRepStats =
+    copy(child = newChild)
+}
+
 /** Native kernel: Σ length(token) over a token array (character count,
   * like `length()`) — exactly `aggregate(tk, 0L, (acc, w) => acc +
   * length(w))`: a null element nulls the whole fold (length(null) is

@@ -136,20 +136,20 @@ object TextAnalysis {
     * Docs with <2 tokens survive via the left join with 0 bigrams.
     * Integer counts ratioed once, so the double is engine-exact. */
   def repetitionScore(df: DataFrame, threshold: Double = 0.2): DataFrame = {
-    // NON-distinct bigrams (occurrences — frequency is the whole point),
-    // via the ONE shingle builder so the short-doc/ANSI guard lives in
-    // a single place
-    val bigrams = graft.dedup.Dedup.shinglesOf(col("tk"), 2, distinct = false)
-    val perDoc = df.select(col("doc_id"), toks(col("text")).as("tk"))
-      .select(col("doc_id"), explode(bigrams).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_rep"))
-    df.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+    // r20 restructure (guide §8: decide with small rows): the pipeline
+    // form exploded every bigram OCCURRENCE — corpus×(tokens−1) rows —
+    // through TWO aggregate exchanges to compute two per-doc integers.
+    // The native BigramRepStats kernel computes the identical pair
+    // (occurrences = m−1, max multiplicity; same bigram identity and
+    // integer counts — see TextKernels) inside the scan: zero shuffle,
+    // and docs with < 2 tokens get (0, 0) exactly like the old left
+    // join + coalesce.
+    df.select(col("doc_id"), toks(col("text")).as("tk"))
       .select(col("doc_id"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("max_rep"), lit(0L)).as("max_rep"))
+        graft.functions.GraftFunctions.bigramRepStats(col("tk")).as("st"))
+      .select(col("doc_id"),
+        col("st.n_bigrams").as("n_bigrams"),
+        col("st.max_rep").as("max_rep"))
       .withColumn("rep_ratio",
         when(col("n_bigrams") > 0,
           col("max_rep").cast("double") / col("n_bigrams")).otherwise(0.0))
